@@ -1,0 +1,249 @@
+"""Joins and lookups, Ray-Data-first.
+
+Reference jоin semantics (SURVEY §2.4) are all broadcast-small-side or
+group-collect; this module provides:
+
+- :func:`broadcast_join` — small side via ``ray.put`` once, polars join
+  per batch in an actor pool (no shuffle). Reference J1/J2 analogue.
+- :func:`pip_join` — point-in-polygon join against broadcast polygons,
+  STRtree-analogue PolygonIndex built once per actor (J6).
+- :func:`knn_join` — k-nearest-reference-points per row, index pinned
+  per actor (J7).
+- :func:`asof_join` — as-of (latest right row ≤ left ts per key) against
+  a broadcast right side via per-batch ``pd.merge_asof`` (J5 analogue).
+- :func:`hash_join` — large↔large hash join via the native
+  ``Dataset.join`` (hash-partitioned) with explicit partition count.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import polars as pl
+import pyarrow as pa
+import ray
+import ray.data
+
+from edkray.geo.distance import lonlat_to_unit
+from edkray.geo.pip import PolygonIndex, wkb_to_ring
+
+
+class _BroadcastJoiner:
+    """Actor: fetch the broadcast small side once, polars-join per batch."""
+
+    def __init__(self, table_ref, on, right_on, how, suffix):
+        small = ray.get(table_ref) if isinstance(table_ref, ray.ObjectRef) else table_ref
+        self.small = pl.from_arrow(small)
+        self.on, self.right_on, self.how, self.suffix = on, right_on, how, suffix
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        left = pl.from_arrow(batch)
+        out = left.join(
+            self.small,
+            left_on=self.on,
+            right_on=self.right_on,
+            how=self.how,
+            suffix=self.suffix,
+            coalesce=True,
+        )
+        return out.to_arrow()
+
+
+def broadcast_join(
+    ds: ray.data.Dataset,
+    small: pa.Table,
+    on: list[str],
+    right_on: list[str] | None = None,
+    how: str = "inner",
+    suffix: str = "_r",
+    concurrency: int | tuple[int, int] = 4,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Join a Dataset against a small in-memory table without a shuffle.
+
+    The small side is ``ray.put`` ONCE; each actor fetches it once in
+    ``__init__`` (plasma-local thereafter) — never re-shipped per batch.
+    """
+    ref = ray.put(small)
+    return ds.map_batches(
+        _BroadcastJoiner,
+        fn_constructor_kwargs=dict(
+            table_ref=ref, on=on, right_on=right_on or on, how=how, suffix=suffix
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class PipJoin:
+    """Actor-pool stage: point-in-polygon join against broadcast polygons.
+
+    ``__init__`` decodes WKB and builds the PolygonIndex once per actor
+    (the reference re-intersects its grid per call, engines/s3.py:199-207
+    — here the index build is amortized). ``__call__`` is vectorized.
+    Rows matching no polygon get null ``out_col`` (keep) or are dropped.
+    """
+
+    def __init__(self, polygons_ref, id_col="admin_id", wkb_col="wkb_geometry",
+                 lon_col="lon", lat_col="lat", out_col="admin_id", keep_unmatched=True):
+        table = ray.get(polygons_ref) if isinstance(polygons_ref, ray.ObjectRef) else polygons_ref
+        ids = table[id_col].to_pylist()
+        rings = [wkb_to_ring(w) for w in table[wkb_col].to_pylist()]
+        self.index = PolygonIndex(ids, rings)
+        self.lon_col, self.lat_col, self.out_col = lon_col, lat_col, out_col
+        self.keep_unmatched = keep_unmatched
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch[self.lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
+        ids = self.index.query(lon, lat)
+        out = batch.append_column(self.out_col, pa.array(ids, type=pa.string()))
+        if not self.keep_unmatched:
+            out = out.filter(pa.array([x is not None for x in ids]))
+        return out
+
+
+def pip_join(
+    ds: ray.data.Dataset,
+    polygons: pa.Table,
+    concurrency: int | tuple[int, int] = 4,
+    batch_size: int = 65536,
+    **kwargs,
+) -> ray.data.Dataset:
+    ref = ray.put(polygons)
+    return ds.map_batches(
+        PipJoin,
+        fn_constructor_kwargs=dict(polygons_ref=ref, **kwargs),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class KnnJoin:
+    """Actor-pool stage: k nearest reference points per row (haversine).
+
+    The reference-point index (unit vectors) is pinned once per actor —
+    the BallTree analogue from SURVEY §2.3 without sklearn. Exact
+    brute-force matmul per batch; for very large reference sets pass
+    ``shard_cols`` bucketing at build time (scale path documented in
+    SURVEY §7).
+    """
+
+    def __init__(self, refs_ref, ref_id_col="ref_id", lon_col="lon", lat_col="lat", k=3):
+        table = ray.get(refs_ref) if isinstance(refs_ref, ray.ObjectRef) else refs_ref
+        self.ref_ids = np.asarray(table[ref_id_col].to_pylist(), dtype=object)
+        rlon = table["lon"].to_numpy(zero_copy_only=False)
+        rlat = table["lat"].to_numpy(zero_copy_only=False)
+        self.units = lonlat_to_unit(rlon, rlat)  # (m, 3)
+        self.k = k
+        self.lon_col, self.lat_col = lon_col, lat_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch[self.lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
+        q = lonlat_to_unit(lon, lat)
+        cos = q @ self.units.T
+        k = min(self.k, self.units.shape[0])
+        part = np.argpartition(-cos, kth=k - 1, axis=1)[:, :k]
+        pcos = np.take_along_axis(cos, part, axis=1)
+        order = np.lexsort((part, -pcos), axis=1)
+        idx = np.take_along_axis(part, order, axis=1)
+        neighbors = pa.array(self.ref_ids[idx].tolist(), type=pa.list_(pa.string()))
+        return batch.append_column("neighbor_ids", neighbors)
+
+
+def knn_join(
+    ds: ray.data.Dataset,
+    refs: pa.Table,
+    k: int = 3,
+    concurrency: int | tuple[int, int] = 4,
+    batch_size: int = 32768,
+    **kwargs,
+) -> ray.data.Dataset:
+    ref = ray.put(refs)
+    return ds.map_batches(
+        KnnJoin,
+        fn_constructor_kwargs=dict(refs_ref=ref, k=k, **kwargs),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class _AsofJoiner:
+    """Actor: broadcast right side sorted once; merge_asof per batch."""
+
+    def __init__(self, right_ref, on, left_ts, right_ts, direction, suffix):
+        right = ray.get(right_ref) if isinstance(right_ref, ray.ObjectRef) else right_ref
+        rdf = right.to_pandas()
+        self.right = rdf.sort_values([right_ts]).reset_index(drop=True)
+        self.on, self.left_ts, self.right_ts = on, left_ts, right_ts
+        self.direction, self.suffix = direction, suffix
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(batch[self.left_ts].to_numpy(), kind="stable")
+        left = batch.iloc[order].reset_index(drop=True)
+        out = pd.merge_asof(
+            left,
+            self.right,
+            left_on=self.left_ts,
+            right_on=self.right_ts,
+            left_by=self.on or None,
+            right_by=self.on or None,
+            direction=self.direction,
+            suffixes=("", self.suffix),
+        )
+        return out
+
+
+def asof_join(
+    ds: ray.data.Dataset,
+    right: pa.Table,
+    on: list[str] | None,
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+    suffix: str = "_r",
+    concurrency: int | tuple[int, int] = 4,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """As-of join (latest right row ≤/≥ left ts per key) — reference J5
+    ``combine``/interp analogue. Right side broadcast + sorted once per
+    actor; per-batch ``pd.merge_asof`` (left sorted within the batch)."""
+    ref = ray.put(right)
+    return ds.map_batches(
+        _AsofJoiner,
+        fn_constructor_kwargs=dict(
+            right_ref=ref, on=on, left_ts=left_ts, right_ts=right_ts,
+            direction=direction, suffix=suffix,
+        ),
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: list[str],
+    right_on: list[str] | None = None,
+    how: str = "inner",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Large↔large join: native hash-partitioned ``Dataset.join``.
+
+    Both sides shuffle on the key — use :func:`broadcast_join` whenever
+    one side fits in the object store. ``num_partitions`` bounds the
+    all-to-all exchange width; salt hot keys upstream if one key
+    dominates (see edkray.pipelines.spatial for count-driven salting).
+    """
+    return left.join(
+        right,
+        join_type=how,
+        on=tuple(on),
+        right_on=tuple(right_on) if right_on else None,
+        num_partitions=num_partitions,
+    )

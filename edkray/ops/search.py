@@ -1,0 +1,183 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- :func:`cosine_topk` — exact brute-force top-k per query: the query
+  matrix is broadcast once (``ray.put``), each batch computes a local
+  top-k (numpy matmul), and a tiny final groupby merges per-query
+  partials. The shuffle carries k rows per (query, batch), never the
+  embeddings.
+- :class:`IvfIndex` / :func:`ivf_topk` — the scale path: coarse k-means
+  centroids (trained on a driver-side sample), rows routed to their
+  nearest centroid, queries probe only ``nprobe`` nearest lists.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _unit_rows(mat: np.ndarray) -> np.ndarray:
+    norm = np.linalg.norm(mat, axis=1)
+    norm[norm == 0] = 1.0
+    return mat / norm[:, None]
+
+
+class _BatchTopK:
+    """Actor: query matrix fetched once; per-batch local top-k."""
+
+    def __init__(self, queries_ref, id_col, vec_col, k):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.q = _unit_rows(np.asarray(q, dtype=np.float64))  # (nq, d)
+        self.id_col, self.vec_col, self.k = id_col, vec_col, k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        emb = np.stack(batch[self.vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        unit = _unit_rows(emb)
+        cos = self.q @ unit.T  # (nq, n)
+        k = min(self.k, cos.shape[1])
+        part = np.argpartition(-cos, kth=k - 1, axis=1)[:, :k]
+        nq = cos.shape[0]
+        qidx = np.repeat(np.arange(nq, dtype=np.int64), k)
+        nidx = part.reshape(-1)
+        return pa.table(
+            {
+                "query_id": pa.array(qidx),
+                self.id_col: pa.array(ids[nidx]),
+                "cosine": pa.array(np.take_along_axis(cos, part, axis=1).reshape(-1)),
+            }
+        )
+
+
+def cosine_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int | tuple[int, int] = 4,
+    batch_size: int = 16384,
+) -> ray.data.Dataset:
+    """Exact cosine top-k rows per query. Output: one row per
+    (query_id, rank) with columns (query_id, vec_id, cosine, rank);
+    rank 0 = best; ties broken by ascending id (deterministic)."""
+    ref = ray.put(np.asarray(queries, dtype=np.float64))
+    partials = ds.map_batches(
+        _BatchTopK,
+        fn_constructor_kwargs=dict(queries_ref=ref, id_col=id_col, vec_col=vec_col, k=k),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+    def _merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cosine", id_col], ascending=[False, True], kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(_merge, batch_format="pandas")
+
+
+class IvfIndex:
+    """Coarse IVF quantizer: k-means centroids fit on a sample (driver),
+    lloyd iterations in numpy. At 100 TB the sample fit stays O(sample),
+    routing/probing are per-batch matmuls."""
+
+    def __init__(self, nlist: int = 16, iters: int = 10, seed: int = 5):
+        self.nlist, self.iters, self.seed = nlist, iters, seed
+        self.centroids: np.ndarray | None = None
+
+    def fit(self, sample: np.ndarray) -> "IvfIndex":
+        x = _unit_rows(np.asarray(sample, dtype=np.float64))
+        rng = np.random.default_rng(self.seed)
+        idx = rng.choice(len(x), size=min(self.nlist, len(x)), replace=False)
+        c = x[idx].copy()
+        for _ in range(self.iters):
+            assign = np.argmax(x @ c.T, axis=1)
+            for j in range(len(c)):
+                m = assign == j
+                if m.any():
+                    v = x[m].mean(axis=0)
+                    n = np.linalg.norm(v)
+                    if n > 0:
+                        c[j] = v / n
+        self.centroids = c
+        return self
+
+    def route(self, emb: np.ndarray) -> np.ndarray:
+        return np.argmax(_unit_rows(emb) @ self.centroids.T, axis=1)
+
+
+def ivf_topk(
+    ds: ray.data.Dataset,
+    index: IvfIndex,
+    queries: np.ndarray,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_size: int = 16384,
+) -> ray.data.Dataset:
+    """Approximate top-k: each batch row is scored only against queries
+    probing its centroid list (query→nprobe nearest centroids)."""
+    q = _unit_rows(np.asarray(queries, dtype=np.float64))
+    probes = np.argsort(-(q @ index.centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    # invert: centroid -> queries probing it
+    probe_mask = np.zeros((index.centroids.shape[0], len(q)), dtype=bool)
+    for qi in range(len(q)):
+        probe_mask[probes[qi], qi] = True
+    state = ray.put((index.centroids, q, probe_mask))
+
+    class _IvfScore:
+        def __init__(self):
+            self.centroids, self.q, self.probe_mask = ray.get(state)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            emb = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+            unit = _unit_rows(emb)
+            lists = np.argmax(unit @ self.centroids.T, axis=1)
+            out_q, out_id, out_cos = [], [], []
+            for li in np.unique(lists):
+                rows = lists == li
+                qs = np.nonzero(self.probe_mask[li])[0]
+                if len(qs) == 0 or not rows.any():
+                    continue
+                cos = self.q[qs] @ unit[rows].T  # (nq_probe, nrows)
+                kk = min(k, cos.shape[1])
+                part = np.argpartition(-cos, kth=kk - 1, axis=1)[:, :kk]
+                ridx = np.nonzero(rows)[0]
+                out_q.append(np.repeat(qs, kk))
+                out_id.append(ids[ridx[part.reshape(-1)]])
+                out_cos.append(np.take_along_axis(cos, part, axis=1).reshape(-1))
+            if not out_q:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], type=pa.int64()),
+                        id_col: pa.array([], type=pa.int64()),
+                        "cosine": pa.array([], type=pa.float64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(out_q).astype(np.int64)),
+                    id_col: pa.array(np.concatenate(out_id)),
+                    "cosine": pa.array(np.concatenate(out_cos)),
+                }
+            )
+
+    partials = ds.map_batches(
+        _IvfScore, batch_format="pyarrow", batch_size=batch_size, concurrency=2
+    )
+
+    def _merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cosine", id_col], ascending=[False, True], kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(_merge, batch_format="pandas")

@@ -1,0 +1,119 @@
+"""Stateless per-batch stages (map_batches, zero-copy Arrow).
+
+Covers the reference's per-record maps §2.2 of SURVEY.md: geocoding /
+cell assignment (replacing tile-extent computation M5), temporal
+bucketing (A1, engines/commons.py:37-54), bbox filtering (M6/J2,
+utilities/geo.py:160-163), epoch fill (M8, dataset.py:782-784).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from edkray.geo.cells import quadcell
+from edkray.geo.hexgrid import hexcell
+from edkray.geo.s2 import s2_cellid, s2_token
+from edkray.utils import derive_lonlat
+
+EPOCH = _dt.datetime(1970, 1, 1)
+
+
+def add_derived_lonlat(batch: pa.Table, id_col: str) -> pa.Table:
+    """Deterministic arithmetic geocode from an integer id column
+    (synthetic-corpus analogue of domain-hash geocoding, FIXTURES.md §1)."""
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    lon, lat = derive_lonlat(ids)
+    return batch.append_column("lon", pa.array(lon)).append_column("lat", pa.array(lat))
+
+
+def add_cells(
+    batch: pa.Table,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    quad_res: tuple[int, ...] = (7, 8, 9),
+    hex_res: tuple[int, ...] = (),
+    s2_level: int | None = None,
+    s2_as_token: bool = False,
+) -> pa.Table:
+    """Append cell-index columns (quad / hex / s2) for given resolutions."""
+    lon = batch[lon_col].to_numpy(zero_copy_only=False)
+    lat = batch[lat_col].to_numpy(zero_copy_only=False)
+    for r in quad_res:
+        batch = batch.append_column(f"cell_{r}", pa.array(quadcell(lon, lat, r)))
+    for r in hex_res:
+        batch = batch.append_column(f"hex_{r}", pa.array(hexcell(lon, lat, r)))
+    if s2_level is not None:
+        ids = s2_cellid(lon, lat, s2_level)
+        if s2_as_token:
+            batch = batch.append_column("s2_token", pa.array(s2_token(ids)))
+        else:
+            batch = batch.append_column("s2_cell", pa.array(ids))
+    return batch
+
+
+def temporal_bucket(
+    batch: pa.Table,
+    ts_col: str,
+    freq: str = "day",
+    start: _dt.datetime | None = None,
+    end: _dt.datetime | None = None,
+    out_col: str = "date_bucket",
+    drop_out_of_range: bool = True,
+) -> pa.Table:
+    """Left-closed temporal bucketing (reference engines/commons.py:37-54).
+
+    ``freq``: pyarrow ``floor_temporal`` unit ("minute" | "hour" | "day" |
+    "week" | "month" | "year"). Rows outside ``[start, end)`` are DROPPED
+    when ``drop_out_of_range`` (the reference leaves them date=None then
+    groups them under NaT, SURVEY §2.11 — we pick the explicit drop rule).
+    """
+    ts = batch[ts_col]
+    if start is not None or end is not None:
+        mask = pa.array(np.ones(len(batch), dtype=bool))
+        if start is not None:
+            mask = pc.and_(mask, pc.greater_equal(ts, pa.scalar(start, type=ts.type)))
+        if end is not None:
+            mask = pc.and_(mask, pc.less(ts, pa.scalar(end, type=ts.type)))
+        if drop_out_of_range:
+            batch = batch.filter(mask)
+            ts = batch[ts_col]
+    bucket = pc.floor_temporal(ts, unit=freq)
+    return batch.append_column(out_col, bucket)
+
+
+def epoch_fill(batch: pa.Table, ts_col: str) -> pa.Table:
+    """Null timestamps → 1970-01-01 sentinel (reference dataset.py:782-784),
+    so timeless rows group identically."""
+    ts = batch[ts_col]
+    filled = pc.fill_null(ts, pa.scalar(EPOCH, type=ts.type))
+    return batch.set_column(batch.schema.get_field_index(ts_col), ts_col, filled)
+
+
+def bbox_filter(
+    batch: pa.Table,
+    bbox: tuple[float, float, float, float],
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> pa.Table:
+    """Keep rows inside a closed query bbox (xmin, ymin, xmax, ymax) —
+    reference's tile↔bbox semi-join predicate (utilities/geo.py:160-163)."""
+    xmin, ymin, xmax, ymax = bbox
+    lon, lat = batch[lon_col], batch[lat_col]
+    mask = pc.and_(
+        pc.and_(pc.greater_equal(lon, xmin), pc.less_equal(lon, xmax)),
+        pc.and_(pc.greater_equal(lat, ymin), pc.less_equal(lat, ymax)),
+    )
+    return batch.filter(mask)
+
+
+def normalize_uri(batch: pa.Table, col: str = "url") -> pa.Table:
+    """Protocol rewrites (reference M18: s3:// → /vsis3/, https:// →
+    /vsicurl/) re-expressed as vectorized prefix normalization."""
+    u = batch[col]
+    u = pc.replace_substring_regex(u, pattern=r"^s3://", replacement="vfs/s3/")
+    u = pc.replace_substring_regex(u, pattern=r"^https?://", replacement="vfs/http/")
+    return batch.set_column(batch.schema.get_field_index(col), col, u)

@@ -1,0 +1,177 @@
+"""Text analysis stages for a web-corpus pipeline: token counting,
+quality scoring, language ID, fingerprinting.
+
+All operate on the ``documents``/``pages`` text column as vectorized
+``map_batches`` stages. Heavier models don't exist in this environment;
+the heuristics are deterministic and self-contained (the actor-pool
+pattern reserved for real models is the same, SURVEY §2.3).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+
+
+def upsert_column(batch: pa.Table, name: str, arr) -> pa.Table:
+    """Append a column, replacing any existing column of the same name."""
+    idx = batch.schema.get_field_index(name)
+    if idx >= 0:
+        return batch.set_column(idx, name, arr)
+    return batch.append_column(name, arr)
+
+# tiny built-in stopword lists → deterministic language-ID heuristic
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "you", "that", "was", "for"},
+    "de": {"der", "die", "das", "und", "ist", "ich", "nicht", "ein", "mit", "sie", "zu"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "je", "de", "pas", "que", "vous"},
+    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "yo", "no", "que", "por"},
+}
+
+
+def token_count(batch: pa.Table, text_col: str = "text", out_col: str = "n_tokens") -> pa.Table:
+    """Whitespace token count (SQL-reproducible:
+    ``len(regexp_split_to_array(trim(text), '\\s+'))``)."""
+    df = pl.from_arrow(batch.select([text_col]))
+    n = df.select(
+        pl.when(pl.col(text_col).str.strip_chars().str.len_chars() == 0)
+        .then(0)
+        .otherwise(pl.col(text_col).str.strip_chars().str.count_matches(r"\s+") + 1)
+        .alias(out_col)
+    )
+    return batch.append_column(out_col, n.to_arrow()[out_col].cast(pa.int64()))
+
+
+def quality_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Length / punctuation / digit / uppercase ratios + mean word length.
+
+    All counts defined over characters so a SQL oracle can reproduce them
+    (length + regexp_replace length differences).
+    """
+    df = pl.from_arrow(batch.select([text_col]))
+    t = pl.col(text_col)
+    n_chars = t.str.len_chars().cast(pl.Int64)
+    out = df.select(
+        n_chars.alias("n_chars"),
+        t.str.count_matches(r"[[:punct:]]").cast(pl.Int64).alias("n_punct"),
+        t.str.count_matches(r"[0-9]").cast(pl.Int64).alias("n_digit"),
+        t.str.count_matches(r"[A-Z]").cast(pl.Int64).alias("n_upper"),
+    ).with_columns(
+        (pl.col("n_punct") / pl.max_horizontal(pl.col("n_chars"), 1)).alias("punct_ratio"),
+        (pl.col("n_digit") / pl.max_horizontal(pl.col("n_chars"), 1)).alias("digit_ratio"),
+    )
+    out_arrow = out.to_arrow()
+    for name in out.columns:
+        batch = upsert_column(batch, name, out_arrow[name])
+    return batch
+
+
+class LangId:
+    """Actor-pool language-ID stage (stopword hit-rate + CJK ratio).
+
+    Patterns compiled once per actor (__init__), scoring per batch —
+    the stateful-stage pattern from SURVEY §2.3 (model-scorer slot).
+    Deterministic: best stopword hit-rate wins, ties broken by language
+    code order; CJK char ratio > 0.3 → "zh"; no hits → "und".
+    """
+
+    def __init__(self, text_col: str = "text", out_col: str = "lang_pred"):
+        self.text_col, self.out_col = text_col, out_col
+        self.word_re = _WORD_RE
+        self.cjk_re = re.compile(r"[一-鿿]")
+        self.langs = sorted(_STOPWORDS)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        out = np.empty(len(texts), dtype=object)
+        for i, text in enumerate(texts):
+            text = text or ""
+            n_cjk = len(self.cjk_re.findall(text))
+            if n_cjk > 0.3 * max(len(text), 1):
+                out[i] = "zh"
+                continue
+            words = [w.lower() for w in self.word_re.findall(text)]
+            if not words:
+                out[i] = "und"
+                continue
+            best, best_rate = "und", 0.0
+            for lang in self.langs:
+                sw = _STOPWORDS[lang]
+                rate = sum(w in sw for w in words) / len(words)
+                if rate > best_rate:
+                    best, best_rate = lang, rate
+            out[i] = best
+        return batch.append_column(self.out_col, pa.array(out, type=pa.string()))
+
+
+# --- rolling-hash fingerprints -------------------------------------------
+
+_B = np.uint64(0x100000001B3)  # FNV prime as polynomial base (odd → invertible mod 2^64)
+_BINV = np.uint64(pow(0x100000001B3, -1, 1 << 64))
+
+
+def polyhash(data: bytes) -> np.uint64:
+    """Whole-string polynomial hash (the k=len special case), O(n) numpy."""
+    s = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    n = len(s)
+    if n == 0:
+        return np.uint64(0)
+    with np.errstate(over="ignore"):
+        powB = np.cumprod(np.full(n, _B, dtype=np.uint64))
+        invp = np.cumprod(np.full(n, _BINV, dtype=np.uint64))
+        return np.uint64(np.cumsum(s * invp)[-1] * powB[-1])
+
+
+def kgram_hashes(data: bytes, k: int) -> np.ndarray:
+    """All k-byte-gram polynomial hashes of a byte string, vectorized.
+
+    ``H_i = sum_{j=0..k-1} s[i+j] * B^(k-1-j) (mod 2^64)`` computed via
+    modular-inverse prefix sums — O(n) numpy, no per-gram Python loop.
+    """
+    s = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    n = len(s)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if n <= k:
+        return np.array([polyhash(data)], dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        powB = np.cumprod(np.full(n, _B, dtype=np.uint64))  # powB[i] = B^(i+1)
+        invp = np.cumprod(np.full(n, _BINV, dtype=np.uint64))  # invp[i] = B^-(i+1)
+        terms = s * invp
+        prefix = np.cumsum(terms)  # prefix[i] = sum_{j<=i} s[j] * B^-(j+1)
+        head = np.concatenate([[np.uint64(0)], prefix[:-k]])
+        windows = prefix[k - 1 :] - head  # sum_{j=i..i+k-1} s[j] * B^-(j+1)
+        out = windows * powB[k - 1 :]  # scale so highest term is s[i] * B^(k-1)
+    return out
+
+
+def fingerprint(batch: pa.Table, text_col: str = "text", k: int = 8, w: int = 16) -> pa.Table:
+    """Winnowing document fingerprint: min k-gram hash per window of w,
+    collapsed to a single 64-bit digest (xor-fold of selected hashes) +
+    the full-document polynomial hash. Robust to small edits."""
+    texts = batch[text_col].to_pylist()
+    fps = np.empty(len(texts), dtype=np.uint64)
+    doch = np.empty(len(texts), dtype=np.uint64)
+    for i, text in enumerate(texts):
+        data = (text or "").encode("utf-8", "ignore")
+        h = kgram_hashes(data, k)
+        if len(h) == 0:
+            fps[i] = 0
+            doch[i] = 0
+            continue
+        doch[i] = polyhash(data)
+        nwin = max(len(h) - w + 1, 1)
+        strides = np.lib.stride_tricks.sliding_window_view(h, min(w, len(h)))
+        mins = strides.min(axis=1)[:nwin]
+        acc = np.uint64(0)
+        for m in np.unique(mins):
+            acc ^= m
+        fps[i] = acc
+    return batch.append_column("fingerprint", pa.array(fps)).append_column(
+        "doc_hash", pa.array(doch)
+    )

@@ -1,0 +1,62 @@
+"""Shared small utilities: stable hashing, deterministic derivations.
+
+The reference uses ``cheap_hash`` (md5[:6], utilities/helpers.py:111-112)
+for key salting; we keep md5 for cross-run-stable identifiers and use
+polars' vectorized xxhash for hot-path per-row hashing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def cheap_hash(s: str, n: int = 6) -> str:
+    """md5 prefix of a string (reference utilities/helpers.py:111-112)."""
+    return hashlib.md5(s.encode()).hexdigest()[:n]
+
+
+def hash_column(arr: pa.Array | pa.ChunkedArray, seed: int = 0) -> np.ndarray:
+    """Vectorized stable 64-bit hash of a string/binary column.
+
+    Uses polars' Rust xxhash (vectorized); stable for a given polars
+    version + seed, which is all partitioning/dedup needs within a run.
+    Returns uint64 numpy array.
+    """
+    import polars as pl
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    s = pl.from_arrow(arr)
+    return s.hash(seed=seed).to_numpy().astype(np.uint64)
+
+
+def fnv1a64_int(vals: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Deterministic 64-bit mix of an integer array (splitmix64 finalizer).
+
+    Unlike :func:`hash_column` this is *specified* (stable across library
+    versions), so it is safe to persist in manifests and to re-derive in
+    SQL oracles (DuckDB can reproduce it with bit ops if ever needed).
+    """
+    x = vals.astype(np.uint64) + np.uint64(seed) + np.uint64(0x9E3779B97F4A7C15)
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+    return x
+
+
+def derive_lonlat(ids: np.ndarray, a: int = 7919, b: int = 104729) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic id → (lon, lat) derivation used by tests/queries.
+
+    Pure integer arithmetic so a DuckDB oracle can recompute it exactly:
+    ``lon = ((id*7919) % 360000)/1000 - 180``,
+    ``lat = ((id*104729) % 170000)/1000 - 85``.
+    (The real engine geocodes from registered-domain, FIXTURES.md §1.)
+    """
+    ids = ids.astype(np.int64)
+    lon = ((ids * a) % 360000) / 1000.0 - 180.0
+    lat = ((ids * b) % 170000) / 1000.0 - 85.0
+    return lon, lat
