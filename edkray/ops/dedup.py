@@ -23,6 +23,7 @@ import polars as pl
 import pyarrow as pa
 import ray.data
 
+from edkray.ops.shuffle import bucketed_group_map, dedup_in_bucket
 from edkray.ops.text import kgram_hashes
 
 
@@ -30,26 +31,28 @@ def exact_dedup(
     ds: ray.data.Dataset,
     key_cols: list[str],
     order_cols: list[str],
+    num_buckets: int = 64,
     batch_size: int = 65536,
 ) -> ray.data.Dataset:
     """Keep exactly one row per ``key_cols``: the first by ``order_cols``
-    (ascending, deterministic tie-break by all order cols).
+    (ascending, deterministic).
 
-    Two-level: per-batch local dedup (cheap combiner) → groupby(key) →
-    first-per-group. Only survivors of the local pass shuffle.
+    Two-level: per-batch local dedup (cheap combiner) → hash-bucket
+    shuffle (NOT per-key map_groups — see edkray.ops.shuffle) →
+    vectorized in-bucket dedup. Only local survivors shuffle.
     """
-    all_sort = order_cols
 
     def _local(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch)
-        return df.sort(all_sort).unique(subset=key_cols, keep="first", maintain_order=True).to_arrow()
-
-    def _first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(all_sort, kind="stable").head(1)
+        return (
+            df.sort(key_cols + order_cols)
+            .unique(subset=key_cols, keep="first", maintain_order=True)
+            .to_arrow()
+        )
 
     pre = ds.map_batches(_local, batch_format="pyarrow", batch_size=batch_size)
-    return pre.groupby(key_cols[0] if len(key_cols) == 1 else key_cols).map_groups(
-        _first, batch_format="pandas"
+    return bucketed_group_map(
+        pre, key_cols, dedup_in_bucket(key_cols, order_cols), num_buckets, batch_size
     )
 
 
@@ -141,30 +144,40 @@ def minhash_lsh_pairs(
         concurrency=concurrency,
     )
 
-    def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(id_col, kind="stable").drop_duplicates(subset=[id_col])
-        n = len(g)
-        if n < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "est_jaccard": "float64"}
-            )
-        ids = g[id_col].to_numpy()
-        sigs = np.stack(g["sig"].to_numpy())  # (n, num_perm)
-        ia, ib = np.triu_indices(n, k=1)
-        est = (sigs[ia] == sigs[ib]).mean(axis=1)
-        keep = est >= threshold
-        return pd.DataFrame(
-            {"id_a": ids[ia][keep], "id_b": ids[ib][keep], "est_jaccard": est[keep]}
-        )
-
-    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
+    _empty = pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []}).astype(
+        {"id_a": "int64", "id_b": "int64", "est_jaccard": "float64"}
     )
 
-    def _first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
+    def _bucket_pairs(table: pa.Table) -> pa.Table:
+        # one hash bucket = many whole (band, band_hash) groups; per-group
+        # pair generation loops in-task (no Ray per-group overhead)
+        df = table.to_pandas()
+        outs = []
+        for _, group in df.groupby(["band", "band_hash"], sort=False):
+            g = group.sort_values(id_col, kind="stable").drop_duplicates(subset=[id_col])
+            n = len(g)
+            if n < 2:
+                continue
+            ids = g[id_col].to_numpy()
+            sigs = np.stack(g["sig"].to_numpy())  # (n, num_perm)
+            ia, ib = np.triu_indices(n, k=1)
+            est = (sigs[ia] == sigs[ib]).mean(axis=1)
+            keep = est >= threshold
+            if keep.any():
+                outs.append(
+                    pd.DataFrame(
+                        {"id_a": ids[ia][keep], "id_b": ids[ib][keep], "est_jaccard": est[keep]}
+                    )
+                )
+        return pa.Table.from_pandas(
+            pd.concat(outs, ignore_index=True) if outs else _empty, preserve_index=False
+        )
 
-    return pairs.groupby(["id_a", "id_b"]).map_groups(_first, batch_format="pandas")
+    pairs = bucketed_group_map(band_rows, ["band", "band_hash"], _bucket_pairs, num_buckets=32)
+    # same pair can surface from several bands → distinct on (id_a, id_b)
+    return bucketed_group_map(
+        pairs, ["id_a", "id_b"], dedup_in_bucket(["id_a", "id_b"], ["est_jaccard"]), num_buckets=16
+    )
 
 
 # --- SimHash --------------------------------------------------------------
@@ -223,27 +236,38 @@ def simhash_pairs(
 
     band_rows = ds.map_batches(_hash_and_band, batch_format="pyarrow", batch_size=batch_size)
 
-    def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(id_col, kind="stable").drop_duplicates(subset=[id_col])
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "hamming": "int64"}
-            )
-        ids = g[id_col].to_numpy()
-        sh = g["simhash"].to_numpy().astype(np.uint64)
-        ia, ib = np.triu_indices(len(g), k=1)
-        x = sh[ia] ^ sh[ib]
-        ham = np.zeros(len(x), dtype=np.int64)
-        for b in range(64):
-            ham += ((x >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
-        keep = ham <= max_hamming
-        return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep], "hamming": ham[keep]})
-
-    pairs = band_rows.groupby(["chunk", "chunk_val"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
+    _empty = pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}).astype(
+        {"id_a": "int64", "id_b": "int64", "hamming": "int64"}
     )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+
+    def _bucket_pairs(table: pa.Table) -> pa.Table:
+        df = table.to_pandas()
+        outs = []
+        for _, group in df.groupby(["chunk", "chunk_val"], sort=False):
+            g = group.sort_values(id_col, kind="stable").drop_duplicates(subset=[id_col])
+            if len(g) < 2:
+                continue
+            ids = g[id_col].to_numpy()
+            sh = g["simhash"].to_numpy().astype(np.uint64)
+            ia, ib = np.triu_indices(len(g), k=1)
+            x = sh[ia] ^ sh[ib]
+            ham = np.zeros(len(x), dtype=np.int64)
+            for b in range(64):
+                ham += ((x >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+            keep = ham <= max_hamming
+            if keep.any():
+                outs.append(
+                    pd.DataFrame(
+                        {"id_a": ids[ia][keep], "id_b": ids[ib][keep], "hamming": ham[keep]}
+                    )
+                )
+        return pa.Table.from_pandas(
+            pd.concat(outs, ignore_index=True) if outs else _empty, preserve_index=False
+        )
+
+    pairs = bucketed_group_map(band_rows, ["chunk", "chunk_val"], _bucket_pairs, num_buckets=32)
+    return bucketed_group_map(
+        pairs, ["id_a", "id_b"], dedup_in_bucket(["id_a", "id_b"], ["hamming"]), num_buckets=16
     )
 
 
@@ -305,18 +329,30 @@ def embedding_dup_pairs(
         _HyperplaneBucketer, batch_format="pyarrow", batch_size=batch_size, concurrency=2
     )
 
-    def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(id_col, kind="stable").drop_duplicates(subset=[id_col])
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
-            )
-        ids = g[id_col].to_numpy()
-        unit = np.stack(g["unit"].to_numpy())
-        cos = unit @ unit.T
-        ia, ib = np.triu_indices(len(g), k=1)
-        c = cos[ia, ib]
-        keep = c >= threshold
-        return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep], "cosine": c[keep]})
+    _empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+        {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+    )
 
-    return rows.groupby("bucket").map_groups(_bucket_pairs, batch_format="pandas")
+    def _bucket_pairs(table: pa.Table) -> pa.Table:
+        df = table.to_pandas()
+        outs = []
+        for _, group in df.groupby("bucket", sort=False):
+            g = group.sort_values(id_col, kind="stable").drop_duplicates(subset=[id_col])
+            if len(g) < 2:
+                continue
+            ids = g[id_col].to_numpy()
+            unit = np.stack(g["unit"].to_numpy())
+            cos = unit @ unit.T
+            ia, ib = np.triu_indices(len(g), k=1)
+            c = cos[ia, ib]
+            keep = c >= threshold
+            if keep.any():
+                outs.append(
+                    pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep], "cosine": c[keep]})
+                )
+        return pa.Table.from_pandas(
+            pd.concat(outs, ignore_index=True) if outs else _empty, preserve_index=False
+        )
+
+    # each (id_a, id_b) pair appears in exactly one LSH bucket → no final dedup
+    return bucketed_group_map(rows, ["bucket"], _bucket_pairs, num_buckets=16)

@@ -56,7 +56,7 @@ def broadcast_join(
     right_on: list[str] | None = None,
     how: str = "inner",
     suffix: str = "_r",
-    concurrency: int | tuple[int, int] = 4,
+    concurrency: int | tuple[int, int] = (1, 4),
     batch_size: int = 65536,
 ) -> ray.data.Dataset:
     """Join a Dataset against a small in-memory table without a shuffle.
@@ -107,7 +107,7 @@ class PipJoin:
 def pip_join(
     ds: ray.data.Dataset,
     polygons: pa.Table,
-    concurrency: int | tuple[int, int] = 4,
+    concurrency: int | tuple[int, int] = (1, 4),
     batch_size: int = 65536,
     **kwargs,
 ) -> ray.data.Dataset:
@@ -158,7 +158,7 @@ def knn_join(
     ds: ray.data.Dataset,
     refs: pa.Table,
     k: int = 3,
-    concurrency: int | tuple[int, int] = 4,
+    concurrency: int | tuple[int, int] = (1, 4),
     batch_size: int = 32768,
     **kwargs,
 ) -> ray.data.Dataset:
@@ -206,7 +206,7 @@ def asof_join(
     right_ts: str,
     direction: str = "backward",
     suffix: str = "_r",
-    concurrency: int | tuple[int, int] = 4,
+    concurrency: int | tuple[int, int] = (1, 4),
     batch_size: int = 65536,
 ) -> ray.data.Dataset:
     """As-of join (latest right row ≤/≥ left ts per key) — reference J5

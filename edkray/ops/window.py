@@ -82,37 +82,37 @@ def sessionize(
     key: str,
     gap_us: int,
     agg_col: str | None = None,
+    num_buckets: int = 32,
 ) -> ray.data.Dataset:
     """Session windows: per key, sort by ts, split where the gap to the
     previous event exceeds ``gap_us``. Output one row per session:
-    (key, session_start, session_end, n_events[, sum_value])."""
+    (key, session_start, session_end, n_events[, sum_value]).
 
-    def _sessions(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(ts_col, kind="stable")
-        ts = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
-        new = np.ones(len(ts), dtype=bool)
-        new[1:] = (ts[1:] - ts[:-1]) > gap_us
-        sid = np.cumsum(new) - 1
-        out = {
-            key: [],
-            "session_start": [],
-            "session_end": [],
-            "n_events": [],
-        }
+    Hash-bucketed shuffle (all events of a key co-locate) + fully
+    vectorized polars session assignment in-bucket — no per-key Python.
+    """
+    import polars as pl
+
+    from edkray.ops.shuffle import bucketed_group_map
+
+    def _sessions(table: pa.Table) -> pa.Table:
+        df = pl.from_arrow(table).sort([key, ts_col])
+        new = (
+            (pl.col(ts_col).diff().over(key).dt.total_microseconds() > gap_us)
+            .fill_null(True)
+            .alias("__new")
+        )
+        df = df.with_columns(new).with_columns(
+            pl.col("__new").cum_sum().over(key).alias("__sid")
+        )
+        aggs = [
+            pl.col(ts_col).min().alias("session_start"),
+            pl.col(ts_col).max().alias("session_end"),
+            pl.len().cast(pl.Int64).alias("n_events"),
+        ]
         if agg_col:
-            out[f"sum_{agg_col}"] = []
-        vals = g[agg_col].to_numpy() if agg_col else None
-        for s in range(sid[-1] + 1 if len(sid) else 0):
-            m = sid == s
-            out[key].append(g[key].iloc[0])
-            out["session_start"].append(ts[m].min())
-            out["session_end"].append(ts[m].max())
-            out["n_events"].append(int(m.sum()))
-            if agg_col:
-                out[f"sum_{agg_col}"].append(float(vals[m].sum()))
-        df = pd.DataFrame(out)
-        for c in ("session_start", "session_end"):
-            df[c] = pd.to_datetime(df[c], unit="us")
-        return df
+            aggs.append(pl.col(agg_col).sum().alias(f"sum_{agg_col}"))
+        out = df.group_by([key, "__sid"], maintain_order=True).agg(aggs).drop("__sid")
+        return out.to_arrow()
 
-    return ds.groupby(key).map_groups(_sessions, batch_format="pandas")
+    return bucketed_group_map(ds, [key], _sessions, num_buckets=num_buckets)

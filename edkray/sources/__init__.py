@@ -1,0 +1,8 @@
+"""Discovery sources: path-template expansion and catalog construction.
+
+The reference's engine plugins (S3/GEE/STAC ``scan``, SURVEY §2.1/2.10)
+reduce to: expand a path template over time × grid-cell variables,
+list matching files, parse dates back out of paths, persist a catalog.
+Here the listing side is the local filesystem / parquet dataset and the
+catalog is Parquet with typed nested columns instead of stringly CSV.
+"""
