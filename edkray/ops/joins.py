@@ -133,6 +133,7 @@ class KnnJoin:
 
     def __init__(self, refs_ref, ref_id_col="ref_id", lon_col="lon", lat_col="lat", k=3):
         table = ray.get(refs_ref) if isinstance(refs_ref, ray.ObjectRef) else refs_ref
+        self.id_type = table.schema.field(ref_id_col).type
         self.ref_ids = np.asarray(table[ref_id_col].to_pylist(), dtype=object)
         rlon = table["lon"].to_numpy(zero_copy_only=False)
         rlat = table["lat"].to_numpy(zero_copy_only=False)
@@ -150,7 +151,7 @@ class KnnJoin:
         pcos = np.take_along_axis(cos, part, axis=1)
         order = np.lexsort((part, -pcos), axis=1)
         idx = np.take_along_axis(part, order, axis=1)
-        neighbors = pa.array(self.ref_ids[idx].tolist(), type=pa.list_(pa.string()))
+        neighbors = pa.array(self.ref_ids[idx].tolist(), type=pa.list_(self.id_type))
         return batch.append_column("neighbor_ids", neighbors)
 
 

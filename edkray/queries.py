@@ -1,0 +1,1066 @@
+"""Driver-facing query suite: one entry per implemented operator family.
+
+Each query is a Ray-Data pipeline over the driver's parquet tables
+(``region nation customer supplier part orders lineitem events documents
+embeddings``) paired (where SQL-expressible) with an ANSI-SQL oracle
+that DuckDB runs on the same tables. Column names match exactly between
+the Ray result and the SQL so the driver's order-insensitive value-hash
+compare passes.
+
+Float policy: any aggregated float column is rounded half-away-from-zero
+to 4 (or 6) decimals on BOTH sides — raw passthrough floats are left
+untouched (bit-identical from parquet). Spatial queries derive lon/lat
+from integer keys with :func:`edkray.utils.derive_lonlat`, a pure
+integer/double rule the SQL mirrors expression-by-expression so results
+are bit-identical.
+
+Reference correspondence is noted per query (SURVEY.md §2 operator ids).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from edkray.utils import derive_lonlat
+
+# --------------------------------------------------------------------------
+# helpers
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(_p(sf_dir, table), columns=columns)
+
+
+def round_half_away(x: np.ndarray, decimals: int) -> np.ndarray:
+    """Match DuckDB ROUND(double, n): round-half-away-from-zero."""
+    m = 10.0**decimals
+    return np.sign(x) * np.floor(np.abs(x) * m + 0.5) / m
+
+
+def _round_cols(batch: pa.Table, cols: list[str], decimals: int = 4) -> pa.Table:
+    for c in cols:
+        v = round_half_away(batch[c].to_numpy(zero_copy_only=False).astype(np.float64), decimals)
+        batch = batch.set_column(batch.schema.get_field_index(c), c, pa.array(v))
+    return batch
+
+
+# SQL snippets mirroring edkray.utils.derive_lonlat EXPRESSION-BY-EXPRESSION
+# (same double-op sequence → bit-identical values).
+def _sql_lon(key: str, offset: int = 0) -> str:
+    k = key if offset == 0 else f"({key} + {offset})"
+    return f"(({k} * 7919) % 360000) / 1000.0 - 180.0"
+
+
+def _sql_lat(key: str, offset: int = 0) -> str:
+    k = key if offset == 0 else f"({key} + {offset})"
+    return f"(({k} * 104729) % 170000) / 1000.0 - 85.0"
+
+
+def _add_lonlat(batch: pa.Table, key: str) -> pa.Table:
+    lon, lat = derive_lonlat(batch[key].to_numpy(zero_copy_only=False))
+    return batch.append_column("lon", pa.array(lon)).append_column("lat", pa.array(lat))
+
+
+# --------------------------------------------------------------------------
+# Q: pricing_summary — combiner-pre-aggregated groupby (SURVEY A2/A3/A5)
+
+_SHIP_CUTOFF = "1998-09-02"
+
+
+def q_pricing_summary(sf_dir: str):
+    from edkray.ops.aggregate import grouped_agg
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def _prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(b["l_shipdate"], pa.scalar(pd.Timestamp(_SHIP_CUTOFF))))
+        disc = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return b.append_column("disc_price", disc)
+
+    ds = ds.map_batches(_prep, batch_format="pyarrow")
+    out = grouped_agg(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("sum", "l_quantity", "sum_qty"),
+            ("sum", "disc_price", "sum_disc_price"),
+            ("mean", "l_discount", "avg_disc"),
+            ("count", None, "n_rows"),
+        ],
+    )
+    return out.map_batches(
+        lambda b: _round_cols(b, ["sum_qty", "sum_disc_price", "avg_disc"]), batch_format="pyarrow"
+    )
+
+
+_SQL_PRICING = f"""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{_SHIP_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: region_rollup — broadcast (no-shuffle) small-side joins (SURVEY J1)
+
+
+def q_region_rollup(sf_dir: str):
+    from edkray.ops.aggregate import grouped_agg
+    from edkray.ops.joins import broadcast_join
+
+    nation = pq.read_table(_p(sf_dir, "nation"))
+    region = pq.read_table(_p(sf_dir, "region"))
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    ds = broadcast_join(ds, nation, on=["c_nationkey"], right_on=["n_nationkey"])
+    ds = broadcast_join(ds, region, on=["n_regionkey"], right_on=["r_regionkey"])
+    out = grouped_agg(
+        ds, ["r_name"], [("count", None, "n_customers"), ("sum", "c_acctbal", "sum_acctbal")]
+    )
+    return out.map_batches(lambda b: _round_cols(b, ["sum_acctbal"]), batch_format="pyarrow")
+
+
+_SQL_REGION = """
+SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 4) AS sum_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: top_revenue_orders — shuffle groupby + large-large hash join + sort/limit
+
+
+def q_top_revenue_orders(sf_dir: str):
+    from edkray.ops.aggregate import grouped_agg
+    from edkray.ops.joins import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def _rev(b: pa.Table) -> pa.Table:
+        r = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.table({"o_orderkey": b["l_orderkey"], "rev": r})
+
+    rev = grouped_agg(li.map_batches(_rev, batch_format="pyarrow"), ["o_orderkey"], [("sum", "rev", "revenue")])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = hash_join(rev, orders, on=["o_orderkey"], num_partitions=8)
+    top = joined.sort(["revenue", "o_orderkey"], descending=[True, False]).limit(10)
+    out = top.to_pandas()
+    out = out[["o_orderkey", "o_orderpriority", "revenue"]]
+    out["revenue"] = round_half_away(out["revenue"].to_numpy(), 4)
+    return out
+
+
+_SQL_TOP_REVENUE = """
+SELECT o_orderkey, o_orderpriority, round(revenue, 4) AS revenue
+FROM (SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS revenue
+      FROM lineitem GROUP BY l_orderkey) r
+JOIN orders ON o_orderkey = r.l_orderkey
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: daily_events — temporal bucketing (SURVEY A1) + grouped agg
+
+
+def q_daily_events(sf_dir: str):
+    from edkray.ops.aggregate import grouped_agg
+    from edkray.ops.stages import temporal_bucket
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    ds = ds.map_batches(
+        lambda b: temporal_bucket(b, "ts", "day"), batch_format="pyarrow"
+    ).drop_columns(["ts"])
+    out = grouped_agg(
+        ds,
+        ["date_bucket", "event_type"],
+        [("count", None, "n_events"), ("sum", "value", "sum_value")],
+    )
+    return out.map_batches(lambda b: _round_cols(b, ["sum_value"]), batch_format="pyarrow")
+
+
+_SQL_DAILY = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS date_bucket, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: sessionize — session windows (gap split) via hash-bucket shuffle
+
+
+def q_sessionize(sf_dir: str):
+    from edkray.ops.window import sessionize
+
+    ds = _read(sf_dir, "events", ["ts", "user_id", "value"])
+    out = sessionize(ds, "ts", "user_id", gap_us=3_600_000_000, agg_col="value")
+    return out.map_batches(lambda b: _round_cols(b, ["sum_value"]), batch_format="pyarrow")
+
+
+_SQL_SESSION = """
+WITH s AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL '1 hour'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), t AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid FROM s
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM t GROUP BY user_id, sid
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: sliding_windows — overlapping event-time windows (explode + agg)
+
+
+def q_sliding_windows(sf_dir: str):
+    from edkray.ops.window import sliding
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    return sliding(
+        ds, "ts", size_us=7_200_000_000, step_us=3_600_000_000,
+        keys=["event_type"], aggs=[("count", None, "n_events")],
+    )
+
+
+_SQL_SLIDING = """
+SELECT window_start, event_type, count(*) AS n_events
+FROM (SELECT event_type, ts,
+             unnest([CAST(date_trunc('hour', ts) AS TIMESTAMP),
+                     CAST(date_trunc('hour', ts) AS TIMESTAMP) - INTERVAL '1 hour']) AS window_start
+      FROM events)
+WHERE ts >= window_start AND ts < window_start + INTERVAL '2 hours'
+GROUP BY window_start, event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: dedup_lineitem_first — exact dedup, first-per-key (SURVEY §2.7)
+
+
+# l_linenumber is NOT unique per order in the synthetic data — the dedup
+# order is a total order over all columns so the winner is deterministic.
+_DEDUP_ORDER = [
+    "l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+    "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+]
+
+
+def q_dedup_lineitem_first(sf_dir: str):
+    from edkray.ops.dedup import exact_dedup
+
+    ds = _read(sf_dir, "lineitem")
+    return exact_dedup(ds, ["l_orderkey"], _DEDUP_ORDER)
+
+
+_SQL_DEDUP_LI = f"""
+SELECT * FROM lineitem
+QUALIFY row_number() OVER (PARTITION BY l_orderkey ORDER BY {', '.join(_DEDUP_ORDER)}) = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: distinct_flags — distinct with per-batch pre-dedup (SURVEY A4)
+
+
+def q_distinct_flags(sf_dir: str):
+    from edkray.ops.aggregate import distinct
+
+    return distinct(_read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"]),
+                    ["l_returnflag", "l_linestatus"])
+
+
+_SQL_DISTINCT = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+# --------------------------------------------------------------------------
+# Q: asof_orders — as-of join (SURVEY J5) against broadcast right side
+
+
+def q_asof_orders(sf_dir: str):
+    from edkray.ops.joins import asof_join
+
+    # dedup right side to one row per (custkey, orderdate): max orderkey —
+    # makes the as-of tie rule explicit and oracle-reproducible
+    orders = pq.read_table(_p(sf_dir, "orders"), columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"])
+    odf = orders.to_pandas().sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    odf = odf.drop_duplicates(subset=["o_custkey", "o_orderdate"], keep="last")
+    odf = odf.rename(columns={"o_custkey": "user_id"})
+    right = pa.Table.from_pandas(odf, preserve_index=False)
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    out = asof_join(ev, right, on=["user_id"], left_ts="ts", right_ts="o_orderdate")
+    return out.map_batches(
+        lambda b: b.select(["event_id", "ts", "user_id", "o_orderkey", "o_totalprice"]),
+        batch_format="pyarrow",
+    )
+
+
+_SQL_ASOF = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM orders
+  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1
+)
+SELECT e.event_id, e.ts, e.user_id, o.o_orderkey, o.o_totalprice
+FROM events e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: cells_histogram — quadcell spatial key (SQL-reproducible bit packing)
+
+
+def q_cells_histogram(sf_dir: str):
+    from edkray.geo.cells import quadcell
+    from edkray.ops.aggregate import grouped_agg
+
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+
+    def _cells(b: pa.Table) -> pa.Table:
+        b = _add_lonlat(b, "c_custkey")
+        lon = b["lon"].to_numpy(zero_copy_only=False)
+        lat = b["lat"].to_numpy(zero_copy_only=False)
+        return b.append_column("cell_7", pa.array(quadcell(lon, lat, 7)))
+
+    ds = ds.map_batches(_cells, batch_format="pyarrow")
+    return grouped_agg(ds, ["cell_7"], [("count", None, "n_customers")])
+
+
+_SQL_CELLS = f"""
+WITH pts AS (
+  SELECT {_sql_lon('c_custkey')} AS lon, {_sql_lat('c_custkey')} AS lat FROM customer
+), ij AS (
+  SELECT least(greatest(CAST(floor((lon + 180.0) / 360.0 * 128) AS BIGINT), 0), 127) AS ix,
+         least(greatest(CAST(floor((lat + 90.0) / 180.0 * 128) AS BIGINT), 0), 127) AS iy
+  FROM pts
+)
+SELECT (CAST(7 AS BIGINT) << 58) | (ix << 29) | iy AS cell_7, count(*) AS n_customers
+FROM ij GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: tile assignment (grid-file semantics, SURVEY S13/J1) over orders
+
+
+def _tile_batch(b: pa.Table, bucket_col: str = "date_bucket") -> pa.Table:
+    lon = b["lon"].to_numpy(zero_copy_only=False)
+    lat = b["lat"].to_numpy(zero_copy_only=False)
+    h = np.clip(np.floor((lon + 180.0) / 10.0), 0, 35).astype(np.int64)
+    v = np.floor((lat + 80.0) / 10.0).astype(np.int64)
+    in_grid = (lat >= -80.0) & (lat < 80.0)
+    bucket = pc.strftime(b[bucket_col], format="%Y%m%d").to_pandas().to_numpy()
+    tiles = np.where(
+        in_grid,
+        np.char.add(
+            np.char.add(np.char.zfill(h.astype(str), 2),
+                        np.char.zfill(np.clip(v, 0, 15).astype(str), 2)),
+            np.char.add("_", bucket.astype(str)),
+        ),
+        None,
+    )
+    return b.append_column("tile_id", pa.array(tiles.tolist(), type=pa.string()))
+
+
+def q_tile_counts(sf_dir: str):
+    from edkray.ops.aggregate import grouped_agg
+    from edkray.ops.stages import temporal_bucket
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    ds = ds.map_batches(
+        lambda b: _tile_batch(temporal_bucket(_add_lonlat(b, "o_custkey"), "o_orderdate", "month")),
+        batch_format="pyarrow",
+    )
+    ds = ds.map_batches(lambda b: b.filter(pc.is_valid(b["tile_id"])), batch_format="pyarrow")
+    return grouped_agg(ds, ["tile_id"], [("count", None, "n_orders")])
+
+
+_SQL_TILE_EXPR = """
+  lpad(CAST(CAST(least(greatest(floor((lon + 180.0) / 10.0), 0), 35) AS BIGINT) AS VARCHAR), 2, '0')
+  || lpad(CAST(CAST(least(greatest(floor((lat + 80.0) / 10.0), 0), 15) AS BIGINT) AS VARCHAR), 2, '0')
+  || '_' || strftime(date_trunc('month', o_orderdate), '%Y%m%d')
+"""
+
+_SQL_TILES = f"""
+WITH pts AS (
+  SELECT o_orderkey, o_orderdate, {_sql_lon('o_custkey')} AS lon, {_sql_lat('o_custkey')} AS lat
+  FROM orders
+)
+SELECT {_SQL_TILE_EXPR} AS tile_id, count(*) AS n_orders
+FROM pts WHERE lat >= -80.0 AND lat < 80.0
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: tile_rank — explicit deterministic per-tile rank (replaces BuildVRT
+# last-source-wins ordering, reference dataset.py:543-552)
+
+
+def q_tile_rank(sf_dir: str):
+    from edkray.ops.shuffle import bucketed_group_map
+    from edkray.ops.stages import temporal_bucket
+    import polars as pl
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    ds = ds.map_batches(
+        lambda b: _tile_batch(temporal_bucket(_add_lonlat(b, "o_custkey"), "o_orderdate", "month")),
+        batch_format="pyarrow",
+    )
+    ds = ds.map_batches(lambda b: b.filter(pc.is_valid(b["tile_id"])), batch_format="pyarrow")
+
+    def _rank(table: pa.Table) -> pa.Table:
+        df = pl.from_arrow(table).sort(["tile_id", "o_orderdate", "o_orderkey"])
+        df = df.with_columns(pl.int_range(pl.len()).over("tile_id").alias("rank"))
+        return df.select(["o_orderkey", "tile_id", "rank"]).to_arrow()
+
+    return bucketed_group_map(ds, ["tile_id"], _rank, num_buckets=16)
+
+
+_SQL_TILE_RANK = f"""
+WITH pts AS (
+  SELECT o_orderkey, o_orderdate, {_sql_lon('o_custkey')} AS lon, {_sql_lat('o_custkey')} AS lat
+  FROM orders
+), tiled AS (
+  SELECT o_orderkey, o_orderdate, {_SQL_TILE_EXPR} AS tile_id
+  FROM pts WHERE lat >= -80.0 AND lat < 80.0
+)
+SELECT o_orderkey, tile_id,
+       row_number() OVER (PARTITION BY tile_id ORDER BY o_orderdate, o_orderkey) - 1 AS rank
+FROM tiled
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: pip_admin — point-in-polygon join vs broadcast admin polygons (J6)
+
+
+def _admin_values_sql() -> str:
+    """Inline the deterministic admin fixture as a SQL VALUES list
+    (corner coords repr'd at full double precision)."""
+    from edkray.fixtures import make_admin
+    from edkray.geo.pip import wkb_to_ring
+
+    admin = make_admin()
+    rows = []
+    for aid, wkb in zip(admin["admin_id"].to_pylist(), admin["wkb_geometry"].to_pylist()):
+        ring = wkb_to_ring(wkb)[:4]  # 4-corner convex CCW quads
+        coords = ", ".join(f"{ring[i,0]!r}, {ring[i,1]!r}" for i in range(4))
+        rows.append(f"('{aid}', {coords})")
+    return ",\n  ".join(rows)
+
+
+def q_pip_admin(sf_dir: str):
+    from edkray.fixtures import make_admin
+    from edkray.ops.aggregate import grouped_agg
+    from edkray.ops.joins import PipJoin
+
+    admin = make_admin()
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+    ds = ds.map_batches(lambda b: _add_lonlat(b, "c_custkey"), batch_format="pyarrow")
+    ref = ray.put(admin)
+    ds = ds.map_batches(
+        PipJoin, fn_constructor_kwargs=dict(polygons_ref=ref),
+        batch_format="pyarrow", concurrency=(1, 2),
+    )
+
+    def _fill(b: pa.Table) -> pa.Table:
+        filled = pc.fill_null(b["admin_id"], "__none__")
+        return b.set_column(b.schema.get_field_index("admin_id"), "admin_id", filled)
+
+    ds = ds.map_batches(_fill, batch_format="pyarrow")
+    return grouped_agg(ds, ["admin_id"], [("count", None, "n_customers")])
+
+
+def _sql_pip() -> str:
+    # convex CCW quad: inside ⇔ all four edge cross-products strictly > 0
+    # (boundary is measure-zero vs the engine's even-odd rule)
+    def cr(x1, y1, x2, y2):
+        return f"(({x2} - {x1}) * (lat - {y1}) - ({y2} - {y1}) * (lon - {x1})) > 0"
+
+    inside = " AND ".join(
+        cr(f"a.x{i}", f"a.y{i}", f"a.x{i % 4 + 1}", f"a.y{i % 4 + 1}") for i in range(1, 5)
+    )
+    return f"""
+WITH admin(admin_id, x1, y1, x2, y2, x3, y3, x4, y4) AS (VALUES
+  {_admin_values_sql()}
+), pts AS (
+  SELECT {_sql_lon('c_custkey')} AS lon, {_sql_lat('c_custkey')} AS lat FROM customer
+)
+SELECT coalesce(a.admin_id, '__none__') AS admin_id, count(*) AS n_customers
+FROM pts LEFT JOIN admin a ON {inside}
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: spatial_flagship — geocode → bucket → tile → PIP → per-(tile, admin)
+# counts: the full discover→mosaic chain as one SQL-checkable pipeline
+
+
+def q_spatial_flagship(sf_dir: str):
+    from edkray.fixtures import make_admin
+    from edkray.ops.aggregate import grouped_agg
+    from edkray.ops.joins import PipJoin
+    from edkray.ops.stages import temporal_bucket
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    ds = ds.map_batches(
+        lambda b: _tile_batch(temporal_bucket(_add_lonlat(b, "o_custkey"), "o_orderdate", "month")),
+        batch_format="pyarrow",
+    )
+    ds = ds.map_batches(lambda b: b.filter(pc.is_valid(b["tile_id"])), batch_format="pyarrow")
+    ref = ray.put(make_admin())
+    ds = ds.map_batches(
+        PipJoin, fn_constructor_kwargs=dict(polygons_ref=ref),
+        batch_format="pyarrow", concurrency=(1, 2),
+    )
+
+    def _fill(b: pa.Table) -> pa.Table:
+        filled = pc.fill_null(b["admin_id"], "__none__")
+        return b.set_column(b.schema.get_field_index("admin_id"), "admin_id", filled)
+
+    ds = ds.map_batches(_fill, batch_format="pyarrow")
+    return grouped_agg(ds, ["tile_id", "admin_id"], [("count", None, "n_orders")])
+
+
+def _sql_spatial_flagship() -> str:
+    def cr(x1, y1, x2, y2):
+        return f"(({x2} - {x1}) * (lat - {y1}) - ({y2} - {y1}) * (lon - {x1})) > 0"
+
+    inside = " AND ".join(
+        cr(f"a.x{i}", f"a.y{i}", f"a.x{i % 4 + 1}", f"a.y{i % 4 + 1}") for i in range(1, 5)
+    )
+    return f"""
+WITH admin(admin_id, x1, y1, x2, y2, x3, y3, x4, y4) AS (VALUES
+  {_admin_values_sql()}
+), pts AS (
+  SELECT o_orderkey, o_orderdate, {_sql_lon('o_custkey')} AS lon, {_sql_lat('o_custkey')} AS lat
+  FROM orders
+), tiled AS (
+  SELECT lon, lat, {_SQL_TILE_EXPR} AS tile_id
+  FROM pts WHERE lat >= -80.0 AND lat < 80.0
+)
+SELECT t.tile_id, coalesce(a.admin_id, '__none__') AS admin_id, count(*) AS n_orders
+FROM tiled t LEFT JOIN admin a ON {inside}
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: knn_parts — kNN actor-pool lookup (SURVEY J7), oracle = SQL cross join
+
+
+def q_knn_parts(sf_dir: str):
+    from edkray.ops.joins import KnnJoin
+
+    part = pq.read_table(_p(sf_dir, "part"), columns=["p_partkey"])
+    keys = np.sort(part["p_partkey"].to_numpy())
+    rlon, rlat = derive_lonlat(keys + 100000)
+    refs = pa.table({"ref_id": pa.array(keys), "lon": pa.array(rlon), "lat": pa.array(rlat)})
+
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+    ds = ds.map_batches(lambda b: _add_lonlat(b, "c_custkey"), batch_format="pyarrow")
+    ref = ray.put(refs)
+    ds = ds.map_batches(
+        KnnJoin, fn_constructor_kwargs=dict(refs_ref=ref, k=3),
+        batch_format="pyarrow", concurrency=(1, 2),
+    )
+
+    def _explode(b: pa.Table) -> pa.Table:
+        ck = b["c_custkey"].to_numpy(zero_copy_only=False)
+        nb = b["neighbor_ids"].to_pylist()
+        k = len(nb[0]) if nb else 0
+        return pa.table(
+            {
+                "c_custkey": pa.array(np.repeat(ck, k)),
+                "rank": pa.array(np.tile(np.arange(k, dtype=np.int64), len(ck))),
+                "p_partkey": pa.array(np.concatenate(nb).astype(np.int64) if nb else np.array([], dtype=np.int64)),
+            }
+        )
+
+    return ds.map_batches(_explode, batch_format="pyarrow")
+
+
+_SQL_KNN = f"""
+WITH c AS (
+  SELECT c_custkey, {_sql_lon('c_custkey')} AS lon, {_sql_lat('c_custkey')} AS lat FROM customer
+), p AS (
+  SELECT p_partkey, {_sql_lon('p_partkey', 100000)} AS lon, {_sql_lat('p_partkey', 100000)} AS lat FROM part
+), d AS (
+  SELECT c.c_custkey, p.p_partkey,
+         2 * 6371.0088 * asin(sqrt(
+           pow(sin(radians(p.lat - c.lat) / 2), 2)
+           + cos(radians(c.lat)) * cos(radians(p.lat)) * pow(sin(radians(p.lon - c.lon) / 2), 2)
+         )) AS dist
+  FROM c CROSS JOIN p
+)
+SELECT c_custkey, rank, p_partkey FROM (
+  SELECT c_custkey, p_partkey,
+         row_number() OVER (PARTITION BY c_custkey ORDER BY dist, p_partkey) - 1 AS rank
+  FROM d
+) WHERE rank < 3
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: token_stats — token counting over documents (text analysis)
+
+
+def q_token_stats(sf_dir: str):
+    from edkray.ops.aggregate import grouped_agg
+    from edkray.ops.text import token_count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    ds = ds.map_batches(lambda b: token_count(b), batch_format="pyarrow")
+    return grouped_agg(ds, ["lang"], [("count", None, "n_docs"), ("sum", "n_tokens", "sum_tokens")])
+
+
+_SQL_TOKENS = r"""
+WITH t AS (
+  SELECT lang, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       sum(CASE WHEN tt = '' THEN 0 ELSE len(regexp_split_to_array(tt, '\s+')) END) AS sum_tokens
+FROM t GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: quality_by_source — quality scoring (char/digit stats)
+
+
+def q_quality_by_source(sf_dir: str):
+    from edkray.ops.aggregate import grouped_agg
+    from edkray.ops.text import quality_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    ds = ds.map_batches(lambda b: quality_stats(b), batch_format="pyarrow")
+    return grouped_agg(
+        ds,
+        ["source"],
+        [("count", None, "n_docs"), ("sum", "n_chars", "sum_chars"), ("sum", "n_digit", "sum_digits")],
+    )
+
+
+_SQL_QUALITY = """
+SELECT source, count(*) AS n_docs, sum(length(text)) AS sum_chars,
+       sum(length(regexp_replace(text, '[^0-9]', '', 'g'))) AS sum_digits
+FROM documents GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: langid — heuristic language ID (stopword hit-rate, actor-pool stage)
+
+_STOP_SQL = {
+    "de": ["der", "die", "das", "und", "ist", "ich", "nicht", "ein", "mit", "sie", "zu"],
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that", "was", "for"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una", "yo", "no", "que", "por"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "je", "de", "pas", "que", "vous"],
+}
+
+
+def q_langid(sf_dir: str):
+    from edkray.ops.aggregate import grouped_agg
+    from edkray.ops.text import LangId
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    ds = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 2))
+    return grouped_agg(ds, ["lang", "lang_pred"], [("count", None, "n_docs")])
+
+
+def _sql_langid() -> str:
+    rates = []
+    for code, words in _STOP_SQL.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        rates.append(
+            f"CASE WHEN nw = 0 THEN 0.0 ELSE len(list_filter(words, x -> list_contains([{lst}], x))) / CAST(nw AS DOUBLE) END AS r_{code}"
+        )
+    rate_sql = ",\n         ".join(rates)
+    return f"""
+WITH w AS (
+  SELECT lang, regexp_extract_all(lower(text), '[a-z0-9_]+') AS words,
+         length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS ncjk,
+         length(text) AS nch
+  FROM documents
+), r AS (
+  SELECT lang, len(words) AS nw, ncjk, nch,
+         {rate_sql}
+  FROM w
+)
+SELECT lang,
+       CASE WHEN ncjk > 0.3 * greatest(nch, 1) THEN 'zh'
+            WHEN nw = 0 THEN 'und'
+            WHEN greatest(r_de, r_en, r_es, r_fr) <= 0 THEN 'und'
+            WHEN r_de >= r_en AND r_de >= r_es AND r_de >= r_fr THEN 'de'
+            WHEN r_en >= r_es AND r_en >= r_fr THEN 'en'
+            WHEN r_es >= r_fr THEN 'es'
+            ELSE 'fr' END AS lang_pred,
+       count(*) AS n_docs
+FROM r GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: ngram_jaccard_pairs — exact char-8-gram Jaccard over all doc pairs
+# (the dedup-verification oracle path; broadcast gram sets, id_a < id_b)
+
+
+def q_ngram_jaccard_pairs(sf_dir: str, k: int = 8, threshold: float = 0.1):
+    from edkray.ops.text import kgram_hashes
+
+    docs = pq.read_table(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ids = docs["doc_id"].to_numpy()
+    grams = [
+        np.unique(kgram_hashes((t or "").encode("utf-8", "ignore"), k))
+        for t in docs["text"].to_pylist()
+    ]
+    state = ray.put((ids, grams))
+
+    class _PairGen:
+        def __init__(self):
+            self.ids, self.grams = ray.get(state)
+            self.sizes = np.array([len(g) for g in self.grams])
+            self.by_id = {int(i): j for j, i in enumerate(self.ids)}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out_a, out_b, out_j = [], [], []
+            for did in batch["doc_id"].to_pylist():
+                ai = self.by_id[int(did)]
+                ga = self.grams[ai]
+                for bi in range(len(self.ids)):
+                    if self.ids[bi] <= did:
+                        continue
+                    inter = np.intersect1d(ga, self.grams[bi], assume_unique=True).size
+                    if inter == 0:
+                        continue
+                    jac = inter / (len(ga) + self.sizes[bi] - inter)
+                    if jac >= threshold:
+                        out_a.append(did)
+                        out_b.append(int(self.ids[bi]))
+                        out_j.append(jac)
+            return pa.table(
+                {
+                    "id_a": pa.array(out_a, type=pa.int64()),
+                    "id_b": pa.array(out_b, type=pa.int64()),
+                    "jaccard": pa.array(out_j, type=pa.float64()),
+                }
+            )
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return ds.map_batches(_PairGen, batch_format="pyarrow", concurrency=(1, 2), batch_size=256)
+
+
+_SQL_JACCARD = """
+WITH g AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 8) AS gram
+  FROM (SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i
+        FROM documents)
+), n AS (
+  SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jaccard
+FROM inter JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.1
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: embedding_topk — brute-force cosine top-k similarity search
+
+
+def q_embedding_topk(sf_dir: str, k: int = 5):
+    from edkray.ops.search import cosine_topk
+
+    emb = pq.read_table(_p(sf_dir, "embeddings"))
+    qdf = emb.to_pandas().sort_values("vec_id")
+    qdf = qdf[qdf["vec_id"] < 5]
+    queries = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = cosine_topk(ds, queries, k=k)
+
+    def _clean(b: pa.Table) -> pa.Table:
+        return b.select(["query_id", "vec_id", "rank"])
+
+    return out.map_batches(_clean, batch_format="pyarrow")
+
+
+_SQL_EMB_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5
+), s AS (
+  SELECT q.query_id, e.vec_id,
+         list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
+         AS cosine
+  FROM q CROSS JOIN embeddings e
+)
+SELECT query_id, vec_id, rank FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) - 1 AS rank
+  FROM s
+) WHERE rank < 5
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: cosine_dup_pairs — exact embedding near-dup pairs (cos ≥ 0.8)
+
+
+def q_cosine_dup_pairs(sf_dir: str, threshold: float = 0.4):
+    emb = pq.read_table(_p(sf_dir, "embeddings"))
+    ids_all = emb["vec_id"].to_numpy()
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    norm = np.linalg.norm(mat, axis=1)
+    norm[norm == 0] = 1.0
+    unit = mat / norm[:, None]
+    state = ray.put((ids_all, unit))
+
+    class _Dup:
+        def __init__(self):
+            self.ids, self.unit = ray.get(state)
+            self.pos = {int(i): j for j, i in enumerate(self.ids)}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            rows = np.array([self.pos[int(v)] for v in vids])
+            cos = self.unit[rows] @ self.unit.T  # (b, n)
+            out_a, out_b = [], []
+            for r, vid in zip(cos, vids):
+                hits = np.nonzero((r >= threshold) & (self.ids > vid))[0]
+                out_a.extend([int(vid)] * len(hits))
+                out_b.extend(self.ids[hits].tolist())
+            return pa.table(
+                {"id_a": pa.array(out_a, type=pa.int64()), "id_b": pa.array(out_b, type=pa.int64())}
+            )
+
+    ds = _read(sf_dir, "embeddings", ["vec_id"])
+    return ds.map_batches(_Dup, batch_format="pyarrow", concurrency=(1, 2), batch_size=512)
+
+
+_SQL_COS_DUP = """
+WITH u AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM u a JOIN u b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      / (a.nrm * b.nrm) >= 0.4
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: bbox_customers — bbox filter + broadcast nation join (M6/J2)
+
+_EUROPE = (-10.0, 35.0, 30.0, 60.0)
+
+
+def q_bbox_customers(sf_dir: str):
+    from edkray.ops.aggregate import grouped_agg
+    from edkray.ops.joins import broadcast_join
+    from edkray.ops.stages import bbox_filter
+
+    nation = pq.read_table(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    ds = ds.map_batches(
+        lambda b: bbox_filter(_add_lonlat(b, "c_custkey"), _EUROPE), batch_format="pyarrow"
+    )
+    ds = broadcast_join(ds, nation, on=["c_nationkey"], right_on=["n_nationkey"])
+    return grouped_agg(ds, ["n_name"], [("count", None, "n_customers")])
+
+
+_SQL_BBOX = f"""
+WITH pts AS (
+  SELECT c_nationkey, {_sql_lon('c_custkey')} AS lon, {_sql_lat('c_custkey')} AS lat FROM customer
+)
+SELECT n_name, count(*) AS n_customers
+FROM pts JOIN nation ON c_nationkey = n_nationkey
+WHERE lon >= {_EUROPE[0]} AND lon <= {_EUROPE[2]} AND lat >= {_EUROPE[1]} AND lat <= {_EUROPE[3]}
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: catalog — parquet-footer discovery (SURVEY S5/S9)
+
+_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def q_catalog(sf_dir: str):
+    from edkray.sources.catalog import discover
+
+    cat = discover([_p(sf_dir, t) for t in _TABLES])
+
+    def _name(b: pa.Table) -> pa.Table:
+        names = [os.path.basename(p).removesuffix(".parquet") for p in b["path"].to_pylist()]
+        return pa.table({"table_name": pa.array(names), "n_rows": b["n_rows"]})
+
+    return cat.map_batches(_name, batch_format="pyarrow")
+
+
+_SQL_CATALOG = "\nUNION ALL\n".join(
+    f"SELECT '{t}' AS table_name, count(*) AS n_rows FROM {t}" for t in _TABLES
+)
+
+
+# --------------------------------------------------------------------------
+# rows-only queries (no SQL equivalent — approximate / hash-based ops)
+
+
+def q_minhash_pairs(sf_dir: str):
+    from edkray.ops.dedup import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_pairs(ds, threshold=0.5, concurrency=(1, 2))
+
+
+def q_simhash_pairs(sf_dir: str):
+    from edkray.ops.dedup import simhash_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=3)
+
+
+def q_lsh_embedding_pairs(sf_dir: str):
+    from edkray.ops.dedup import embedding_dup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_dup_pairs(ds, threshold=0.4)
+
+
+def q_fingerprints(sf_dir: str):
+    from edkray.ops.text import fingerprint
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(lambda b: fingerprint(b).drop_columns(["text"]), batch_format="pyarrow")
+
+
+def q_hex_s2_cells(sf_dir: str):
+    from edkray.ops.aggregate import grouped_agg
+    from edkray.ops.stages import add_cells
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    ds = ds.map_batches(
+        lambda b: add_cells(_add_lonlat(b, "doc_id"), quad_res=(), hex_res=(8,), s2_level=10,
+                            s2_as_token=True),
+        batch_format="pyarrow",
+    )
+    return grouped_agg(ds, ["hex_8", "s2_token"], [("count", None, "n_docs")])
+
+
+def q_ivf_topk(sf_dir: str):
+    from edkray.ops.search import IvfIndex, ivf_topk
+
+    emb = pq.read_table(_p(sf_dir, "embeddings"))
+    mat = np.stack(emb.to_pandas().sort_values("vec_id")["embedding"].to_numpy()).astype(np.float64)
+    index = IvfIndex(nlist=8).fit(mat[: min(len(mat), 2000)])
+    queries = mat[:5]
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ivf_topk(ds, index, queries, k=5, nprobe=3)
+    return out.map_batches(lambda b: b.select(["query_id", "vec_id", "rank"]), batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# registry
+
+
+def queries() -> dict:
+    return {
+        "pricing_summary": q_pricing_summary,
+        "region_rollup": q_region_rollup,
+        "top_revenue_orders": q_top_revenue_orders,
+        "daily_events": q_daily_events,
+        "sessionize_events": q_sessionize,
+        "sliding_windows": q_sliding_windows,
+        "dedup_lineitem_first": q_dedup_lineitem_first,
+        "distinct_flags": q_distinct_flags,
+        "asof_orders": q_asof_orders,
+        "cells_histogram": q_cells_histogram,
+        "tile_counts": q_tile_counts,
+        "tile_rank": q_tile_rank,
+        "pip_admin": q_pip_admin,
+        "spatial_flagship": q_spatial_flagship,
+        "knn_parts": q_knn_parts,
+        "token_stats": q_token_stats,
+        "quality_by_source": q_quality_by_source,
+        "langid": q_langid,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "embedding_topk": q_embedding_topk,
+        "cosine_dup_pairs": q_cosine_dup_pairs,
+        "bbox_customers": q_bbox_customers,
+        "catalog": q_catalog,
+        # rows-only (approximate / hash-based; no SQL oracle)
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "lsh_embedding_pairs": q_lsh_embedding_pairs,
+        "fingerprints": q_fingerprints,
+        "hex_s2_cells": q_hex_s2_cells,
+        "ivf_topk": q_ivf_topk,
+    }
+
+
+def oracle_sql() -> dict:
+    return {
+        "pricing_summary": _SQL_PRICING,
+        "region_rollup": _SQL_REGION,
+        "top_revenue_orders": _SQL_TOP_REVENUE,
+        "daily_events": _SQL_DAILY,
+        "sessionize_events": _SQL_SESSION,
+        "sliding_windows": _SQL_SLIDING,
+        "dedup_lineitem_first": _SQL_DEDUP_LI,
+        "distinct_flags": _SQL_DISTINCT,
+        "asof_orders": _SQL_ASOF,
+        "cells_histogram": _SQL_CELLS,
+        "tile_counts": _SQL_TILES,
+        "tile_rank": _SQL_TILE_RANK,
+        "pip_admin": _sql_pip(),
+        "spatial_flagship": _sql_spatial_flagship(),
+        "knn_parts": _SQL_KNN,
+        "token_stats": _SQL_TOKENS,
+        "quality_by_source": _SQL_QUALITY,
+        "langid": _sql_langid(),
+        "ngram_jaccard_pairs": _SQL_JACCARD,
+        "embedding_topk": _SQL_EMB_TOPK,
+        "cosine_dup_pairs": _SQL_COS_DUP,
+        "bbox_customers": _SQL_BBOX,
+        "catalog": _SQL_CATALOG,
+    }
