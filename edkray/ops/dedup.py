@@ -124,7 +124,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     k: int = 8,
     threshold: float = 0.7,
-    concurrency: int | tuple[int, int] = 4,
+    concurrency: int | tuple[int, int] = (1, 4),
     batch_size: int = 8192,
 ) -> ray.data.Dataset:
     """Near-duplicate candidate pairs with estimated Jaccard ≥ threshold.
@@ -326,7 +326,7 @@ def embedding_dup_pairs(
             )
 
     rows = ds.map_batches(
-        _HyperplaneBucketer, batch_format="pyarrow", batch_size=batch_size, concurrency=2
+        _HyperplaneBucketer, batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 2)
     )
 
     _empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(

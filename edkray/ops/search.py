@@ -58,7 +58,7 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    concurrency: int | tuple[int, int] = 4,
+    concurrency: int | tuple[int, int] = (1, 4),
     batch_size: int = 16384,
 ) -> ray.data.Dataset:
     """Exact cosine top-k rows per query. Output: one row per
@@ -171,7 +171,7 @@ def ivf_topk(
             )
 
     partials = ds.map_batches(
-        _IvfScore, batch_format="pyarrow", batch_size=batch_size, concurrency=2
+        _IvfScore, batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 2)
     )
 
     def _merge(group: pd.DataFrame) -> pd.DataFrame:

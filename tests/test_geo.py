@@ -1,0 +1,134 @@
+"""Pure-numpy geospatial kernel invariants (no Ray needed)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from edkray.geo.cells import quadcell, quadcell_bounds, quadcell_decode, quadcell_parent
+from edkray.geo.distance import haversine_km, knn_haversine
+from edkray.geo.hexgrid import hexcell, hexcell_center, hexcell_parent
+from edkray.geo.pip import PolygonIndex, points_in_polygon, ring_to_wkb, wkb_to_ring
+from edkray.geo.s2 import s2_cellid, s2_level, s2_parent, s2_token
+
+RNG = np.random.default_rng(7)
+LON = RNG.uniform(-180, 180, 2000)
+LAT = RNG.uniform(-85, 85, 2000)
+
+
+class TestQuadcell:
+    def test_decode_roundtrip(self):
+        for res in (0, 3, 7, 9, 15):
+            c = quadcell(LON, LAT, res)
+            r, ix, iy = quadcell_decode(c)
+            assert (r == res).all()
+            n = 1 << res
+            assert (ix >= 0).all() and (ix < n).all()
+            assert (iy >= 0).all() and (iy < n).all()
+
+    def test_point_in_own_cell_bounds(self):
+        c = quadcell(LON, LAT, 9)
+        for i in range(0, 2000, 211):
+            xmin, ymin, xmax, ymax = quadcell_bounds(int(c[i]))
+            assert xmin <= LON[i] < xmax or LON[i] == 180.0
+            assert ymin <= LAT[i] < ymax or LAT[i] == 90.0
+
+    def test_parent_contains_child(self):
+        child = quadcell(LON, LAT, 9)
+        parent = quadcell_parent(child, 7)
+        direct = quadcell(LON, LAT, 7)
+        assert (parent == direct).all()
+
+    def test_edge_clamp(self):
+        c = quadcell(np.array([180.0]), np.array([90.0]), 5)
+        r, ix, iy = quadcell_decode(c)
+        assert ix[0] == 31 and iy[0] == 31
+
+    def test_distinct_across_res(self):
+        a = quadcell(LON, LAT, 7)
+        b = quadcell(LON, LAT, 8)
+        assert len(np.intersect1d(a, b)) == 0
+
+
+class TestHexgrid:
+    def test_center_roundtrip(self):
+        for res in (5, 7, 9):
+            c = hexcell(LON, LAT, res)
+            clon, clat = hexcell_center(c)
+            assert (hexcell(clon, clat, res) == c).all()
+
+    def test_parent_rule(self):
+        child = hexcell(LON, LAT, 8)
+        parent = hexcell_parent(child, 7)
+        clon, clat = hexcell_center(child)
+        assert (hexcell(clon, clat, 7) == parent).all()
+
+    def test_nearby_points_share_cell(self):
+        base = hexcell(np.array([10.0]), np.array([20.0]), 7)
+        nudge = hexcell(np.array([10.0001]), np.array([20.0001]), 7)
+        assert base[0] == nudge[0]
+
+
+class TestS2:
+    def test_parent_consistency(self):
+        leaf = s2_cellid(LON, LAT, 30)
+        for lvl in (0, 5, 10, 20):
+            assert (s2_parent(leaf, lvl) == s2_cellid(LON, LAT, lvl)).all()
+
+    def test_level(self):
+        for lvl in (0, 7, 15, 30):
+            ids = s2_cellid(LON[:100], LAT[:100], lvl)
+            assert (s2_level(ids) == lvl).all()
+
+    def test_token_format(self):
+        toks = s2_token(s2_cellid(LON[:50], LAT[:50], 10))
+        for t in toks:
+            assert 1 <= len(t) <= 16 and not t.endswith("0")
+
+    def test_known_cells_distinct_faces(self):
+        # antipodal points must land on different faces / ids
+        a = s2_cellid(np.array([0.0]), np.array([0.0]), 10)
+        b = s2_cellid(np.array([180.0]), np.array([0.0]), 10)
+        assert a[0] != b[0]
+
+
+class TestPip:
+    SQUARE = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]])
+
+    def test_square_inside_outside(self):
+        px = np.array([5.0, 15.0, -1.0, 5.0])
+        py = np.array([5.0, 5.0, 5.0, 15.0])
+        got = points_in_polygon(px, py, self.SQUARE)
+        assert got.tolist() == [True, False, False, False]
+
+    def test_concave_polygon(self):
+        # U-shape: point in the notch is outside
+        ring = np.array([[0, 0], [10, 0], [10, 10], [6, 10], [6, 4], [4, 4], [4, 10], [0, 10]], float)
+        inside = points_in_polygon(np.array([5.0, 2.0]), np.array([7.0, 2.0]), ring)
+        assert inside.tolist() == [False, True]
+
+    def test_index_last_wins_overlap(self):
+        rings = [self.SQUARE, self.SQUARE + 5.0]
+        idx = PolygonIndex(["AA", "BB"], rings)
+        out = idx.query(np.array([7.0, 2.0, 12.0, 30.0]), np.array([7.0, 2.0, 12.0, 30.0]))
+        assert out.tolist() == ["BB", "AA", "BB", None]
+
+    def test_wkb_roundtrip(self):
+        ring = wkb_to_ring(ring_to_wkb(self.SQUARE))
+        assert np.allclose(ring[:4], self.SQUARE)
+
+
+class TestDistance:
+    def test_haversine_known(self):
+        # London → Paris ≈ 343 km
+        d = haversine_km(-0.1278, 51.5074, 2.3522, 48.8566)
+        assert 330 < float(d) < 355
+
+    def test_knn_matches_bruteforce(self):
+        qlon, qlat = LON[:50], LAT[:50]
+        rlon, rlat = LON[50:550], LAT[50:550]
+        idx, dist = knn_haversine(qlon, qlat, rlon, rlat, k=5)
+        for i in range(50):
+            d = haversine_km(qlon[i], qlat[i], rlon, rlat)
+            order = np.lexsort((np.arange(len(d)), d))[:5]
+            assert idx[i].tolist() == order.tolist()
+            assert np.allclose(np.sort(dist[i]), dist[i])

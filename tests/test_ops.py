@@ -1,0 +1,365 @@
+"""Ray Data operator tests against slow pandas/numpy oracles."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _df_eq(a: pd.DataFrame, b: pd.DataFrame, float_cols=()):
+    a = a[sorted(a.columns)].sort_values(sorted(a.columns), kind="stable").reset_index(drop=True)
+    b = b[sorted(b.columns)].sort_values(sorted(b.columns), kind="stable").reset_index(drop=True)
+    assert len(a) == len(b), f"rows {len(a)} != {len(b)}"
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        both_na = pd.isna(av) & pd.isna(bv)
+        if c in float_cols:
+            assert (np.isclose(a[c].astype(float), b[c].astype(float), atol=1e-9) | both_na).all(), c
+        else:
+            assert ((av == bv) | both_na).all(), c
+
+
+@pytest.fixture(scope="module")
+def rand_table(ray_session):
+    rng = np.random.default_rng(3)
+    n = 20_000
+    return pa.table(
+        {
+            "k": pa.array(rng.integers(0, 500, n)),
+            "g": pa.array(rng.choice(["a", "b", "c"], n)),
+            "x": pa.array(rng.normal(size=n)),
+            "o": pa.array(rng.integers(0, 1 << 40, n)),
+        }
+    )
+
+
+class TestAggregate:
+    def test_grouped_agg_matches_pandas(self, ray_session, rand_table):
+        import ray.data
+
+        from edkray.ops.aggregate import grouped_agg
+
+        ds = ray.data.from_arrow(rand_table).repartition(8)
+        got = grouped_agg(
+            ds,
+            ["k", "g"],
+            [("sum", "x", "sum_x"), ("count", None, "n"), ("min", "x", "min_x"),
+             ("max", "x", "max_x"), ("mean", "x", "mean_x")],
+        ).to_pandas()
+        exp = (
+            rand_table.to_pandas()
+            .groupby(["k", "g"], as_index=False)
+            .agg(sum_x=("x", "sum"), n=("x", "size"), min_x=("x", "min"),
+                 max_x=("x", "max"), mean_x=("x", "mean"))
+        )
+        _df_eq(got, exp, float_cols={"sum_x", "min_x", "max_x", "mean_x"})
+
+    def test_distinct(self, ray_session, rand_table):
+        import ray.data
+
+        from edkray.ops.aggregate import distinct
+
+        got = distinct(ray.data.from_arrow(rand_table), ["g"]).to_pandas()
+        assert sorted(got["g"]) == ["a", "b", "c"]
+
+
+class TestDedup:
+    def test_exact_dedup_matches_pandas(self, ray_session, rand_table):
+        import ray.data
+
+        from edkray.ops.dedup import exact_dedup
+
+        ds = ray.data.from_arrow(rand_table).repartition(8)
+        got = exact_dedup(ds, ["k"], ["o", "x", "g"]).to_pandas()
+        exp = (
+            rand_table.to_pandas()
+            .sort_values(["k", "o", "x", "g"], kind="stable")
+            .drop_duplicates(subset=["k"], keep="first")
+        )
+        _df_eq(got, exp, float_cols={"x"})
+
+    def test_minhash_finds_planted_near_dups(self, ray_session):
+        import ray.data
+
+        from edkray.ops.dedup import minhash_lsh_pairs
+
+        base = "the quick brown fox jumps over the lazy dog " * 20
+        docs = [base, base.replace("lazy", "sleepy", 1), "completely different words " * 30]
+        tbl = pa.table({"doc_id": pa.array([1, 2, 3]), "text": pa.array(docs)})
+        pairs = minhash_lsh_pairs(ray.data.from_arrow(tbl), threshold=0.5).to_pandas()
+        assert {(1, 2)} <= set(zip(pairs.id_a, pairs.id_b))
+        assert (3 not in set(pairs.id_a)) and (3 not in set(pairs.id_b))
+
+    def test_simhash_identical_docs(self, ray_session):
+        import ray.data
+
+        from edkray.ops.dedup import simhash_pairs
+
+        t = "repeated content for hashing " * 10
+        tbl = pa.table({"doc_id": pa.array([1, 2, 3]),
+                        "text": pa.array([t, t, "unrelated other text entirely " * 9])})
+        pairs = simhash_pairs(ray.data.from_arrow(tbl)).to_pandas()
+        match = pairs[(pairs.id_a == 1) & (pairs.id_b == 2)]
+        assert len(match) == 1 and match.hamming.iloc[0] == 0
+
+    def test_jaccard_exact(self):
+        from edkray.ops.dedup import jaccard
+
+        assert jaccard("abcdefghij", "abcdefghij", k=4) == 1.0
+        assert jaccard("abcdefghij", "zzzzzzzzzz", k=4) == 0.0
+
+    def test_embedding_dup_pairs(self, ray_session):
+        import ray.data
+
+        from edkray.ops.dedup import embedding_dup_pairs
+
+        rng = np.random.default_rng(5)
+        v = rng.normal(size=(10, 16))
+        v[7] = v[2] + 1e-6  # planted near-dup
+        tbl = pa.table({"vec_id": pa.array(np.arange(10)),
+                        "embedding": pa.array(list(v), type=pa.list_(pa.float64()))})
+        pairs = embedding_dup_pairs(ray.data.from_arrow(tbl), threshold=0.999).to_pandas()
+        assert {(2, 7)} == set(zip(pairs.id_a, pairs.id_b))
+
+
+class TestWindows:
+    @pytest.fixture(scope="class")
+    def events(self):
+        rng = np.random.default_rng(11)
+        n = 5000
+        t0 = dt.datetime(2024, 1, 1)
+        ts = [t0 + dt.timedelta(seconds=int(s)) for s in np.sort(rng.integers(0, 86400 * 3, n))]
+        return pa.table(
+            {
+                "ts": pa.array(ts, type=pa.timestamp("us")),
+                "user": pa.array(rng.integers(0, 20, n)),
+                "val": pa.array(rng.uniform(0, 10, n)),
+            }
+        )
+
+    def test_tumbling(self, ray_session, events):
+        import ray.data
+
+        from edkray.ops.window import tumbling
+
+        got = tumbling(ray.data.from_arrow(events), "ts", "hour", ["user"],
+                       [("count", None, "n"), ("sum", "val", "sv")]).to_pandas()
+        df = events.to_pandas()
+        df["window_start"] = df.ts.dt.floor("h")
+        exp = df.groupby(["user", "window_start"], as_index=False).agg(n=("val", "size"), sv=("val", "sum"))
+        _df_eq(got, exp, float_cols={"sv"})
+
+    def test_sliding(self, ray_session, events):
+        import ray.data
+
+        from edkray.ops.window import sliding
+
+        got = sliding(ray.data.from_arrow(events), "ts", 7_200_000_000, 3_600_000_000,
+                      ["user"], [("count", None, "n")]).to_pandas()
+        df = events.to_pandas()
+        rows = []
+        for w in (0, 1):
+            d = df.copy()
+            d["window_start"] = d.ts.dt.floor("h") - pd.Timedelta(hours=w)
+            rows.append(d)
+        exp = (
+            pd.concat(rows)
+            .groupby(["user", "window_start"], as_index=False)
+            .agg(n=("val", "size"))
+        )
+        _df_eq(got, exp)
+
+    def test_sessionize(self, ray_session, events):
+        import ray.data
+
+        from edkray.ops.window import sessionize
+
+        gap = 900_000_000  # 15 min
+        got = sessionize(ray.data.from_arrow(events), "ts", "user", gap, agg_col="val").to_pandas()
+        df = events.to_pandas().sort_values(["user", "ts"], kind="stable")
+        df["new"] = (df.groupby("user")["ts"].diff().dt.total_seconds() * 1e6 > gap).fillna(True)
+        df["sid"] = df.groupby("user")["new"].cumsum()
+        exp = df.groupby(["user", "sid"], as_index=False).agg(
+            session_start=("ts", "min"), session_end=("ts", "max"),
+            n_events=("ts", "size"), sum_val=("val", "sum"),
+        ).drop(columns="sid")
+        _df_eq(got, exp, float_cols={"sum_val"})
+
+
+class TestJoins:
+    def test_broadcast_join(self, ray_session, rand_table):
+        import ray.data
+
+        from edkray.ops.joins import broadcast_join
+
+        small = pa.table({"g": pa.array(["a", "b", "c"]), "w": pa.array([1.0, 2.0, 3.0])})
+        got = broadcast_join(ray.data.from_arrow(rand_table), small, on=["g"]).to_pandas()
+        exp = rand_table.to_pandas().merge(small.to_pandas(), on="g")
+        _df_eq(got, exp, float_cols={"x", "w"})
+
+    def test_asof_join(self, ray_session):
+        import ray.data
+
+        from edkray.ops.joins import asof_join
+
+        t0 = dt.datetime(2024, 1, 1)
+        left = pa.table(
+            {
+                "id": pa.array(np.arange(100)),
+                "key": pa.array(np.arange(100) % 3),
+                "ts": pa.array([t0 + dt.timedelta(minutes=int(7 * i)) for i in range(100)],
+                               type=pa.timestamp("us")),
+            }
+        )
+        right = pa.table(
+            {
+                "key": pa.array([0, 0, 1, 2]),
+                "rts": pa.array([t0, t0 + dt.timedelta(hours=3), t0 + dt.timedelta(hours=1), t0 + dt.timedelta(hours=9)],
+                                type=pa.timestamp("us")),
+                "payload": pa.array([10, 20, 30, 40]),
+            }
+        )
+        got = asof_join(ray.data.from_arrow(left), right, on=["key"], left_ts="ts", right_ts="rts").to_pandas()
+        exp = pd.merge_asof(
+            left.to_pandas().sort_values("ts"), right.to_pandas().sort_values("rts"),
+            left_on="ts", right_on="rts", left_by="key", right_by="key", direction="backward",
+        )
+        _df_eq(got, exp)
+
+    def test_hash_join(self, ray_session, rand_table):
+        import ray.data
+
+        from edkray.ops.joins import hash_join
+
+        left = ray.data.from_arrow(rand_table.select(["k", "x"]))
+        rt = pa.table({"k": pa.array(np.arange(500)), "lbl": pa.array([f"n{i}" for i in range(500)])})
+        right = ray.data.from_arrow(rt)
+        got = hash_join(left, right, on=["k"], num_partitions=4).to_pandas()
+        exp = rand_table.to_pandas()[["k", "x"]].merge(rt.to_pandas(), on="k")
+        _df_eq(got, exp, float_cols={"x"})
+
+    def test_pip_join_matches_index(self, ray_session):
+        import ray
+        import ray.data
+
+        from edkray.fixtures import make_admin
+        from edkray.geo.pip import PolygonIndex, wkb_to_ring
+        from edkray.ops.joins import pip_join
+
+        rng = np.random.default_rng(9)
+        lon, lat = rng.uniform(-180, 180, 3000), rng.uniform(-85, 85, 3000)
+        tbl = pa.table({"i": pa.array(np.arange(3000)), "lon": pa.array(lon), "lat": pa.array(lat)})
+        admin = make_admin()
+        got = pip_join(ray.data.from_arrow(tbl), admin).to_pandas().sort_values("i")
+        idx = PolygonIndex(admin["admin_id"].to_pylist(),
+                           [wkb_to_ring(w) for w in admin["wkb_geometry"].to_pylist()])
+        exp = idx.query(lon, lat)
+        assert (got["admin_id"].to_numpy() == exp).sum() == 3000 - sum(x is None for x in exp) or \
+            all((a == b) or (pd.isna(a) and b is None) for a, b in zip(got["admin_id"], exp))
+
+    def test_knn_join(self, ray_session):
+        import ray.data
+
+        from edkray.geo.distance import knn_haversine
+        from edkray.ops.joins import knn_join
+
+        rng = np.random.default_rng(13)
+        refs = pa.table(
+            {"ref_id": pa.array([f"r{i:03d}" for i in range(200)]),
+             "lon": pa.array(rng.uniform(-180, 180, 200)), "lat": pa.array(rng.uniform(-85, 85, 200))}
+        )
+        qlon, qlat = rng.uniform(-180, 180, 500), rng.uniform(-85, 85, 500)
+        tbl = pa.table({"i": pa.array(np.arange(500)), "lon": pa.array(qlon), "lat": pa.array(qlat)})
+        got = knn_join(ray.data.from_arrow(tbl), refs, k=3).to_pandas().sort_values("i")
+        idx, _ = knn_haversine(qlon, qlat, refs["lon"].to_numpy(), refs["lat"].to_numpy(), 3)
+        exp = [[f"r{j:03d}" for j in row] for row in idx]
+        assert [list(x) for x in got["neighbor_ids"]] == exp
+
+
+class TestSearch:
+    def test_cosine_topk_matches_bruteforce(self, ray_session):
+        import ray.data
+
+        from edkray.ops.search import cosine_topk
+
+        rng = np.random.default_rng(17)
+        emb = rng.normal(size=(1000, 32))
+        queries = emb[:4] + rng.normal(scale=0.01, size=(4, 32))
+        tbl = pa.table({"vec_id": pa.array(np.arange(1000)),
+                        "embedding": pa.array(list(emb), type=pa.list_(pa.float64()))})
+        got = cosine_topk(ray.data.from_arrow(tbl), queries, k=5).to_pandas()
+        unit = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        qu = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+        cos = qu @ unit.T
+        for qi in range(4):
+            order = np.lexsort((np.arange(1000), -cos[qi]))[:5]
+            sub = got[got.query_id == qi].sort_values("rank")
+            assert sub.vec_id.tolist() == order.tolist()
+
+
+class TestText:
+    def test_token_count(self, ray_session):
+        from edkray.ops.text import token_count
+
+        tbl = pa.table({"text": pa.array(["a b  c", "", "  ", "single", "x y z w"])})
+        out = token_count(tbl).column("n_tokens").to_pylist()
+        assert out == [3, 0, 0, 1, 4]
+
+    def test_quality_stats(self):
+        from edkray.ops.text import quality_stats
+
+        tbl = pa.table({"text": pa.array(["abc123!?", ""])})
+        out = quality_stats(tbl).to_pydict()
+        assert out["n_chars"] == [8, 0]
+        assert out["n_digit"] == [3, 0]
+        assert out["n_punct"] == [2, 0]
+
+    def test_langid(self, ray_session):
+        from edkray.ops.text import LangId
+
+        texts = [
+            "the cat and the dog in a house that was for you",
+            "der hund und die katze ist nicht ein problem",
+            "le chat est un animal et je ne pas que vous",
+            "el perro y la casa es una cosa que no por yo",
+            "",
+        ]
+        out = LangId()(pa.table({"text": pa.array(texts)}))["lang_pred"].to_pylist()
+        assert out == ["en", "de", "fr", "es", "und"]
+
+    def test_fingerprint_deterministic(self):
+        from edkray.ops.text import fingerprint
+
+        tbl = pa.table({"text": pa.array(["some document text here " * 5] * 2 + ["other doc"])})
+        out = fingerprint(tbl)
+        fps = out["fingerprint"].to_pylist()
+        assert fps[0] == fps[1] != fps[2]
+
+    def test_kgram_hashes_match_direct(self):
+        from edkray.ops.text import kgram_hashes, polyhash
+
+        data = b"abcdefghijklmnop"
+        k = 4
+        got = kgram_hashes(data, k)
+        exp = np.array([polyhash(data[i : i + k]) for i in range(len(data) - k + 1)], dtype=np.uint64)
+        assert (got == exp).all()
+
+
+class TestShuffle:
+    def test_bucketed_group_map_sees_whole_groups(self, ray_session, rand_table):
+        import polars as pl
+        import ray.data
+
+        from edkray.ops.shuffle import bucketed_group_map
+
+        def per_key_count(t: pa.Table) -> pa.Table:
+            return pl.from_arrow(t).group_by("k").agg(pl.len().cast(pl.Int64).alias("n")).to_arrow()
+
+        got = bucketed_group_map(ray.data.from_arrow(rand_table).repartition(8), ["k"],
+                                 per_key_count).to_pandas()
+        exp = rand_table.to_pandas().groupby("k", as_index=False).agg(n=("k", "size"))
+        _df_eq(got, exp)

@@ -1,0 +1,195 @@
+"""End-to-end flagship pipeline tests: golden oracle recompute (pandas,
+no Ray), byte-identity of extracted text per url, deterministic ranks,
+and checkpoint/resume semantics (SURVEY §5's golden-test strategy made
+offline)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from edkray.fixtures import T0, T1, domain_lonlat, make_admin, make_knn_refs
+
+
+def _oracle_assignments(pages: pd.DataFrame, admin) -> pd.DataFrame:
+    """Slow, obviously-correct single-process recompute (pandas + the
+    pure-numpy geo kernels, no Ray) of the pipeline's assignment table."""
+    from edkray.geo.cells import quadcell
+    from edkray.geo.pip import PolygonIndex, wkb_to_ring
+
+    df = pages.copy()
+    # dedup: first by (warc_ts, text) per url
+    df = df.sort_values(["url", "warc_ts", "text"], kind="stable").drop_duplicates("url", keep="first")
+    df["domain"] = df.url.str.extract(r"^[a-z0-9+.-]+://([^/]+)")[0]
+    ll = df.domain.map(lambda d: domain_lonlat(d))
+    df["lon"] = [x[0] for x in ll]
+    df["lat"] = [x[1] for x in ll]
+    # temporal bucket: drop outside [T0, T1)
+    df = df[(df.warc_ts >= T0) & (df.warc_ts < T1)]
+    df["date_bucket"] = df.warc_ts.dt.floor("D")
+    # tile
+    h = np.clip(np.floor((df.lon + 180.0) / 10.0), 0, 35).astype(int)
+    v = np.floor((df.lat + 80.0) / 10.0).astype(int)
+    in_grid = (df.lat >= -80.0) & (df.lat < 80.0)
+    tile = (
+        h.astype(str).str.zfill(2) + v.clip(0, 15).astype(str).str.zfill(2)
+        + "_" + df.date_bucket.dt.strftime("%Y%m%d")
+    )
+    df["tile_id"] = tile.where(in_grid, None)
+    df["cell_7"] = quadcell(df.lon.to_numpy(), df.lat.to_numpy(), 7)
+    idx = PolygonIndex(admin["admin_id"].to_pylist(),
+                       [wkb_to_ring(w) for w in admin["wkb_geometry"].to_pylist()])
+    df["admin_id"] = idx.query(df.lon.to_numpy(), df.lat.to_numpy())
+    df = df[df.tile_id.notna()]
+    # deterministic rank: ascending (warc_ts, url) within tile
+    df = df.sort_values(["tile_id", "warc_ts", "url"], kind="stable")
+    df["rank"] = df.groupby("tile_id").cumcount()
+    return df
+
+
+@pytest.fixture(scope="module")
+def pipeline_run(ray_session, fixture_dir, tmp_path_factory):
+    from edkray.pipelines.spatial import run_spatial_pipeline
+
+    out = str(tmp_path_factory.mktemp("flagship"))
+    admin = make_admin()
+    metrics = run_spatial_pipeline(
+        os.path.join(fixture_dir, "pages.parquet"),
+        admin=admin,
+        out_dir=out,
+        knn_refs=make_knn_refs(500),
+        num_partitions=4,
+        salt_threshold=60,  # the hot domain yields ~85 rows/daily-tile → salted
+        resume=False,
+    )
+    return out, metrics, admin
+
+
+class TestFlagship:
+    def test_assignments_match_oracle(self, pipeline_run, fixture_dir):
+        out, metrics, admin = pipeline_run
+        got = pq.read_table(os.path.join(out, "assignments")).to_pandas()
+        pages = pq.read_table(os.path.join(fixture_dir, "pages.parquet")).to_pandas()
+        exp = _oracle_assignments(pages, admin)
+
+        assert len(got) == len(exp)
+        g = got.sort_values("url").reset_index(drop=True)
+        e = exp.sort_values("url").reset_index(drop=True)
+        assert (g.url.to_numpy() == e.url.to_numpy()).all()
+        assert (g.tile_id.to_numpy() == e.tile_id.to_numpy()).all()
+        assert (g.cell_7.to_numpy() == e.cell_7.to_numpy()).all()
+        ga, ea = g.admin_id.to_numpy(), e.admin_id.to_numpy()
+        assert all((a == b) or (pd.isna(a) and b is None) for a, b in zip(ga, ea))
+
+    def test_ranks_are_dense_permutations(self, pipeline_run):
+        out, _, _ = pipeline_run
+        got = pq.read_table(os.path.join(out, "assignments")).to_pandas()
+        for tile, grp in got.groupby("tile_id"):
+            ranks = np.sort(grp["rank"].to_numpy())
+            assert (ranks == np.arange(len(grp))).all(), tile
+
+    def test_cold_tile_ranks_match_oracle_order(self, pipeline_run, fixture_dir):
+        """Non-salted tiles must rank exactly by (warc_ts, url)."""
+        out, metrics, admin = pipeline_run
+        got = pq.read_table(os.path.join(out, "assignments")).to_pandas()
+        pages = pq.read_table(os.path.join(fixture_dir, "pages.parquet")).to_pandas()
+        exp = _oracle_assignments(pages, admin)
+        hot = set(metrics.get("hot_tiles", []))
+        cold = got[~got.tile_id.isin(hot)]
+        m = cold.merge(exp[["url", "rank"]], on="url", suffixes=("", "_exp"))
+        assert (m["rank"] == m["rank_exp"]).all()
+
+    def test_hot_tiles_were_salted(self, pipeline_run):
+        _, metrics, _ = pipeline_run
+        assert len(metrics.get("hot_tiles", [])) >= 1  # the planted hot domain
+
+    def test_text_byte_identity(self, pipeline_run, fixture_dir):
+        """north_rule invariant: extracted text byte-identical per url."""
+        out, _, _ = pipeline_run
+        enriched = pq.read_table(os.path.join(out, "pages"), columns=["url", "text"]).to_pandas()
+        orig = pq.read_table(os.path.join(fixture_dir, "pages.parquet"),
+                             columns=["url", "text", "warc_ts"]).to_pandas()
+        first = orig.sort_values(["url", "warc_ts", "text"], kind="stable").drop_duplicates("url")
+        m = enriched.merge(first, on="url", suffixes=("_got", "_orig"))
+        assert len(m) == len(enriched)
+        ident = [
+            a.encode() == b.encode() for a, b in zip(m.text_got, m.text_orig)
+        ]
+        assert all(ident)
+
+    def test_knn_neighbors_exact(self, pipeline_run, fixture_dir):
+        from edkray.geo.distance import knn_haversine
+
+        out, _, _ = pipeline_run
+        enriched = pq.read_table(
+            os.path.join(out, "pages"), columns=["url", "lon", "lat", "neighbor_ids"]
+        ).to_pandas().head(500)
+        refs = make_knn_refs(500)
+        idx, _ = knn_haversine(
+            enriched.lon.to_numpy(), enriched.lat.to_numpy(),
+            refs["lon"].to_numpy(), refs["lat"].to_numpy(), 3,
+        )
+        exp = [[refs["ref_id"][j].as_py() for j in row] for row in idx]
+        assert [list(x) for x in enriched.neighbor_ids] == exp
+
+
+class TestResume:
+    def test_resume_skips_done_partitions(self, ray_session, fixture_dir, tmp_path_factory):
+        from edkray.pipelines.manifest import RunManifest
+        from edkray.pipelines.spatial import run_spatial_pipeline
+
+        out = str(tmp_path_factory.mktemp("resume"))
+        admin = make_admin()
+        kwargs = dict(admin=admin, out_dir=out, num_partitions=4, resume=True)
+        pages = os.path.join(fixture_dir, "pages.parquet")
+
+        m1 = run_spatial_pipeline(pages, **kwargs)
+        assert m1["partitions_processed"] == 4
+        rows_full = m1["rows_written_this_run"]
+
+        # simulate a kill after partition 0/1 completed: mark 2,3 not done
+        # and delete their outputs (what purge_incomplete would see)
+        manifest_path = os.path.join(out, "_manifest.json")
+        raw = json.load(open(manifest_path))
+        for p in ("2", "3"):
+            raw["partitions"].pop(p, None)
+        json.dump(raw, open(manifest_path, "w"))
+
+        m2 = run_spatial_pipeline(pages, **kwargs)
+        assert m2["partitions_processed"] == 2
+        assert m2["partitions_skipped"] == 2
+
+        # total output identical to a full run
+        total = pq.read_table(os.path.join(out, "pages"), columns=["url"]).num_rows
+        assert total == rows_full
+
+    def test_fingerprint_mismatch_starts_fresh(self, tmp_path):
+        from edkray.pipelines.manifest import RunManifest
+
+        m = RunManifest.load(str(tmp_path), "fp1")
+        m.mark_done(0, 10)
+        m.save()
+        again = RunManifest.load(str(tmp_path), "fp1")
+        assert again.done_partitions() == {0}
+        fresh = RunManifest.load(str(tmp_path), "fp2")
+        assert fresh.done_partitions() == set()
+
+    def test_purge_incomplete_removes_partials(self, tmp_path):
+        from edkray.pipelines.manifest import RunManifest
+
+        d = tmp_path / "data"
+        (d / "part_id=0").mkdir(parents=True)
+        (d / "part_id=1").mkdir(parents=True)
+        (d / "part_id=1" / "x.parquet").write_bytes(b"partial")
+        m = RunManifest.load(str(tmp_path), "fp")
+        m.mark_done(0, 5)
+        purged = m.purge_incomplete([str(d)], 2)
+        assert purged == [1]
+        assert (d / "part_id=0").exists() and not (d / "part_id=1").exists()

@@ -1,0 +1,104 @@
+"""Template expansion / date parsing / catalog discovery tests
+(reference engines/s3.py semantics, SURVEY M1-M3, S5/S9)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from edkray.sources.templates import (
+    GridCell,
+    date_pattern,
+    expand_space,
+    expand_time,
+    parse_date,
+    smallest_time_unit,
+    validate_wildcards,
+)
+
+
+class TestTimeExpansion:
+    def test_daily(self):
+        out = expand_time("s3://b/%Y/%j/f.tif", dt.datetime(2020, 1, 1), dt.datetime(2020, 1, 4))
+        assert [p for _, p in out] == [
+            "s3://b/2020/001/f.tif", "s3://b/2020/002/f.tif", "s3://b/2020/003/f.tif",
+        ]
+
+    def test_left_inclusive_floor(self):
+        out = expand_time("x/%Y%m%d", dt.datetime(2020, 1, 1, 13, 30), dt.datetime(2020, 1, 3))
+        assert [d for d, _ in out] == [dt.datetime(2020, 1, 1), dt.datetime(2020, 1, 2)]
+
+    def test_yearly_and_monthly(self):
+        assert smallest_time_unit("a/%Y/b") == "year"
+        assert smallest_time_unit("a/%Y-%m/b") == "month"
+        assert smallest_time_unit("a/%Y%j") == "day"
+        out = expand_time("y%Y", dt.datetime(2019, 5, 1), dt.datetime(2021, 2, 1))
+        assert [p for _, p in out] == ["y2019", "y2020", "y2021"]
+
+    def test_no_tokens_epoch_sentinel(self):
+        out = expand_time("static/path", dt.datetime(2020, 1, 1), dt.datetime(2020, 2, 1))
+        assert out == [(dt.datetime(1970, 1, 1), "static/path")]
+
+
+class TestSpaceExpansion:
+    GRID = [
+        GridCell({"h": "01", "v": "05"}, (0.0, 0.0, 10.0, 10.0)),
+        GridCell({"h": "02", "v": "05"}, (10.0, 0.0, 20.0, 10.0)),
+    ]
+
+    def test_substitution_with_pruning(self):
+        paths = [(dt.datetime(2020, 1, 1), "b/{h}/{v}/f")]
+        out = expand_space(paths, self.GRID, query_bbox=(-1.0, -1.0, 5.0, 5.0))
+        assert [r.path for r in out] == ["b/01/05/f"]
+
+    def test_no_intersection_raises(self):
+        paths = [(dt.datetime(2020, 1, 1), "b/{h}/{v}/f")]
+        with pytest.raises(ValueError, match="no grid cells"):
+            expand_space(paths, self.GRID, query_bbox=(50.0, 50.0, 60.0, 60.0))
+
+    def test_missing_var_raises(self):
+        paths = [(dt.datetime(2020, 1, 1), "b/{h}/{z}/f")]
+        with pytest.raises(KeyError):
+            expand_space(paths, self.GRID, None)
+
+    def test_no_vars_passthrough(self):
+        paths = [(dt.datetime(2020, 1, 1), "b/f")]
+        out = expand_space(paths, [], None)
+        assert [r.path for r in out] == ["b/f"]
+
+
+class TestDateParse:
+    def test_roundtrip_with_doy(self):
+        pat = date_pattern("s3://b/%Y/%j/*.tif")
+        assert parse_date("s3://b/2020/032/scene.tif", pat) == dt.datetime(2020, 2, 1)
+
+    def test_ymd_hms(self):
+        pat = date_pattern("x/%Y-%m-%d/%H%M%S.bin")
+        assert parse_date("x/2021-07-04/121314.bin", pat) == dt.datetime(2021, 7, 4, 12, 13, 14)
+
+    def test_no_match(self):
+        pat = date_pattern("x/%Y%m%d")
+        assert parse_date("nope", pat) is None
+
+    def test_wildcards(self):
+        validate_wildcards("a/*/b?")
+        with pytest.raises(ValueError):
+            validate_wildcards("a/**/b")
+
+
+class TestCatalog:
+    def test_discover_footers(self, ray_session, sf_dir, tmp_path):
+        from edkray.sources.catalog import discover
+
+        paths = [os.path.join(sf_dir, f"{t}.parquet") for t in ("nation", "lineitem", "events")]
+        cat = discover(paths, catalog_path=str(tmp_path / "cat")).to_pandas()
+        assert len(cat) == 3
+        by = cat.set_index(cat.path.map(os.path.basename))
+        for name in ("nation", "lineitem", "events"):
+            assert by.loc[f"{name}.parquet", "n_rows"] == pq.ParquetFile(
+                os.path.join(sf_dir, f"{name}.parquet")).metadata.num_rows
+        # events has warc-like ts stats absent; lon/lat absent → nulls
+        assert by.loc["events.parquet", ["lon_min", "lat_min"]].isna().all()
