@@ -142,10 +142,17 @@ def s2_level(cell_id: np.ndarray) -> np.ndarray:
 
 
 def s2_token(cell_id: np.ndarray) -> np.ndarray:
-    """Canonical S2 token: 16-hex-digit id with trailing zeros stripped."""
-    cell_id = np.asarray(cell_id, dtype=np.uint64)
-    out = np.empty(cell_id.shape, dtype=object)
-    for idx, cid in enumerate(cell_id.ravel()):
-        h = format(int(cid), "016x").rstrip("0")
-        out.ravel()[idx] = h if h else "X"
-    return out.astype(str)
+    """Canonical S2 token: 16-hex-digit id with trailing zeros stripped.
+
+    Fully vectorized: big-endian bytes → hexlify → fixed-width S16 →
+    C-level rstrip('0') — no per-row Python loop."""
+    import binascii
+
+    cell_id = np.ascontiguousarray(np.asarray(cell_id, dtype=np.uint64))
+    if cell_id.size == 0:
+        return np.empty(0, dtype=object)
+    hexes = np.frombuffer(
+        binascii.hexlify(cell_id.astype(">u8").tobytes()), dtype="S16"
+    )
+    stripped = np.char.rstrip(hexes, b"0").astype("U16")
+    return np.where(stripped == "", "X", stripped)

@@ -87,6 +87,48 @@ def grouped_agg(
     return out.map_batches(_finalize, batch_format="pyarrow")
 
 
+def grouped_agg_small(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    aggs: list[AggSpec],
+    batch_size: int = 65536,
+):
+    """Like :func:`grouped_agg` but the FINAL combine runs driver-side
+    (polars over the collected partials) instead of a Ray shuffle.
+
+    Correct only when the partial result (one row per (key, block)) fits
+    on the driver — i.e. key cardinality × blocks is small. This is the
+    reference's driver-side date grouping pattern (dataset.py:789) and
+    skips a whole Ray execution's shuffle for small-keyed counts.
+    Returns a pandas DataFrame.
+    """
+    partial_exprs, _, finalize = _partial_exprs(aggs)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        return pl.from_arrow(batch).group_by(keys).agg(partial_exprs).to_arrow()
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow", batch_size=batch_size)
+    df = pl.from_pandas(partials.to_pandas())
+    combine = []
+    for fn, col, alias in aggs:
+        if fn in ("sum", "count"):
+            combine.append(pl.col(alias).sum().alias(alias))
+        elif fn == "min":
+            combine.append(pl.col(alias).min().alias(alias))
+        elif fn == "max":
+            combine.append(pl.col(alias).max().alias(alias))
+        elif fn == "mean":
+            combine.append(pl.col(f"__sum_{alias}").sum().alias(f"__sum_{alias}"))
+            combine.append(pl.col(f"__cnt_{alias}").sum().alias(f"__cnt_{alias}"))
+    out = df.group_by(keys).agg(combine)
+    for fn, alias in finalize:
+        if fn == "mean":
+            out = out.with_columns(
+                (pl.col(f"__sum_{alias}") / pl.col(f"__cnt_{alias}")).alias(alias)
+            ).drop([f"__sum_{alias}", f"__cnt_{alias}"])
+    return out.to_pandas()
+
+
 def distinct(ds: ray.data.Dataset, cols: list[str], batch_size: int = 65536) -> ray.data.Dataset:
     """Distinct rows over ``cols`` with per-batch pre-dedup before the
     shuffle (reference A4 ``unique()`` / ``list(set(...))``)."""

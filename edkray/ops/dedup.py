@@ -45,7 +45,7 @@ def exact_dedup(
     def _local(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch)
         return (
-            df.sort(key_cols + order_cols)
+            df.sort(order_cols, maintain_order=True)
             .unique(subset=key_cols, keep="first", maintain_order=True)
             .to_arrow()
         )

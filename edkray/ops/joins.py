@@ -76,6 +76,25 @@ def broadcast_join(
     )
 
 
+_STATE_CACHE: dict = {}
+
+
+def process_cached(ref, builder):
+    """Per-worker-process cache of broadcast state for TASK-based stages.
+
+    Actor pools break Ray Data's operator fusion (each actor boundary is
+    an object-store hop); when the state is cheap to build (a small
+    polygon index, a modest kNN matrix), a plain task + per-process
+    cache keeps the whole post-shuffle chain fused into one task while
+    still fetching the broadcast object only once per worker process.
+    """
+    key = ref.hex() if isinstance(ref, ray.ObjectRef) else id(ref)
+    if key not in _STATE_CACHE:
+        obj = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        _STATE_CACHE[key] = builder(obj)
+    return _STATE_CACHE[key]
+
+
 class PipJoin:
     """Actor-pool stage: point-in-polygon join against broadcast polygons.
 
@@ -141,17 +160,24 @@ class KnnJoin:
         self.k = k
         self.lon_col, self.lat_col = lon_col, lat_col
 
+    # rows per inner chunk: bounds the (chunk × refs) cosine matrix to
+    # ~160 MB at 5000 refs — a 64k-row batch would otherwise allocate
+    # 2.6 GB per task
+    CHUNK = 4096
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         lon = batch[self.lon_col].to_numpy(zero_copy_only=False)
         lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
         q = lonlat_to_unit(lon, lat)
-        cos = q @ self.units.T
         k = min(self.k, self.units.shape[0])
-        part = np.argpartition(-cos, kth=k - 1, axis=1)[:, :k]
-        pcos = np.take_along_axis(cos, part, axis=1)
-        order = np.lexsort((part, -pcos), axis=1)
-        idx = np.take_along_axis(part, order, axis=1)
-        neighbors = pa.array(self.ref_ids[idx].tolist(), type=pa.list_(self.id_type))
+        out_idx = np.empty((len(lon), k), dtype=np.int64)
+        for s in range(0, len(lon), self.CHUNK):
+            cos = q[s : s + self.CHUNK] @ self.units.T
+            part = np.argpartition(-cos, kth=k - 1, axis=1)[:, :k]
+            pcos = np.take_along_axis(cos, part, axis=1)
+            order = np.lexsort((part, -pcos), axis=1)
+            out_idx[s : s + self.CHUNK] = np.take_along_axis(part, order, axis=1)
+        neighbors = pa.array(self.ref_ids[out_idx].tolist(), type=pa.list_(self.id_type))
         return batch.append_column("neighbor_ids", neighbors)
 
 

@@ -61,12 +61,19 @@ def bucketed_group_map(
 
 
 def dedup_in_bucket(keys: list[str], order_cols: list[str]) -> Callable[[pa.Table], pa.Table]:
-    """Bucket fn: keep the first row per key ordered by ``order_cols``."""
+    """Bucket fn: keep the first row per key ordered by ``order_cols``.
+
+    Sorts by ``order_cols`` ONLY (stable), then hash-based
+    ``unique(keep="first")`` picks the min-order row per key — same
+    result as sorting by keys+order but never compares the (often long
+    string) key column in the sort. ``order_cols`` must totally order
+    rows within a key for a deterministic winner.
+    """
 
     def _fn(table: pa.Table) -> pa.Table:
         return (
             pl.from_arrow(table)
-            .sort(keys + order_cols)
+            .sort(order_cols, maintain_order=True)
             .unique(subset=keys, keep="first", maintain_order=True)
             .to_arrow()
         )
