@@ -129,6 +129,72 @@ def grouped_agg_small(
     return out.to_pandas()
 
 
+def count_distinct(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_col: str,
+    alias: str = "n_distinct",
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Exact per-group COUNT(DISTINCT value): two-phase — local distinct
+    (key, value) pairs per batch (combiner), shuffle the deduped pairs,
+    then count per key. The shuffle carries distinct pairs only."""
+
+    def _local(batch: pa.Table) -> pa.Table:
+        return pl.from_arrow(batch.select(keys + [value_col])).unique().to_arrow()
+
+    pre = ds.map_batches(_local, batch_format="pyarrow", batch_size=batch_size)
+    from edkray.ops.shuffle import bucketed_group_map
+
+    def _count(table: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(table)
+            .unique(subset=keys + [value_col])
+            .group_by(keys)
+            .agg(pl.len().cast(pl.Int64).alias(alias))
+            .to_arrow()
+        )
+
+    return bucketed_group_map(pre, keys, _count, num_buckets=16)
+
+
+def top_k_per_group(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    order_cols: list[str],
+    k: int,
+    descending: bool | list[bool] = True,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Top-k rows per key group ordered by ``order_cols`` with an
+    explicit ``rank`` column (0 = best). Local per-batch top-k combiner
+    → hash-bucket shuffle of survivors only → exact in-bucket top-k.
+    ``order_cols`` must totally order rows within a key."""
+    if isinstance(descending, bool):
+        descending = [descending] * len(order_cols)
+
+    def _local(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return (
+            df.sort(order_cols, descending=descending, maintain_order=True)
+            .group_by(keys, maintain_order=True)
+            .head(k)
+            .to_arrow()
+        )
+
+    pre = ds.map_batches(_local, batch_format="pyarrow", batch_size=batch_size)
+    from edkray.ops.shuffle import bucketed_group_map
+
+    def _topk(table: pa.Table) -> pa.Table:
+        df = pl.from_arrow(table).sort(order_cols, descending=descending, maintain_order=True)
+        df = df.with_columns(
+            pl.int_range(pl.len()).over(keys, mapping_strategy="group_to_rows").alias("rank")
+        )
+        return df.filter(pl.col("rank") < k).to_arrow()
+
+    return bucketed_group_map(pre, keys, _topk, num_buckets=16)
+
+
 def distinct(ds: ray.data.Dataset, cols: list[str], batch_size: int = 65536) -> ray.data.Dataset:
     """Distinct rows over ``cols`` with per-batch pre-dedup before the
     shuffle (reference A4 ``unique()`` / ``list(set(...))``)."""

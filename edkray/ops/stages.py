@@ -110,6 +110,54 @@ def bbox_filter(
     return batch.filter(mask)
 
 
+def mask_nodata(batch: pa.Table, col: str, nodata: float, out_col: str | None = None) -> pa.Table:
+    """``value == nodata → null`` (reference M11, xarray entrypoint.py:75-84)."""
+    v = batch[col]
+    masked = pc.if_else(pc.equal(v, pa.scalar(nodata, type=v.type)), pa.scalar(None, type=v.type), v)
+    if out_col and out_col != col:
+        return batch.append_column(out_col, masked)
+    return batch.set_column(batch.schema.get_field_index(col), col, masked)
+
+
+def apply_scale_offset(
+    batch: pa.Table, col: str, scale: float = 1.0, offset: float = 0.0,
+    out_col: str | None = None,
+) -> pa.Table:
+    """``value * scale + offset`` null-safe (reference M12, entrypoint.py:86-91)."""
+    v = pc.add(pc.multiply(batch[col], pa.scalar(float(scale))), pa.scalar(float(offset)))
+    name = out_col or col
+    idx = batch.schema.get_field_index(name)
+    if idx >= 0:
+        return batch.set_column(idx, name, v)
+    return batch.append_column(name, v)
+
+
+def rescale_255(batch: pa.Table, col: str, lo: float, hi: float, out_col: str | None = None) -> pa.Table:
+    """Min/max rescale to 0..255 (reference M14, helpers.py:149-172);
+    ``lo``/``hi`` come from a prior global Min/Max aggregate."""
+    import numpy as np
+
+    v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+    span = (hi - lo) or 1.0
+    scaled = np.clip((v - lo) / span * 255.0, 0.0, 255.0)
+    name = out_col or col
+    idx = batch.schema.get_field_index(name)
+    arr = pa.array(scaled)
+    if idx >= 0:
+        return batch.set_column(idx, name, arr)
+    return batch.append_column(name, arr)
+
+
+def add_webmercator(batch: pa.Table, lon_col: str = "lon", lat_col: str = "lat") -> pa.Table:
+    """Append EPSG:3857 x/y meter columns (reference M15 vectorized)."""
+    from edkray.geo.transform import lonlat_to_webmercator
+
+    lon = batch[lon_col].to_numpy(zero_copy_only=False)
+    lat = batch[lat_col].to_numpy(zero_copy_only=False)
+    x, y = lonlat_to_webmercator(lon, lat)
+    return batch.append_column("merc_x", pa.array(x)).append_column("merc_y", pa.array(y))
+
+
 def normalize_uri(batch: pa.Table, col: str = "url") -> pa.Table:
     """Protocol rewrites (reference M18: s3:// → /vsis3/, https:// →
     /vsicurl/) re-expressed as vectorized prefix normalization."""

@@ -943,6 +943,123 @@ _SQL_CATALOG = "\nUNION ALL\n".join(
 
 
 # --------------------------------------------------------------------------
+# Q: users_per_type — exact per-group COUNT(DISTINCT) (two-phase)
+
+
+def q_users_per_type(sf_dir: str):
+    from edkray.ops.aggregate import count_distinct
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return count_distinct(ds, ["event_type"], "user_id", alias="n_users")
+
+
+_SQL_USERS_PER_TYPE = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: top_orders_per_priority — top-k per group with explicit rank
+
+
+def q_top_orders_per_priority(sf_dir: str):
+    from edkray.ops.aggregate import top_k_per_group
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    return top_k_per_group(
+        ds, ["o_orderpriority"], ["o_totalprice", "o_orderkey"], k=3,
+        descending=[True, False],
+    )
+
+
+_SQL_TOP_PER_PRIORITY = """
+SELECT o_orderkey, o_orderpriority, o_totalprice, rank FROM (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) - 1 AS rank
+  FROM orders
+) WHERE rank < 3
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: customers_without_orders — broadcast ANTI join
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Customers with no high-value (>250k) order — broadcast ANTI join
+    (every customer has SOME order in this data, so the plain anti join
+    would be empty)."""
+    from edkray.ops.joins import broadcast_join
+
+    orders = pq.read_table(_p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    big = orders.filter(pc.greater(orders["o_totalprice"], 250000.0)).select(["o_custkey"])
+    ds = _read(sf_dir, "customer")
+    return broadcast_join(ds, big, on=["c_custkey"], right_on=["o_custkey"], how="anti")
+
+
+_SQL_NO_ORDERS = """
+SELECT * FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 250000.0)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: mercator_customers — vectorized EPSG:3857 transform (M15)
+
+
+def q_mercator_customers(sf_dir: str):
+    from edkray.ops.stages import add_webmercator
+
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+
+    def _t(b: pa.Table) -> pa.Table:
+        b = add_webmercator(_add_lonlat(b, "c_custkey"))
+        return _round_cols(b.select(["c_custkey", "merc_x", "merc_y"]), ["merc_x", "merc_y"])
+
+    return ds.map_batches(_t, batch_format="pyarrow")
+
+
+_SQL_MERCATOR = f"""
+WITH pts AS (
+  SELECT c_custkey, {_sql_lon('c_custkey')} AS lon, {_sql_lat('c_custkey')} AS lat FROM customer
+)
+SELECT c_custkey,
+       round(lon * pi() / 180.0 * 6378137.0, 4) AS merc_x,
+       round(ln(tan((90.0 + lat) * pi() / 360.0)) * 6378137.0, 4) AS merc_y
+FROM pts
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: scaled_quantity — nodata mask + scale/offset (raster band semantics
+# M11/M12 over a numeric column)
+
+
+def q_scaled_quantity(sf_dir: str):
+    from edkray.ops.stages import apply_scale_offset, mask_nodata
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey", "l_quantity"])
+
+    def _t(b: pa.Table) -> pa.Table:
+        b = mask_nodata(b, "l_quantity", nodata=50.0)
+        return apply_scale_offset(b, "l_quantity", scale=2.5, offset=10.0, out_col="qty_scaled")
+
+    return ds.map_batches(_t, batch_format="pyarrow").map_batches(
+        lambda b: b.select(["l_orderkey", "l_linenumber", "l_partkey", "qty_scaled"]),
+        batch_format="pyarrow",
+    )
+
+
+_SQL_SCALED = """
+SELECT l_orderkey, l_linenumber, l_partkey,
+       CASE WHEN l_quantity = 50.0 THEN NULL ELSE l_quantity * 2.5 + 10.0 END AS qty_scaled
+FROM lineitem
+"""
+
+
+# --------------------------------------------------------------------------
 # rows-only queries (no SQL equivalent — approximate / hash-based ops)
 
 
@@ -1028,6 +1145,11 @@ def queries() -> dict:
         "cosine_dup_pairs": q_cosine_dup_pairs,
         "bbox_customers": q_bbox_customers,
         "catalog": q_catalog,
+        "users_per_type": q_users_per_type,
+        "top_orders_per_priority": q_top_orders_per_priority,
+        "customers_without_orders": q_customers_without_orders,
+        "mercator_customers": q_mercator_customers,
+        "scaled_quantity": q_scaled_quantity,
         # rows-only (approximate / hash-based; no SQL oracle)
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -1063,4 +1185,9 @@ def oracle_sql() -> dict:
         "cosine_dup_pairs": _SQL_COS_DUP,
         "bbox_customers": _SQL_BBOX,
         "catalog": _SQL_CATALOG,
+        "users_per_type": _SQL_USERS_PER_TYPE,
+        "top_orders_per_priority": _SQL_TOP_PER_PRIORITY,
+        "customers_without_orders": _SQL_NO_ORDERS,
+        "mercator_customers": _SQL_MERCATOR,
+        "scaled_quantity": _SQL_SCALED,
     }
