@@ -50,6 +50,48 @@ def _file_meta(batch: pa.Table) -> pa.Table:
     return pa.table(out)
 
 
+def explode_bands(ds: ray.data.Dataset, bands_col: str = "bands") -> ray.data.Dataset:
+    """Catalog tile rows → one row per band (the reference's band
+    explosion, dataset.py:349-368, S6/S7/S8 subdataset expansion shape:
+    1 row → N rows via flat_map semantics inside map_batches).
+
+    ``bands_col`` is a ``list<struct<...>>`` column; each struct's
+    fields become top-level columns suffixed onto the tile row.
+    """
+    import polars as pl
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return df.explode(bands_col).unnest(bands_col).to_arrow()
+
+    return ds.map_batches(_explode, batch_format="pyarrow")
+
+
+def validate_homogeneous(ds: ray.data.Dataset, group_cols: list[str], value_cols: list[str]) -> None:
+    """Raise if any ``group_cols`` group has >1 distinct value in any of
+    ``value_cols`` (reference M9 property validation, dataset.py:434-469:
+    unique dtype/crs/resolution per band unless overrides given)."""
+    from edkray.ops.aggregate import count_distinct
+
+    for col in value_cols:
+        nd = count_distinct(ds, group_cols, col, alias="__nd").to_pandas()
+        bad = nd[nd["__nd"] > 1]
+        if len(bad):
+            raise ValueError(
+                f"non-homogeneous {col!r} within {group_cols}: "
+                f"{bad[group_cols].to_dict('records')[:5]}"
+            )
+
+
+def global_min_max(ds: ray.data.Dataset, col: str) -> tuple[float, float]:
+    """Global min/max of a column (reference A6 — colormap/rescale
+    bounds) via Ray's partial+final aggregate; feeds rescale_255."""
+    from ray.data.aggregate import Max, Min
+
+    row = ds.aggregate(Min(col, alias_name="lo"), Max(col, alias_name="hi"))
+    return float(row["lo"]), float(row["hi"])
+
+
 def discover(paths: list[str], catalog_path: str | None = None) -> ray.data.Dataset:
     """Scan parquet shards' footers in parallel → catalog Dataset.
 

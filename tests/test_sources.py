@@ -102,3 +102,54 @@ class TestCatalog:
                 os.path.join(sf_dir, f"{name}.parquet")).metadata.num_rows
         # events has warc-like ts stats absent; lon/lat absent → nulls
         assert by.loc["events.parquet", ["lon_min", "lat_min"]].isna().all()
+
+
+class TestCatalogOps:
+    def test_explode_bands(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from edkray.sources.catalog import explode_bands
+
+        band_t = pa.struct([("source_idx", pa.int32()), ("description", pa.string()),
+                            ("dtype", pa.string()), ("nodataval", pa.float64())])
+        tbl = pa.table(
+            {
+                "tile_id": pa.array(["t1", "t2"]),
+                "bands": pa.array(
+                    [
+                        [{"source_idx": 1, "description": "red", "dtype": "u8", "nodataval": 0.0},
+                         {"source_idx": 2, "description": "nir", "dtype": "u8", "nodataval": 0.0}],
+                        [{"source_idx": 1, "description": "red", "dtype": "u8", "nodataval": 0.0}],
+                    ],
+                    type=pa.list_(band_t),
+                ),
+            }
+        )
+        out = explode_bands(ray.data.from_arrow(tbl)).to_pandas().sort_values(
+            ["tile_id", "source_idx"]).reset_index(drop=True)
+        assert len(out) == 3
+        assert list(out.columns) == ["tile_id", "source_idx", "description", "dtype", "nodataval"]
+        assert out.description.tolist() == ["red", "nir", "red"]
+
+    def test_validate_homogeneous(self, ray_session):
+        import pyarrow as pa
+        import pytest as _pytest
+        import ray.data
+
+        from edkray.sources.catalog import validate_homogeneous
+
+        good = pa.table({"band": ["r", "r", "g"], "dtype": ["u8", "u8", "u16"]})
+        validate_homogeneous(ray.data.from_arrow(good), ["band"], ["dtype"])  # no raise
+        bad = pa.table({"band": ["r", "r"], "dtype": ["u8", "u16"]})
+        with _pytest.raises(ValueError, match="non-homogeneous"):
+            validate_homogeneous(ray.data.from_arrow(bad), ["band"], ["dtype"])
+
+    def test_global_min_max(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from edkray.sources.catalog import global_min_max
+
+        t = pa.table({"v": pa.array([3.0, -1.0, 7.5, 2.0])})
+        assert global_min_max(ray.data.from_arrow(t), "v") == (-1.0, 7.5)
