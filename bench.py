@@ -147,16 +147,20 @@ def main() -> None:
     flagship_only = "--flagship-only" in sys.argv
 
     if scaling:
-        results = {}
-        for cpus in (8, 32):
+        # interleave 8/32 phases so host-CPU drift (this sandbox shows
+        # episodic steal) biases neither side; keep the min per count
+        results: dict[int, dict] = {}
+        for cpus in (8, 32, 8, 32):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR,
                        GRAFT_BENCH_MULT=os.environ.get("GRAFT_BENCH_MULT", "4"))
             p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--flagship-only"],
+                [sys.executable, os.path.abspath(__file__), "--flagship-only", "--once"],
                 env=env, capture_output=True, text=True, timeout=3600,
             )
             line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
-            results[cpus] = json.loads(line)
+            r = json.loads(line)
+            if cpus not in results or r["value"] < results[cpus]["value"]:
+                results[cpus] = r
         t8, t32 = results[8]["value"], results[32]["value"]
         docs = results[32]["n_docs"]
         eff = t8 / (4.0 * t32)
@@ -192,10 +196,10 @@ def main() -> None:
     run_flagship("/root/testdata/sf0.001", out_root)
 
     timings: dict[str, float] = {}
-    # best-of-2: the sandbox host shows episodic CPU steal (load spikes
-    # with no local processes); min of two runs approximates steady state
+    # best-of-2 unless --once: the sandbox host shows episodic CPU steal;
+    # min of two runs approximates steady state
     fl_sec, n_docs = run_flagship(SF_DIR, out_root, MULT)
-    if flagship_only:
+    if flagship_only and "--once" not in sys.argv:
         fl2, _ = run_flagship(SF_DIR, out_root, MULT)
         fl_sec = min(fl_sec, fl2)
     timings["spatial_pipeline"] = round(fl_sec, 3)

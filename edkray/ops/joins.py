@@ -153,7 +153,8 @@ class KnnJoin:
     def __init__(self, refs_ref, ref_id_col="ref_id", lon_col="lon", lat_col="lat", k=3):
         table = ray.get(refs_ref) if isinstance(refs_ref, ray.ObjectRef) else refs_ref
         self.id_type = table.schema.field(ref_id_col).type
-        self.ref_ids = np.asarray(table[ref_id_col].to_pylist(), dtype=object)
+        col = table[ref_id_col]
+        self.ref_arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         rlon = table["lon"].to_numpy(zero_copy_only=False)
         rlat = table["lat"].to_numpy(zero_copy_only=False)
         self.units = lonlat_to_unit(rlon, rlat)  # (m, 3)
@@ -169,15 +170,33 @@ class KnnJoin:
         lon = batch[self.lon_col].to_numpy(zero_copy_only=False)
         lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
         q = lonlat_to_unit(lon, lat)
-        k = min(self.k, self.units.shape[0])
+        m = self.units.shape[0]
+        k = min(self.k, m)
         out_idx = np.empty((len(lon), k), dtype=np.int64)
+        # reused buffer: fresh large allocations per chunk page-fault
+        # hard (lazily-backed VM memory) and double peak memory
+        if not hasattr(self, "_buf") or self._buf.shape[1] != m:
+            self._buf = np.empty((min(self.CHUNK, len(lon)), m), dtype=np.float64)
+            self._neg = np.empty_like(self._buf)
+        ut = np.ascontiguousarray(self.units.T)
         for s in range(0, len(lon), self.CHUNK):
-            cos = q[s : s + self.CHUNK] @ self.units.T
-            part = np.argpartition(-cos, kth=k - 1, axis=1)[:, :k]
+            e = min(s + self.CHUNK, len(lon))
+            cos = self._buf[: e - s]
+            np.matmul(q[s:e], ut, out=cos)
+            # negate into a reused buffer and select kth=k-1 from the
+            # low end — argpartition with kth near m is ~3x slower, and
+            # fresh 160MB allocations page-fault hard on this host
+            neg = self._neg[: e - s]
+            np.negative(cos, out=neg)
+            part = np.argpartition(neg, kth=k - 1, axis=1)[:, :k]
             pcos = np.take_along_axis(cos, part, axis=1)
             order = np.lexsort((part, -pcos), axis=1)
-            out_idx[s : s + self.CHUNK] = np.take_along_axis(part, order, axis=1)
-        neighbors = pa.array(self.ref_ids[out_idx].tolist(), type=pa.list_(self.id_type))
+            out_idx[s:e] = np.take_along_axis(part, order, axis=1)
+        # zero-Python list column: take ref ids by flat index, wrap with
+        # fixed-stride offsets (Arrow C++, no per-row Python)
+        values = self.ref_arr.take(pa.array(out_idx.ravel()))
+        offsets = pa.array(np.arange(0, (len(lon) + 1) * k, k, dtype=np.int32))
+        neighbors = pa.ListArray.from_arrays(offsets, values)
         return batch.append_column("neighbor_ids", neighbors)
 
 
