@@ -153,3 +153,59 @@ class TestCatalogOps:
 
         t = pa.table({"v": pa.array([3.0, -1.0, 7.5, 2.0])})
         assert global_min_max(ray.data.from_arrow(t), "v") == (-1.0, 7.5)
+
+
+class TestSourceRegistry:
+    def test_registry(self):
+        import pytest as _pytest
+
+        from edkray.sources.registry import ParquetSource, get_source
+
+        assert isinstance(get_source("parquet"), ParquetSource)
+        with _pytest.raises(KeyError):
+            get_source("nope")
+
+    def test_parquet_scan_end_to_end(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from edkray.sources.registry import get_source
+        from edkray.sources.templates import GridCell
+
+        # templated tree: {base}/%Y%m%d/h{h}/part.parquet
+        for day in (1, 2, 3):
+            for h in ("01", "02"):
+                d = tmp_path / f"202001{day:02d}" / f"h{h}"
+                d.mkdir(parents=True)
+                pq.write_table(
+                    pa.table({"v": pa.array(np.arange(5) + day * 100 + int(h))}),
+                    str(d / "part.parquet"),
+                )
+        grid = [
+            GridCell({"h": "01"}, (0.0, 0.0, 10.0, 10.0)),
+            GridCell({"h": "02"}, (20.0, 0.0, 30.0, 10.0)),
+        ]
+        src = get_source("parquet")
+        template = str(tmp_path) + "/%Y%m%d/h{h}/*.parquet"
+        # days 1-2 (left-inclusive end), bbox prunes to h=01
+        ds = src.scan(
+            template,
+            time_range=(dt.datetime(2020, 1, 1), dt.datetime(2020, 1, 3)),
+            grid=grid,
+            query_bbox=(-1.0, -1.0, 5.0, 5.0),
+        )
+        df = ds.to_pandas()
+        assert len(df) == 10  # 2 days × 1 cell × 5 rows
+        assert set(df.date.dt.day) == {1, 2}
+        assert set(df.v // 100) == {1, 2}
+
+    def test_parquet_scan_no_match_raises(self, ray_session, tmp_path):
+        import pytest as _pytest
+
+        from edkray.sources.registry import get_source
+
+        with _pytest.raises(ValueError, match="no files matched"):
+            get_source("parquet").scan(str(tmp_path) + "/nothing/*.parquet")
