@@ -158,6 +158,22 @@ def add_webmercator(batch: pa.Table, lon_col: str = "lon", lat_col: str = "lat")
     return batch.append_column("merc_x", pa.array(x)).append_column("merc_y", pa.array(y))
 
 
+def deterministic_sample(
+    batch: pa.Table, key_col: str, rate: float, knuth: int = 2654435761
+) -> pa.Table:
+    """Keep ~``rate`` of rows by Knuth multiplicative hash of an integer
+    key — fully deterministic and exactly reproducible in ANSI SQL
+    (``(key * 2654435761) % 4294967296 < rate * 2**32``), unlike
+    ``Dataset.random_sample``. Sampling is per-KEY, so all rows of a key
+    are kept or dropped together (stable joins downstream)."""
+    import numpy as np
+
+    keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    threshold = np.int64(rate * (1 << 32))
+    keep = (keys * np.int64(knuth)) % np.int64(1 << 32) < threshold
+    return batch.filter(pa.array(keep))
+
+
 def normalize_uri(batch: pa.Table, col: str = "url") -> pa.Table:
     """Protocol rewrites (reference M18: s3:// → /vsis3/, https:// →
     /vsicurl/) re-expressed as vectorized prefix normalization."""

@@ -1060,6 +1060,25 @@ FROM lineitem
 
 
 # --------------------------------------------------------------------------
+# Q: sample_orders — deterministic key-hash sampling (SQL-reproducible)
+
+
+def q_sample_orders(sf_dir: str):
+    from edkray.ops.stages import deterministic_sample
+
+    ds = _read(sf_dir, "orders")
+    return ds.map_batches(
+        lambda b: deterministic_sample(b, "o_orderkey", 0.1), batch_format="pyarrow"
+    )
+
+
+_SQL_SAMPLE = """
+SELECT * FROM orders
+WHERE (o_orderkey * 2654435761) % 4294967296 < CAST(0.1 * 4294967296 AS BIGINT)
+"""
+
+
+# --------------------------------------------------------------------------
 # rows-only queries (no SQL equivalent — approximate / hash-based ops)
 
 
@@ -1150,6 +1169,7 @@ def queries() -> dict:
         "customers_without_orders": q_customers_without_orders,
         "mercator_customers": q_mercator_customers,
         "scaled_quantity": q_scaled_quantity,
+        "sample_orders": q_sample_orders,
         # rows-only (approximate / hash-based; no SQL oracle)
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -1190,4 +1210,5 @@ def oracle_sql() -> dict:
         "customers_without_orders": _SQL_NO_ORDERS,
         "mercator_customers": _SQL_MERCATOR,
         "scaled_quantity": _SQL_SCALED,
+        "sample_orders": _SQL_SAMPLE,
     }
