@@ -195,6 +195,91 @@ def top_k_per_group(
     return bucketed_group_map(pre, keys, _topk, num_buckets=16)
 
 
+def approx_count_distinct(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_col: str,
+    alias: str = "approx_nd",
+    p: int = 12,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Per-group HyperLogLog distinct estimate (~1.04/sqrt(2^p) rel.err).
+
+    The scale path for COUNT(DISTINCT) when the distinct-pair shuffle of
+    :func:`count_distinct` is too wide: each batch emits one (key,
+    2^p-register sketch) row — the shuffle moves sketches, never values
+    — and registers merge by elementwise max in-bucket. Standard HLL
+    (Flajolet et al. 2007) with the usual small-range linear counting
+    correction; hashes via polars xxhash (stable within a run).
+    """
+    import pyarrow as _pa
+
+    m = 1 << p
+
+    def _rho_registers(h: "np.ndarray") -> "np.ndarray":
+        import numpy as np
+
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = h << np.uint64(p)
+        # rank = leading zeros of remaining 64-p bits + 1 (capped)
+        rank = np.full(len(h), 64 - p + 1, dtype=np.uint8)
+        nz = rest != 0
+        if nz.any():
+            f = rest[nz].astype(np.float64)
+            lz = np.clip(63 - np.floor(np.log2(f)).astype(np.int64), 0, 64 - p)
+            rank[nz] = (lz + 1).astype(np.uint8)
+        return idx, rank
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        df = pl.from_arrow(batch.select(keys + [value_col]))
+        h = df.select(pl.col(value_col).hash(seed=7).alias("h"))["h"].to_numpy().astype(np.uint64)
+        gkeys = df.select(keys).to_arrow()
+        # group rows by key within the batch, build one sketch per key
+        key_df = pl.from_arrow(gkeys).with_row_index("__i")
+        out_keys, out_sketches = [], []
+        for kv, grp in key_df.group_by(keys):
+            rows = grp["__i"].to_numpy()
+            idx, rank = _rho_registers(h[rows])
+            regs = np.zeros(m, dtype=np.uint8)
+            np.maximum.at(regs, idx, rank)
+            out_keys.append(kv if isinstance(kv, tuple) else (kv,))
+            out_sketches.append(regs.tobytes())
+        cols = {k: pa.array([ok[i] for ok in out_keys]) for i, k in enumerate(keys)}
+        cols["__sketch"] = pa.array(out_sketches, type=_pa.binary())
+        return pa.table(cols)
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow", batch_size=batch_size)
+
+    def _merge(table: pa.Table) -> pa.Table:
+        import numpy as np
+
+        df = pl.from_arrow(table)
+        out = {k: [] for k in keys}
+        out[alias] = []
+        for kv, grp in df.group_by(keys):
+            regs = np.zeros(m, dtype=np.uint8)
+            for sk in grp["__sketch"]:
+                regs = np.maximum(regs, np.frombuffer(sk, dtype=np.uint8))
+            am = 0.7213 / (1 + 1.079 / m)
+            est = am * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+            zeros = int((regs == 0).sum())
+            if est <= 2.5 * m and zeros:
+                est = m * np.log(m / zeros)  # linear counting
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            for i, k in enumerate(keys):
+                out[k].append(kv[i])
+            out[alias].append(int(round(est)))
+        arrays = {k: pa.array(v) for k, v in out.items()}
+        arrays[alias] = pa.array(out[alias], type=_pa.int64())
+        return pa.table(arrays)
+
+    from edkray.ops.shuffle import bucketed_group_map
+
+    return bucketed_group_map(partials, keys, _merge, num_buckets=8)
+
+
 def distinct(ds: ray.data.Dataset, cols: list[str], batch_size: int = 65536) -> ray.data.Dataset:
     """Distinct rows over ``cols`` with per-batch pre-dedup before the
     shuffle (reference A4 ``unique()`` / ``list(set(...))``)."""

@@ -5,22 +5,28 @@ lifecycle (SURVEY §3, §7) over ``pages(url, warc_ts, html, text, lang)``:
 
 read (html pruned at the read) → partition-id + resume filter →
 exact URL dedup (the single wide shuffle that carries text) →
-geocode (md5-of-domain, FIXTURES.md §1) → quad/hex/S2 cells →
-temporal bucketing → grid-cell → tile assignment (modis h/v analogue)
-→ STRtree-analogue PIP join vs admin polygons (actor pool) →
-[optional kNN actor stage] → write enriched pages partitioned by
-part_id + manifest; then a NARROW ranking shuffle (url, tile_id, ts
-only — text never shuffles twice) computes the explicit deterministic
-per-tile rank that replaces gdal.BuildVRT's implicit last-source-wins
-ordering (reference dataset.py:543-552): rank ascending by
-(warc_ts, url); the winner of a tile is the MAX rank. Hot tiles
-(count > salt_threshold, count-driven) are salted into sub-groups and
-ranks recombined via prefix offsets — no single group ever holds a
-whole hot cell.
+ONE FUSED TASK STAGE [geocode (md5-of-domain, FIXTURES.md §1) →
+quad/hex/S2 cells → temporal bucketing → grid-cell → tile assignment
+(modis h/v analogue) → STRtree-analogue PIP join vs broadcast admin
+polygons → optional kNN] → write enriched pages partitioned by
+part_id + manifest; then a NARROW ranking pass (url, tile_id, ts only
+— text never shuffles twice): ONE per-(tile, salt) count job feeds
+both count-driven hot-tile detection and rank prefix offsets, then a
+bucketed shuffle computes the explicit deterministic per-tile rank
+that replaces gdal.BuildVRT's implicit last-source-wins ordering
+(reference dataset.py:543-552): rank ascending by (warc_ts, url);
+the winner of a tile is the MAX rank. Hot tiles (count >
+salt_threshold) keep their salt sub-groups (rank order (salt,
+warc_ts, url), documented) so no single task ever holds a whole hot
+cell; cold tiles collapse to one group with exact (warc_ts, url)
+order.
 
 Scale notes: the only full-width exchange is the dedup groupby; the
-ranking shuffle carries ~60 bytes/row; admin polygons and the grid are
-broadcast once via ray.put; all per-batch kernels are numpy/pyarrow.
+ranking shuffle carries ~60 bytes/row; admin polygons / kNN refs are
+broadcast once via ray.put and built once per worker process
+(process_cached) so the post-shuffle chain stays one fused task; all
+per-batch kernels are numpy/pyarrow/polars. Shuffle width is sized at
+~2 blocks per CPU (see BASELINE.md for measured scaling).
 """
 
 from __future__ import annotations

@@ -1082,6 +1082,16 @@ WHERE (o_orderkey * 2654435761) % 4294967296 < CAST(0.1 * 4294967296 AS BIGINT)
 # rows-only queries (no SQL equivalent — approximate / hash-based ops)
 
 
+def q_approx_users_per_type(sf_dir: str):
+    """HyperLogLog approximate distinct users per event type (the scale
+    path of ``users_per_type`` — shuffles sketches, not values).
+    Rows-only check: the estimate is approximate by design (±~1.6%)."""
+    from edkray.ops.aggregate import approx_count_distinct
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return approx_count_distinct(ds, ["event_type"], "user_id")
+
+
 def q_minhash_pairs(sf_dir: str):
     from edkray.ops.dedup import minhash_lsh_pairs
 
@@ -1171,6 +1181,7 @@ def queries() -> dict:
         "scaled_quantity": q_scaled_quantity,
         "sample_orders": q_sample_orders,
         # rows-only (approximate / hash-based; no SQL oracle)
+        "approx_users_per_type": q_approx_users_per_type,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lsh_embedding_pairs": q_lsh_embedding_pairs,

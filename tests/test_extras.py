@@ -90,3 +90,21 @@ class TestBandSemantics:
         assert out["v"].to_pylist() == [1.0, 21.0, None, 41.0]
         r = rescale_255(pa.table({"v": pa.array([0.0, 50.0, 100.0])}), "v", 0.0, 100.0)
         assert r["v"].to_pylist() == [0.0, 127.5, 255.0]
+
+
+class TestApproxCountDistinct:
+    def test_within_error_bound(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from edkray.ops.aggregate import approx_count_distinct
+
+        rng = np.random.default_rng(9)
+        n = 40_000
+        tbl = pa.table({"g": pa.array(rng.choice(["a", "b"], n)),
+                        "v": pa.array(rng.integers(0, 5000, n))})
+        got = approx_count_distinct(ray.data.from_arrow(tbl).repartition(4), ["g"], "v").to_pandas()
+        exp = tbl.to_pandas().groupby("g")["v"].nunique()
+        for _, row in got.iterrows():
+            true = exp[row.g]
+            assert abs(row.approx_nd - true) / true < 0.1, (row.g, row.approx_nd, true)
