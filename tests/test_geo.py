@@ -132,3 +132,56 @@ class TestDistance:
             order = np.lexsort((np.arange(len(d)), d))[:5]
             assert idx[i].tolist() == order.tolist()
             assert np.allclose(np.sort(dist[i]), dist[i])
+
+
+def _s2_id_slow(lon: float, lat: float, level: int) -> int:
+    """Independent per-point S2 id: walks the Hilbert curve level by
+    level with the published orientation tables (no 4-bit lookup
+    batching) — cross-checks the vectorized kernel."""
+    from edkray.geo.s2 import (
+        _INVERT,
+        _POS_TO_IJ,
+        _POS_TO_ORIENT,
+        _SWAP,
+        MAX_LEVEL,
+        _lonlat_to_xyz,
+        _st_to_ij,
+        _uv_to_st,
+        _xyz_to_face_uv,
+    )
+
+    x, y, z = _lonlat_to_xyz(np.array([lon]), np.array([lat]))
+    face, u, v = _xyz_to_face_uv(x, y, z)
+    i = int(_st_to_ij(_uv_to_st(u))[0])
+    j = int(_st_to_ij(_uv_to_st(v))[0])
+    face = int(face[0])
+
+    orient = face & _SWAP
+    pos = 0
+    for lvl in range(MAX_LEVEL - 1, -1, -1):
+        bi = (i >> lvl) & 1
+        bj = (j >> lvl) & 1
+        ij = bi * 2 + bj
+        # find the sub-position whose ij matches under current orientation
+        r = _POS_TO_IJ[orient]
+        sub = r.index(ij)
+        pos = pos * 4 + sub
+        orient ^= _POS_TO_ORIENT[sub]
+    leaf = (face << 61) | (pos << 1) | 1  # id layout: face@61..63, pos@1..60, lsb 1
+    # parent at `level`
+    lsb = 1 << (2 * (MAX_LEVEL - level))
+    return (leaf & ~(lsb - 1) & 0xFFFFFFFFFFFFFFFF) | lsb
+
+
+class TestS2Independent:
+    def test_matches_slow_recursive(self):
+        from edkray.geo.s2 import s2_cellid
+
+        rng = np.random.default_rng(21)
+        lon = rng.uniform(-180, 180, 40)
+        lat = rng.uniform(-85, 85, 40)
+        for lvl in (5, 12, 30):
+            fast = s2_cellid(lon, lat, lvl)
+            for i in range(len(lon)):
+                assert int(fast[i]) == _s2_id_slow(float(lon[i]), float(lat[i]), lvl), (
+                    lon[i], lat[i], lvl)
