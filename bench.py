@@ -114,10 +114,13 @@ def run_flagship(sf_dir: str, out_root: str, mult: int = 1) -> tuple[float, int]
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.time()
     # full north-star pipeline: dedup → geocode/cells → tile → PIP →
-    # kNN (5000 reference points, k=3, exact) → write + rank
+    # kNN (5000 reference points, k=3, exact) → write + rank.
+    # GRAFT_DEDUP_MODE=narrow uses the scale-path dedup (decision
+    # shuffle only; wide rows never shuffle) — the --scaling default.
     run_spatial_pipeline(pages, admin=make_admin(), out_dir=out_dir,
                          knn_refs=make_knn_refs(5000),
-                         num_partitions=16, resume=False)
+                         num_partitions=16, resume=False,
+                         dedup_mode=os.environ.get("GRAFT_DEDUP_MODE", "wide"))
     return time.time() - t0, n_docs
 
 
@@ -152,7 +155,8 @@ def main() -> None:
         results: dict[int, dict] = {}
         for cpus in (8, 32, 8, 32):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR,
-                       GRAFT_BENCH_MULT=os.environ.get("GRAFT_BENCH_MULT", "4"))
+                       GRAFT_BENCH_MULT=os.environ.get("GRAFT_BENCH_MULT", "4"),
+                       GRAFT_DEDUP_MODE=os.environ.get("GRAFT_DEDUP_MODE", "narrow"))
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--flagship-only", "--once"],
                 env=env, capture_output=True, text=True, timeout=3600,

@@ -144,6 +144,7 @@ def run_spatial_pipeline(
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 65536,
     resume: bool = True,
+    dedup_mode: str = "wide",
 ) -> dict:
     """Run the full pipeline; returns the manifest metrics dict.
 
@@ -177,6 +178,7 @@ def run_spatial_pipeline(
                 freq,
                 query_bbox,
                 k if knn_refs is not None else None,
+                dedup_mode,
                 pl.__version__,  # part_id hash stability domain
             )
         ).encode()
@@ -217,9 +219,68 @@ def run_spatial_pipeline(
 
     ds = ds.map_batches(_part_filter, batch_format="pyarrow", batch_size=batch_size)
 
-    # 3. exact dedup by url — first by (warc_ts, text); the one wide shuffle
-    ds = exact_dedup(ds, ["url"], ["warc_ts", "text"], num_buckets=num_buckets,
-                     batch_size=batch_size)
+    # 3. exact dedup by url — first by (warc_ts, text)
+    if dedup_mode == "wide":
+        # general path: one wide shuffle carries full rows
+        ds = exact_dedup(ds, ["url"], ["warc_ts", "text"], num_buckets=num_buckets,
+                         batch_size=batch_size)
+    elif dedup_mode == "narrow":
+        # scale path: the dedup DECISION shuffles only ~24 B/row
+        # (url-hash, ts, text-hash); the wide rows never shuffle — each
+        # task filters itself against the broadcast winner-key set, so
+        # read → filter → enrich → write is one fused, all-to-all-free
+        # stage. Tiebreak is (warc_ts, xxh64(text)) instead of
+        # (warc_ts, text) — equal except under 64-bit hash collision.
+        # Caveat (documented): fully identical (url, ts, text) rows in
+        # DIFFERENT blocks both survive (within-block copies are
+        # deduped locally); use "wide" when exact full-row duplicates
+        # can span blocks. Winner keys are 8 B/unique-url; at corpus
+        # sizes where they exceed the object store, partition both
+        # sides by url-hash and filter per partition instead.
+        def _decision(batch: pa.Table) -> pa.Table:
+            uh = pl.from_arrow(batch["url"]).hash(seed=3).to_numpy().astype(np.uint64)
+            th = pl.from_arrow(batch["text"]).hash(seed=5).to_numpy().astype(np.uint64)
+            ts = batch["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            return pa.table({"uh": pa.array(uh), "ts": pa.array(ts), "th": pa.array(th)})
+
+        from edkray.ops.shuffle import bucketed_group_map
+        from edkray.utils import fnv1a64_int
+
+        dec = ds.map_batches(_decision, batch_format="pyarrow", batch_size=batch_size)
+
+        def _winners(table: pa.Table) -> pa.Table:
+            df = (
+                pl.from_arrow(table)
+                .sort(["ts", "th"], maintain_order=True)
+                .unique(subset=["uh"], keep="first", maintain_order=True)
+            )
+            return df.to_arrow()
+
+        win = bucketed_group_map(dec, ["uh"], _winners, num_buckets=num_buckets).to_pandas()
+        wk = (
+            fnv1a64_int(win["uh"].to_numpy().astype(np.uint64))
+            ^ fnv1a64_int(win["ts"].to_numpy().astype(np.uint64), seed=1)
+            ^ fnv1a64_int(win["th"].to_numpy().astype(np.uint64), seed=2)
+        )
+        wk_ref = ray.put(np.sort(wk))
+
+        def _winner_filter(batch: pa.Table) -> pa.Table:
+            keys = ray.get(wk_ref)
+            uh = pl.from_arrow(batch["url"]).hash(seed=3).to_numpy().astype(np.uint64)
+            th = pl.from_arrow(batch["text"]).hash(seed=5).to_numpy().astype(np.uint64)
+            ts = batch["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+            k = fnv1a64_int(uh) ^ fnv1a64_int(ts, seed=1) ^ fnv1a64_int(th, seed=2)
+            pos = np.searchsorted(keys, k)
+            keep = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)] == k)
+            batch = batch.filter(pa.array(keep))
+            # drop within-block copies of the same winning row
+            df = pl.from_arrow(batch).unique(subset=["url", "warc_ts", "text"],
+                                             keep="first", maintain_order=True)
+            return df.to_arrow()
+
+        ds = ds.map_batches(_winner_filter, batch_format="pyarrow", batch_size=batch_size)
+    else:
+        raise ValueError(f"dedup_mode must be 'wide' or 'narrow', got {dedup_mode!r}")
 
     # 4-6. ONE fused task stage: geocode + cells + [bbox] + temporal
     # bucket + tile + PIP [+ kNN]. Task-based (not actor-pool) so Ray

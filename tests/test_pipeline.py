@@ -193,3 +193,29 @@ class TestResume:
         purged = m.purge_incomplete([str(d)], 2)
         assert purged == [1]
         assert (d / "part_id=0").exists() and not (d / "part_id=1").exists()
+
+
+class TestNarrowDedup:
+    def test_narrow_mode_matches_wide(self, ray_session, fixture_dir, tmp_path_factory):
+        """The narrow (decision-shuffle + winner-filter) dedup produces
+        the same assignments as the wide full-row shuffle on the
+        fixture corpus (dup urls differ in warc_ts, so the
+        (ts, text-hash) tiebreak coincides with (ts, text))."""
+        import pyarrow.parquet as pq
+
+        from edkray.pipelines.spatial import run_spatial_pipeline
+
+        pages = os.path.join(fixture_dir, "pages.parquet")
+        admin = make_admin()
+        outs = {}
+        for mode in ("wide", "narrow"):
+            out = str(tmp_path_factory.mktemp(f"dedup_{mode}"))
+            run_spatial_pipeline(pages, admin=admin, out_dir=out,
+                                 num_partitions=4, resume=False, dedup_mode=mode)
+            df = pq.read_table(os.path.join(out, "assignments")).to_pandas()
+            outs[mode] = df.sort_values("url").reset_index(drop=True)
+        a, b = outs["wide"], outs["narrow"]
+        assert len(a) == len(b)
+        for col in ("url", "tile_id", "cell_7", "admin_id", "rank"):
+            av, bv = a[col].to_numpy(), b[col].to_numpy()
+            assert all((x == y) or (pd.isna(x) and pd.isna(y)) for x, y in zip(av, bv)), col
