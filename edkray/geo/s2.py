@@ -150,9 +150,12 @@ def s2_token(cell_id: np.ndarray) -> np.ndarray:
 
     cell_id = np.ascontiguousarray(np.asarray(cell_id, dtype=np.uint64))
     if cell_id.size == 0:
-        return np.empty(0, dtype=object)
+        # U16 (not object) so pa.array() infers string even for an empty
+        # block — an object-typed empty array infers null and causes
+        # parquet schema drift across blocks
+        return np.empty(cell_id.shape, dtype="U16")
     hexes = np.frombuffer(
         binascii.hexlify(cell_id.astype(">u8").tobytes()), dtype="S16"
     )
     stripped = np.char.rstrip(hexes, b"0").astype("U16")
-    return np.where(stripped == "", "X", stripped)
+    return np.where(stripped == "", "X", stripped).reshape(cell_id.shape)

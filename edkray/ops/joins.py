@@ -77,6 +77,7 @@ def broadcast_join(
 
 
 _STATE_CACHE: dict = {}
+_STATE_CACHE_MAX = 8
 
 
 def process_cached(ref, builder):
@@ -87,10 +88,30 @@ def process_cached(ref, builder):
     polygon index, a modest kNN matrix), a plain task + per-process
     cache keeps the whole post-shuffle chain fused into one task while
     still fetching the broadcast object only once per worker process.
+
+    Keys must be stable across calls: an ``ObjectRef`` is keyed by its
+    hex id; any other object must be hashable (e.g. a string path or a
+    tuple of scalars) — keying by ``id()`` is forbidden because CPython
+    reuses ids after GC, which could silently return state built from a
+    different, freed object. The cache is bounded (FIFO, last
+    ``_STATE_CACHE_MAX`` entries) so long-lived Ray workers don't
+    accumulate one index per pipeline run.
     """
-    key = ref.hex() if isinstance(ref, ray.ObjectRef) else id(ref)
+    if isinstance(ref, ray.ObjectRef):
+        key = ref.hex()
+    else:
+        try:
+            key = ("plain", hash(ref), type(ref).__name__)
+        except TypeError:
+            raise TypeError(
+                "process_cached requires a ray.ObjectRef or a hashable key "
+                f"object, got unhashable {type(ref).__name__}; ray.put() the "
+                "state and pass the ObjectRef"
+            ) from None
     if key not in _STATE_CACHE:
         obj = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        while len(_STATE_CACHE) >= _STATE_CACHE_MAX:
+            _STATE_CACHE.pop(next(iter(_STATE_CACHE)))
         _STATE_CACHE[key] = builder(obj)
     return _STATE_CACHE[key]
 
@@ -174,9 +195,17 @@ class KnnJoin:
         k = min(self.k, m)
         out_idx = np.empty((len(lon), k), dtype=np.int64)
         # reused buffer: fresh large allocations per chunk page-fault
-        # hard (lazily-backed VM memory) and double peak memory
-        if not hasattr(self, "_buf") or self._buf.shape[1] != m:
-            self._buf = np.empty((min(self.CHUNK, len(lon)), m), dtype=np.float64)
+        # hard (lazily-backed VM memory) and double peak memory. Must be
+        # sized to CHUNK (not the first batch's length): batch sizes vary
+        # across an actor's lifetime, and a small first batch followed by
+        # a larger one would otherwise make np.matmul(..., out=) raise.
+        rows = min(self.CHUNK, len(lon))
+        if (
+            not hasattr(self, "_buf")
+            or self._buf.shape[1] != m
+            or self._buf.shape[0] < rows
+        ):
+            self._buf = np.empty((self.CHUNK, m), dtype=np.float64)
             self._neg = np.empty_like(self._buf)
         ut = np.ascontiguousarray(self.units.T)
         for s in range(0, len(lon), self.CHUNK):

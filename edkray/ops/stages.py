@@ -162,15 +162,23 @@ def deterministic_sample(
     batch: pa.Table, key_col: str, rate: float, knuth: int = 2654435761
 ) -> pa.Table:
     """Keep ~``rate`` of rows by Knuth multiplicative hash of an integer
-    key — fully deterministic and exactly reproducible in ANSI SQL
-    (``(key * 2654435761) % 4294967296 < rate * 2**32``), unlike
-    ``Dataset.random_sample``. Sampling is per-KEY, so all rows of a key
-    are kept or dropped together (stable joins downstream)."""
+    key — fully deterministic and, for NON-NEGATIVE keys, exactly
+    reproducible in ANSI SQL: ``(key * 2654435761) % 4294967296 <
+    rate * 2**32`` (cast the product to HUGEINT for keys ≥ 2^32 — DuckDB
+    raises on int64 overflow where this uint64 path wraps; since 2^32
+    divides 2^64, the wrap never changes the mod-2^32 result). Negative
+    keys are rejected: numpy's wrap and SQL modulo sign rules diverge
+    there. Sampling is per-KEY, so all rows of a key are kept or dropped
+    together (stable joins downstream)."""
     import numpy as np
 
-    keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    threshold = np.int64(rate * (1 << 32))
-    keep = (keys * np.int64(knuth)) % np.int64(1 << 32) < threshold
+    signed = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    if (signed < 0).any():
+        raise ValueError("deterministic_sample requires non-negative keys")
+    keys = signed.astype(np.uint64)
+    threshold = np.uint64(int(rate * (1 << 32)))
+    with np.errstate(over="ignore"):
+        keep = (keys * np.uint64(knuth)) % np.uint64(1 << 32) < threshold
     return batch.filter(pa.array(keep))
 
 

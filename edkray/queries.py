@@ -647,7 +647,7 @@ WITH t AS (
   SELECT lang, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt FROM documents
 )
 SELECT lang, count(*) AS n_docs,
-       sum(CASE WHEN tt = '' THEN 0 ELSE len(regexp_split_to_array(tt, '\s+')) END) AS sum_tokens
+       CAST(sum(CASE WHEN tt = '' THEN 0 ELSE len(regexp_split_to_array(tt, '\s+')) END) AS BIGINT) AS sum_tokens
 FROM t GROUP BY lang
 """
 
@@ -670,8 +670,9 @@ def q_quality_by_source(sf_dir: str):
 
 
 _SQL_QUALITY = """
-SELECT source, count(*) AS n_docs, sum(length(text)) AS sum_chars,
-       sum(length(regexp_replace(text, '[^0-9]', '', 'g'))) AS sum_digits
+SELECT source, count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+       CAST(sum(length(regexp_replace(text, '[^0-9]', '', 'g'))) AS BIGINT) AS sum_digits
 FROM documents GROUP BY source
 """
 
