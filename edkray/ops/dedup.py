@@ -78,9 +78,23 @@ def minhash_signature(text: str, num_perm: int, k: int, a: np.ndarray, b: np.nda
     return hm.min(axis=1)
 
 
+def _batch_signatures(
+    texts: list, num_perm: int, k: int, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """(n, num_perm) uint64 signatures for a list of documents."""
+    sigs = np.empty((len(texts), num_perm), dtype=np.uint64)
+    for i, text in enumerate(texts):
+        sigs[i] = minhash_signature(text or "", num_perm, k, a, b)
+    return sigs
+
+
 class MinHasher:
     """Actor-pool stage: permutation params generated once per actor;
-    emits one row per (doc, band): (doc_id, band, band_hash, sig)."""
+    emits one NARROW row per (doc, band): (doc_id, band, band_hash) —
+    ~20 B/row. Round 1 shipped the full 64-perm signature on every band
+    row (~8 KB/doc through the shuffle, 10-100× the necessary bytes);
+    signatures are now recomputed only for LSH candidates in the
+    verification pass."""
 
     def __init__(self, id_col="doc_id", text_col="text", num_perm=64, bands=16, k=8, seed=7):
         self.id_col, self.text_col = id_col, text_col
@@ -92,9 +106,7 @@ class MinHasher:
         ids = batch[self.id_col].to_pylist()
         texts = batch[self.text_col].to_pylist()
         n = len(ids)
-        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
-        for i, text in enumerate(texts):
-            sigs[i] = minhash_signature(text or "", self.num_perm, self.k, self.a, self.b)
+        sigs = _batch_signatures(texts, self.num_perm, self.k, self.a, self.b)
         # band hash: mix the rows of each band into one uint64
         r = self.rows_per_band
         banded = sigs.reshape(n, self.bands, r)
@@ -102,18 +114,81 @@ class MinHasher:
             bh = np.zeros((n, self.bands), dtype=np.uint64)
             for j in range(r):
                 bh = bh * np.uint64(0x100000001B3) + banded[:, :, j]
-        out_ids = np.repeat(np.asarray(ids, dtype=np.int64), self.bands)
-        out_band = np.tile(np.arange(self.bands, dtype=np.int32), n)
-        out_bh = bh.reshape(-1)
-        out_sig = np.repeat(sigs, self.bands, axis=0)
         return pa.table(
             {
-                self.id_col: pa.array(out_ids),
-                "band": pa.array(out_band),
-                "band_hash": pa.array(out_bh),
-                "sig": pa.array(list(out_sig), type=pa.list_(pa.uint64())),
+                self.id_col: pa.array(np.repeat(np.asarray(ids, dtype=np.int64), self.bands)),
+                "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
+                "band_hash": pa.array(bh.reshape(-1)),
             }
         )
+
+
+def _minhash_candidates(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    num_perm: int,
+    bands: int,
+    k: int,
+    concurrency,
+    batch_size: int,
+) -> pd.DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing ≥1 LSH band.
+
+    The shuffle carries only (doc_id, band, band_hash); the final
+    distinct pair set is collected (candidates ≪ corpus by LSH design
+    — they bound the op's own output size)."""
+    band_rows = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(
+            id_col=id_col, text_col=text_col, num_perm=num_perm, bands=bands, k=k
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+    _empty = pd.DataFrame({"id_a": [], "id_b": []}).astype({"id_a": "int64", "id_b": "int64"})
+
+    def _bucket_pairs(table: pa.Table) -> pa.Table:
+        # one hash bucket = many whole (band, band_hash) groups; per-group
+        # pair generation loops in-task (no Ray per-group overhead)
+        df = table.to_pandas()
+        outs = []
+        for _, group in df.groupby(["band", "band_hash"], sort=False):
+            ids = np.unique(group[id_col].to_numpy())
+            if len(ids) < 2:
+                continue
+            ia, ib = np.triu_indices(len(ids), k=1)
+            outs.append(pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]}))
+        return pa.Table.from_pandas(
+            pd.concat(outs, ignore_index=True) if outs else _empty, preserve_index=False
+        )
+
+    pairs = bucketed_group_map(band_rows, ["band", "band_hash"], _bucket_pairs, num_buckets=32)
+    # same pair can surface from several bands → distinct on (id_a, id_b)
+    pairs = bucketed_group_map(
+        pairs, ["id_a", "id_b"], dedup_in_bucket(["id_a", "id_b"], ["id_a"]), num_buckets=16
+    )
+    return pairs.to_pandas()
+
+
+def _gather_candidate_texts(
+    ds: ray.data.Dataset, id_col: str, text_col: str, need: np.ndarray, batch_size: int
+) -> dict:
+    """Second streaming pass over ``ds``: broadcast the sorted candidate
+    id set, keep only matching rows. Returns {id: text} for candidates."""
+    need_ref = ray.put(np.sort(need))
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(need_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(wanted, ids)
+        keep = (pos < len(wanted)) & (wanted[np.minimum(pos, len(wanted) - 1)] == ids)
+        return batch.select([id_col, text_col]).filter(pa.array(keep))
+
+    got = ds.map_batches(_filter, batch_format="pyarrow", batch_size=batch_size).to_pandas()
+    return dict(zip(got[id_col].to_numpy(), got[text_col]))
 
 
 def minhash_lsh_pairs(
@@ -127,56 +202,100 @@ def minhash_lsh_pairs(
     concurrency: int | tuple[int, int] = (1, 4),
     batch_size: int = 8192,
 ) -> ray.data.Dataset:
-    """Near-duplicate candidate pairs with estimated Jaccard ≥ threshold.
+    """Near-duplicate pairs with estimated Jaccard ≥ threshold.
 
-    shingle→minhash (actor pool) → explode to band rows → groupby
-    (band, band_hash) shuffle → in-bucket pairwise signature agreement →
-    canonical pair rows (id_a < id_b, est_jaccard). Pairs surfacing in
-    multiple bands are deduplicated by a final groupby-first.
+    shingle→minhash → NARROW band rows (doc_id, band, band_hash) →
+    groupby (band, band_hash) shuffle → distinct candidate pairs →
+    verification pass: signatures recomputed for candidate docs only
+    (second pass over ``ds`` with a broadcast id filter), est_jaccard =
+    full-signature agreement, filter ≥ threshold. Output identical to
+    the round-1 sig-on-every-band-row version at a fraction of the
+    shuffle bytes. ``ds`` is consumed twice — pass a re-readable source.
     """
-    band_rows = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(
-            id_col=id_col, text_col=text_col, num_perm=num_perm, bands=bands, k=k
-        ),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
+    cand = _minhash_candidates(ds, id_col, text_col, num_perm, bands, k, concurrency, batch_size)
+    empty = pa.table(
+        {
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            "est_jaccard": pa.array([], type=pa.float64()),
+        }
     )
-
-    _empty = pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []}).astype(
-        {"id_a": "int64", "id_b": "int64", "est_jaccard": "float64"}
-    )
-
-    def _bucket_pairs(table: pa.Table) -> pa.Table:
-        # one hash bucket = many whole (band, band_hash) groups; per-group
-        # pair generation loops in-task (no Ray per-group overhead)
-        df = table.to_pandas()
-        outs = []
-        for _, group in df.groupby(["band", "band_hash"], sort=False):
-            g = group.sort_values(id_col, kind="stable").drop_duplicates(subset=[id_col])
-            n = len(g)
-            if n < 2:
-                continue
-            ids = g[id_col].to_numpy()
-            sigs = np.stack(g["sig"].to_numpy())  # (n, num_perm)
-            ia, ib = np.triu_indices(n, k=1)
-            est = (sigs[ia] == sigs[ib]).mean(axis=1)
-            keep = est >= threshold
-            if keep.any():
-                outs.append(
-                    pd.DataFrame(
-                        {"id_a": ids[ia][keep], "id_b": ids[ib][keep], "est_jaccard": est[keep]}
-                    )
-                )
-        return pa.Table.from_pandas(
-            pd.concat(outs, ignore_index=True) if outs else _empty, preserve_index=False
+    if len(cand) == 0:
+        return ray.data.from_arrow(empty)
+    need = np.unique(np.concatenate([cand["id_a"].to_numpy(), cand["id_b"].to_numpy()]))
+    texts = _gather_candidate_texts(ds, id_col, text_col, need, batch_size)
+    a, b = _perm_params(num_perm)
+    sigs = _batch_signatures([texts.get(i) for i in need], num_perm, k, a, b)
+    row = {int(i): j for j, i in enumerate(need)}
+    sa = sigs[[row[int(i)] for i in cand["id_a"]]]
+    sb = sigs[[row[int(i)] for i in cand["id_b"]]]
+    est = (sa == sb).mean(axis=1)
+    keep = est >= threshold
+    if not keep.any():
+        return ray.data.from_arrow(empty)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array(cand["id_a"].to_numpy()[keep].astype(np.int64)),
+                "id_b": pa.array(cand["id_b"].to_numpy()[keep].astype(np.int64)),
+                "est_jaccard": pa.array(est[keep]),
+            }
         )
+    )
 
-    pairs = bucketed_group_map(band_rows, ["band", "band_hash"], _bucket_pairs, num_buckets=32)
-    # same pair can surface from several bands → distinct on (id_a, id_b)
-    return bucketed_group_map(
-        pairs, ["id_a", "id_b"], dedup_in_bucket(["id_a", "id_b"], ["est_jaccard"]), num_buckets=16
+
+def minhash_jaccard_pairs(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 8,
+    threshold: float = 0.5,
+    concurrency: int | tuple[int, int] = (1, 4),
+    batch_size: int = 8192,
+) -> ray.data.Dataset:
+    """MinHash-LSH candidates verified by EXACT char-k-gram Jaccard ≥
+    threshold — SQL-checkable near-dup dedup (the DuckDB n-gram Jaccard
+    query is its oracle when LSH recall is 1, which holds whenever true
+    pairs sit well above the banding threshold: at J ≥ 0.9 the per-pair
+    miss probability with 16 bands × 4 rows is (1-0.9⁴)^16 ≈ 2e-9).
+    Output (id_a, id_b, jaccard)."""
+    cand = _minhash_candidates(ds, id_col, text_col, num_perm, bands, k, concurrency, batch_size)
+    empty = pa.table(
+        {
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            "jaccard": pa.array([], type=pa.float64()),
+        }
+    )
+    if len(cand) == 0:
+        return ray.data.from_arrow(empty)
+    need = np.unique(np.concatenate([cand["id_a"].to_numpy(), cand["id_b"].to_numpy()]))
+    texts = _gather_candidate_texts(ds, id_col, text_col, need, batch_size)
+    grams = {
+        int(i): np.unique(kgram_hashes((texts.get(i) or "").encode("utf-8", "ignore"), k))
+        for i in need
+    }
+    ja = np.empty(len(cand), dtype=np.float64)
+    for j, (ia, ib) in enumerate(zip(cand["id_a"], cand["id_b"])):
+        ga, gb = grams[int(ia)], grams[int(ib)]
+        if len(ga) == 0 and len(gb) == 0:
+            ja[j] = 1.0
+            continue
+        inter = np.intersect1d(ga, gb, assume_unique=True).size
+        ja[j] = inter / (len(ga) + len(gb) - inter)
+    keep = ja >= threshold
+    if not keep.any():
+        return ray.data.from_arrow(empty)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array(cand["id_a"].to_numpy()[keep].astype(np.int64)),
+                "id_b": pa.array(cand["id_b"].to_numpy()[keep].astype(np.int64)),
+                "jaccard": pa.array(ja[keep]),
+            }
+        )
     )
 
 
@@ -292,67 +411,121 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
-    nbits: int = 12,
+    bands: int = 64,
+    rbits: int = 4,
     threshold: float = 0.95,
     seed: int = 11,
     batch_size: int = 16384,
 ) -> ray.data.Dataset:
-    """Embedding-cosine near-dup: random-hyperplane LSH buckets →
-    exact in-bucket cosine ≥ threshold. Output (id_a, id_b, cosine)."""
+    """Embedding-cosine near-dup via BANDED random-hyperplane LSH +
+    exact cosine verification. Output (id_a, id_b, cosine), id_a < id_b.
 
-    class _HyperplaneBucketer:
-        def __init__(self):
-            self.planes = None  # lazily sized from first batch
+    Round-1 postmortem: a single 12-bit band has all-bits-agree
+    probability ~(1-θ/π)^12 ≈ 0.4% at cos 0.4 → recall ≈ 0. Banding
+    fixes recall multiplicatively: P(miss) = (1 - p^rbits)^bands with
+    p = 1 - θ/π; at cos 0.4 (p≈0.631) the default 64 bands × 4 bits
+    gives P(miss) ≈ 1.6e-5 per pair. Tighter thresholds allow fewer,
+    wider bands.
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch[id_col].to_numpy(zero_copy_only=False)
-            emb = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
-            if self.planes is None:
-                d = dim or emb.shape[1]
-                self.planes = np.random.default_rng(seed).standard_normal((d, nbits))
-            bits = (emb @ self.planes) > 0
-            bucket = np.zeros(len(ids), dtype=np.int64)
-            for j in range(nbits):
-                bucket = bucket * 2 + bits[:, j]
-            norm = np.linalg.norm(emb, axis=1)
-            norm[norm == 0] = 1.0
-            unit = emb / norm[:, None]
-            return pa.table(
-                {
-                    id_col: pa.array(ids),
-                    "bucket": pa.array(bucket),
-                    "unit": pa.array(list(unit), type=pa.list_(pa.float64())),
-                }
-            )
+    Scale shape (three passes, all streaming):
+    1. band rows — each doc emits ``bands`` NARROW rows (id, band,
+       bucket ≤ 20 B); the embedding itself never shuffles.
+    2. groupby (band, bucket) → candidate id pairs; cross-band dedup.
+    3. verification gather: candidate ids are broadcast, a second pass
+       over ``ds`` streams out only candidate unit vectors, and exact
+       cosine filters ≥ threshold. Candidate pairs are assumed ≪ corpus
+       (LSH selectivity) — they are the op's output, so they bound
+       driver memory by definition.
 
-    rows = ds.map_batches(
-        _HyperplaneBucketer, batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 2)
-    )
+    ``ds`` is consumed twice (banding + gather) — pass a re-readable
+    source (e.g. ``read_parquet``), not an expensive upstream pipeline.
+    """
 
-    _empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
-        {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+    def _planes(d: int) -> np.ndarray:
+        return np.random.default_rng(seed).standard_normal((d, bands * rbits))
+
+    weights = (1 << np.arange(rbits, dtype=np.int64))[None, None, :]
+
+    def _band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        emb = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        planes = _planes(dim or emb.shape[1])
+        bits = (emb @ planes) > 0  # (n, bands*rbits)
+        buckets = (bits.reshape(len(ids), bands, rbits) * weights).sum(axis=2)
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids.astype(np.int64), bands)),
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), len(ids))),
+                "bucket": pa.array(buckets.reshape(-1)),
+            }
+        )
+
+    rows = ds.map_batches(_band_rows, batch_format="pyarrow", batch_size=batch_size)
+
+    _empty_pairs = pd.DataFrame({"id_a": [], "id_b": []}).astype(
+        {"id_a": "int64", "id_b": "int64"}
     )
 
     def _bucket_pairs(table: pa.Table) -> pa.Table:
         df = table.to_pandas()
         outs = []
-        for _, group in df.groupby("bucket", sort=False):
-            g = group.sort_values(id_col, kind="stable").drop_duplicates(subset=[id_col])
-            if len(g) < 2:
+        for _, group in df.groupby(["band", "bucket"], sort=False):
+            ids = np.unique(group[id_col].to_numpy())
+            if len(ids) < 2:
                 continue
-            ids = g[id_col].to_numpy()
-            unit = np.stack(g["unit"].to_numpy())
-            cos = unit @ unit.T
-            ia, ib = np.triu_indices(len(g), k=1)
-            c = cos[ia, ib]
-            keep = c >= threshold
-            if keep.any():
-                outs.append(
-                    pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep], "cosine": c[keep]})
-                )
+            ia, ib = np.triu_indices(len(ids), k=1)
+            outs.append(pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]}))
         return pa.Table.from_pandas(
-            pd.concat(outs, ignore_index=True) if outs else _empty, preserve_index=False
+            pd.concat(outs, ignore_index=True) if outs else _empty_pairs, preserve_index=False
         )
 
-    # each (id_a, id_b) pair appears in exactly one LSH bucket → no final dedup
-    return bucketed_group_map(rows, ["bucket"], _bucket_pairs, num_buckets=16)
+    cand = bucketed_group_map(rows, ["band", "bucket"], _bucket_pairs, num_buckets=32)
+    # a pair can surface from many bands → distinct on (id_a, id_b)
+    cand = bucketed_group_map(
+        cand, ["id_a", "id_b"], dedup_in_bucket(["id_a", "id_b"], ["id_a"]), num_buckets=16
+    )
+
+    cand_df = cand.to_pandas()
+    empty = pa.table(
+        {
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            "cosine": pa.array([], type=pa.float64()),
+        }
+    )
+    if len(cand_df) == 0:
+        return ray.data.from_arrow(empty)
+
+    need = np.unique(np.concatenate([cand_df["id_a"].to_numpy(), cand_df["id_b"].to_numpy()]))
+    need_ref = ray.put(np.sort(need))
+
+    def _gather(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(need_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(wanted, ids)
+        keep = (pos < len(wanted)) & (wanted[np.minimum(pos, len(wanted) - 1)] == ids)
+        if not keep.any():
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "unit": pa.array([], type=pa.list_(pa.float64()))})
+        emb = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)[keep]).astype(np.float64)
+        norm = np.linalg.norm(emb, axis=1)
+        norm[norm == 0] = 1.0
+        unit = emb / norm[:, None]
+        return pa.table(
+            {id_col: pa.array(ids[keep]), "unit": pa.array(list(unit), type=pa.list_(pa.float64()))}
+        )
+
+    got = ds.map_batches(_gather, batch_format="pyarrow", batch_size=batch_size).to_pandas()
+    unit_by_id = dict(zip(got[id_col].to_numpy(), (np.asarray(u) for u in got["unit"])))
+    ua = np.stack([unit_by_id[i] for i in cand_df["id_a"]])
+    ub = np.stack([unit_by_id[i] for i in cand_df["id_b"]])
+    cos = np.einsum("ij,ij->i", ua, ub)
+    keep = cos >= threshold
+    out = pa.table(
+        {
+            "id_a": pa.array(cand_df["id_a"].to_numpy()[keep].astype(np.int64)),
+            "id_b": pa.array(cand_df["id_b"].to_numpy()[keep].astype(np.int64)),
+            "cosine": pa.array(cos[keep]),
+        }
+    )
+    return ray.data.from_arrow(out if len(out) else empty)

@@ -779,7 +779,8 @@ def q_ngram_jaccard_pairs(sf_dir: str, k: int = 8, threshold: float = 0.1):
     return ds.map_batches(_PairGen, batch_format="pyarrow", concurrency=(1, 2), batch_size=256)
 
 
-_SQL_JACCARD = """
+def _sql_jaccard(threshold: float) -> str:
+    return f"""
 WITH g AS (
   SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 8) AS gram
   FROM (SELECT doc_id, text,
@@ -794,8 +795,11 @@ WITH g AS (
 )
 SELECT id_a, id_b, CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jaccard
 FROM inter JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
-WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.1
+WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= {threshold}
 """
+
+
+_SQL_JACCARD = _sql_jaccard(0.1)
 
 
 # --------------------------------------------------------------------------
@@ -1100,6 +1104,17 @@ def q_minhash_pairs(sf_dir: str):
     return minhash_lsh_pairs(ds, threshold=0.5, concurrency=(1, 2))
 
 
+def q_minhash_jaccard_pairs(sf_dir: str):
+    """MinHash-LSH candidate pairs verified by EXACT char-8-gram
+    Jaccard ≥ 0.5 — distributed near-dup dedup with a full SQL oracle
+    (`_sql_jaccard(0.5)`); recall 1 is guaranteed on this corpus because
+    true ≥0.5 pairs all sit at J ≥ 0.92 (banding miss prob ~2e-9)."""
+    from edkray.ops.dedup import minhash_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_jaccard_pairs(ds, threshold=0.5, concurrency=(1, 2))
+
+
 def q_simhash_pairs(sf_dir: str):
     from edkray.ops.dedup import simhash_pairs
 
@@ -1108,10 +1123,16 @@ def q_simhash_pairs(sf_dir: str):
 
 
 def q_lsh_embedding_pairs(sf_dir: str):
+    """Banded-LSH near-dup pairs, exact-cosine verified. With the
+    default 64 bands × 4 bits the per-pair miss probability at the cos
+    0.4 threshold is ~1.6e-5, so the output EQUALS the exact pair set
+    (the `cosine_dup_pairs` SQL is its oracle); a recall test asserts
+    this equality on the test corpora."""
     from edkray.ops.dedup import embedding_dup_pairs
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return embedding_dup_pairs(ds, threshold=0.4)
+    out = embedding_dup_pairs(ds, threshold=0.4)
+    return out.map_batches(lambda b: b.select(["id_a", "id_b"]), batch_format="pyarrow")
 
 
 def q_fingerprints(sf_dir: str):
@@ -1181,6 +1202,7 @@ def queries() -> dict:
         "mercator_customers": q_mercator_customers,
         "scaled_quantity": q_scaled_quantity,
         "sample_orders": q_sample_orders,
+        "minhash_jaccard_pairs": q_minhash_jaccard_pairs,
         # rows-only (approximate / hash-based; no SQL oracle)
         "approx_users_per_type": q_approx_users_per_type,
         "minhash_pairs": q_minhash_pairs,
@@ -1223,4 +1245,12 @@ def oracle_sql() -> dict:
         "mercator_customers": _SQL_MERCATOR,
         "scaled_quantity": _SQL_SCALED,
         "sample_orders": _SQL_SAMPLE,
+        # banded LSH with exact verification: miss prob ~1.6e-5/pair →
+        # output equals the exact cosine pair set on these corpora
+        # (asserted by the recall test); same SQL as cosine_dup_pairs
+        # minus the cosine column
+        "lsh_embedding_pairs": _SQL_COS_DUP,
+        # LSH candidates + exact-Jaccard verification: equals the full
+        # exact pair set at threshold 0.5 (recall test asserts)
+        "minhash_jaccard_pairs": _sql_jaccard(0.5),
     }

@@ -426,3 +426,41 @@ class TestRound2Fixes:
         assert out["k"].to_pylist() == [int(k) for k, e in zip(big, exp) if e]
         with pytest.raises(ValueError):
             deterministic_sample(pa.table({"k": pa.array([-1])}), "k", 0.5)
+
+    def test_lsh_embedding_recall_equals_exact(self, ray_session, sf_dir):
+        """Banded LSH (64 bands x 4 bits) must recover the FULL exact
+        cosine>=0.4 pair set (round-1 single-band version had recall~0)."""
+        from edkray.queries import q_cosine_dup_pairs, q_lsh_embedding_pairs
+
+        lsh = q_lsh_embedding_pairs(sf_dir).to_pandas()
+        ex = q_cosine_dup_pairs(sf_dir).to_pandas()
+        got = set(zip(lsh.id_a, lsh.id_b))
+        exp = set(zip(ex.id_a, ex.id_b))
+        assert len(exp) > 0
+        assert got == exp
+
+    def test_minhash_jaccard_pairs_equals_exact(self, ray_session, sf_dir):
+        """LSH candidates + exact-Jaccard verify must equal the brute
+        exact pair set at threshold 0.5 (true pairs sit at J>=0.92,
+        banding miss ~2e-9)."""
+        import ray.data
+
+        from edkray.ops.dedup import minhash_jaccard_pairs
+        from edkray.ops.text import kgram_hashes
+        import pyarrow.parquet as pq
+
+        docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        got = minhash_jaccard_pairs(
+            ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+            threshold=0.5,
+        ).to_pandas()
+        ids = docs["doc_id"].to_numpy()
+        grams = [np.unique(kgram_hashes((t or "").encode(), 8)) for t in docs["text"].to_pylist()]
+        exp = set()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                inter = np.intersect1d(grams[i], grams[j], assume_unique=True).size
+                if inter and inter / (len(grams[i]) + len(grams[j]) - inter) >= 0.5:
+                    exp.add((int(ids[i]), int(ids[j])))
+        assert len(exp) > 0
+        assert set(zip(got.id_a, got.id_b)) == exp
