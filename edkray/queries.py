@@ -370,22 +370,12 @@ FROM ij GROUP BY 1
 
 
 def _tile_batch(b: pa.Table, bucket_col: str = "date_bucket") -> pa.Table:
-    lon = b["lon"].to_numpy(zero_copy_only=False)
-    lat = b["lat"].to_numpy(zero_copy_only=False)
-    h = np.clip(np.floor((lon + 180.0) / 10.0), 0, 35).astype(np.int64)
-    v = np.floor((lat + 80.0) / 10.0).astype(np.int64)
-    in_grid = (lat >= -80.0) & (lat < 80.0)
-    bucket = pc.strftime(b[bucket_col], format="%Y%m%d").to_pandas().to_numpy()
-    tiles = np.where(
-        in_grid,
-        np.char.add(
-            np.char.add(np.char.zfill(h.astype(str), 2),
-                        np.char.zfill(np.clip(v, 0, 15).astype(str), 2)),
-            np.char.add("_", bucket.astype(str)),
-        ),
-        None,
-    )
-    return b.append_column("tile_id", pa.array(tiles.tolist(), type=pa.string()))
+    """Deterministic grid-tile id — the flagship's polars string path
+    (~0.4 µs/row; the round-1 np.char assembly here measured ~10×
+    slower, see pipelines/spatial.py)."""
+    from edkray.pipelines.spatial import assign_grid_tile
+
+    return assign_grid_tile(b)
 
 
 def q_tile_counts(sf_dir: str):
