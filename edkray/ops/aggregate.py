@@ -129,6 +129,47 @@ def grouped_agg_small(
     return out.to_pandas()
 
 
+def grouped_collect(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_col: str,
+    alias: str = "values",
+    sort: bool = True,
+    num_buckets: int = 32,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """groupby(keys) → list of ``value_col`` per key (reference A2/J3
+    band→tiles regrouping, dataset.py:331-347: group band rows by config,
+    collect tile lists).
+
+    Two-level like :func:`grouped_agg`: per-batch partial collect emits
+    ONE list row per (key, batch) (combiner), the bucketed shuffle moves
+    those list rows, and the in-bucket final flattens + (optionally)
+    sorts each key's list — deterministic output independent of block
+    arrival order. A key's full list must fit in one task (same bound as
+    any per-key collect; salt upstream if a key's list alone exceeds a
+    task's budget)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch.select(keys + [value_col]))
+            .group_by(keys)
+            .agg(pl.col(value_col).alias(alias))
+            .to_arrow()
+        )
+
+    pre = ds.map_batches(_partial, batch_format="pyarrow", batch_size=batch_size)
+    from edkray.ops.shuffle import bucketed_group_map
+
+    def _final(table: pa.Table) -> pa.Table:
+        df = pl.from_arrow(table).group_by(keys).agg(pl.col(alias).flatten().alias(alias))
+        if sort:
+            df = df.with_columns(pl.col(alias).list.sort())
+        return df.to_arrow()
+
+    return bucketed_group_map(pre, keys, _final, num_buckets=num_buckets)
+
+
 def count_distinct(
     ds: ray.data.Dataset,
     keys: list[str],

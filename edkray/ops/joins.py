@@ -126,11 +126,14 @@ class PipJoin:
     """
 
     def __init__(self, polygons_ref, id_col="admin_id", wkb_col="wkb_geometry",
-                 lon_col="lon", lat_col="lat", out_col="admin_id", keep_unmatched=True):
+                 lon_col="lon", lat_col="lat", out_col="admin_id", keep_unmatched=True,
+                 grid_res=None):
         table = ray.get(polygons_ref) if isinstance(polygons_ref, ray.ObjectRef) else polygons_ref
         ids = table[id_col].to_pylist()
         rings = [wkb_to_ring(w) for w in table[wkb_col].to_pylist()]
-        self.index = PolygonIndex(ids, rings)
+        # grid_res: coarse-cell bucketing for large polygon sets (10k+);
+        # sub-linear scan with identical assignments (see geo.pip)
+        self.index = PolygonIndex(ids, rings, grid_res=grid_res)
         self.lon_col, self.lat_col, self.out_col = lon_col, lat_col, out_col
         self.keep_unmatched = keep_unmatched
 

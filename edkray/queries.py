@@ -955,6 +955,40 @@ FROM events GROUP BY event_type
 
 
 # --------------------------------------------------------------------------
+# Q: suppliers_by_nation — group-collect aggregation (reference A2/J3:
+# group band rows by config, collect tile lists, dataset.py:331-347)
+
+
+def q_suppliers_by_nation(sf_dir: str):
+    """Per-nation sorted supplier-key list via the distributed
+    collect-list aggregate, serialized to a comma-joined string so the
+    oracle compare is robust (DuckDB ``string_agg(... ORDER BY ...)``)."""
+    import polars as pl
+
+    from edkray.ops.aggregate import grouped_collect
+
+    ds = _read(sf_dir, "supplier", ["s_nationkey", "s_suppkey"])
+    out = grouped_collect(ds, ["s_nationkey"], "s_suppkey", alias="suppliers")
+
+    def _fmt(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        return df.select(
+            pl.col("s_nationkey"),
+            pl.col("suppliers").list.len().cast(pl.Int64).alias("n_suppliers"),
+            pl.col("suppliers").cast(pl.List(pl.Utf8)).list.join(",").alias("suppliers"),
+        ).to_arrow()
+
+    return out.map_batches(_fmt, batch_format="pyarrow")
+
+
+_SQL_SUPPLIERS_BY_NATION = """
+SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+       string_agg(CAST(s_suppkey AS VARCHAR), ',' ORDER BY s_suppkey) AS suppliers
+FROM supplier GROUP BY s_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: top_orders_per_priority — top-k per group with explicit rank
 
 
@@ -1266,6 +1300,7 @@ def queries() -> dict:
         "bbox_customers": q_bbox_customers,
         "catalog": q_catalog,
         "users_per_type": q_users_per_type,
+        "suppliers_by_nation": q_suppliers_by_nation,
         "top_orders_per_priority": q_top_orders_per_priority,
         "customers_without_orders": q_customers_without_orders,
         "mercator_customers": q_mercator_customers,
@@ -1311,6 +1346,7 @@ def oracle_sql() -> dict:
         "bbox_customers": _SQL_BBOX,
         "catalog": _SQL_CATALOG,
         "users_per_type": _SQL_USERS_PER_TYPE,
+        "suppliers_by_nation": _SQL_SUPPLIERS_BY_NATION,
         "top_orders_per_priority": _SQL_TOP_PER_PRIORITY,
         "customers_without_orders": _SQL_NO_ORDERS,
         "mercator_customers": _SQL_MERCATOR,

@@ -520,3 +520,45 @@ class TestRound2Fixes:
         ).to_pandas()
         assert set(zip(got.id_a, got.id_b)) == exp
         assert len(exp) > 0
+
+    def test_grouped_collect_matches_pandas(self, ray_session, rand_table):
+        import ray.data
+
+        from edkray.ops.aggregate import grouped_collect
+
+        got = grouped_collect(
+            ray.data.from_arrow(rand_table).repartition(8), ["k"], "x", alias="xs"
+        ).to_pandas()
+        exp = (
+            rand_table.to_pandas().groupby("k")["x"].apply(lambda s: sorted(s)).to_dict()
+        )
+        assert len(got) == len(exp)
+        for _, row in got.iterrows():
+            assert np.allclose(list(row["xs"]), exp[row["k"]])
+
+    def test_polygon_index_grid_res_bucketing(self):
+        """grid_res bucketed index must return identical assignments to
+        the linear scan at 10k polygons — and touch far fewer polygons."""
+        from edkray.geo.pip import PolygonIndex
+
+        rng = np.random.default_rng(31)
+        npoly = 10_000
+        cx = rng.uniform(-175, 175, npoly)
+        cy = rng.uniform(-80, 80, npoly)
+        w = rng.uniform(0.5, 3.0, npoly)
+        rings = [
+            np.array([[x - d, y - d], [x + d, y - d], [x + d, y + d], [x - d, y + d]])
+            for x, y, d in zip(cx, cy, w)
+        ]
+        ids = [f"p{i:05d}" for i in range(npoly)]
+        lon = rng.uniform(-180, 180, 5000)
+        lat = rng.uniform(-85, 85, 5000)
+        import time
+
+        linear = PolygonIndex(ids, rings)
+        t0 = time.perf_counter(); exp = linear.query(lon, lat); t_lin = time.perf_counter() - t0
+        bucketed = PolygonIndex(ids, rings, grid_res=6)
+        t0 = time.perf_counter(); got = bucketed.query(lon, lat); t_buc = time.perf_counter() - t0
+        assert (got == exp).all()
+        assert sum(x is not None for x in got) > 100  # non-trivial hit rate
+        assert t_buc < t_lin  # sub-linear scan actually pays off
