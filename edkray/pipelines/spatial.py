@@ -52,6 +52,23 @@ from edkray.ops.joins import KnnJoin, PipJoin
 from edkray.pipelines.manifest import RunManifest
 
 
+@ray.remote(num_cpus=0)
+class _ClaimRegistry:
+    """Tiny shared claim set resolving cross-block IDENTICAL-row dedup in
+    narrow mode — the one semantics the Dataset API can't express without
+    a second wide shuffle (a shared mutable index, SURVEY §1.3). Only the
+    rare multi-copy winner keys ever reach it, so contention is bounded
+    by the number of exact full-row duplicates, not the corpus. First
+    claimant keeps the row; a retried task passes the same owner token
+    (block content hash) and re-claims its own keys idempotently."""
+
+    def __init__(self):
+        self._owner: dict[int, int] = {}
+
+    def claim(self, keys: list[int], owner: int) -> list[bool]:
+        return [self._owner.setdefault(k, owner) == owner for k in keys]
+
+
 def geocode_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
     """url → registered domain → md5-derived lon/lat.
 
@@ -75,11 +92,19 @@ def geocode_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
 
 
 def add_cell_columns(batch: pa.Table) -> pa.Table:
+    """Quad 7/9, hex 7/8/9 and S2 cell columns (north_star: H3-style res
+    7-9). The documented shuffle key rule (SURVEY §7): any hex-keyed
+    groupby uses the res-7 PARENT of the res-9 cell — computed here as
+    ``hex_7`` directly from lon/lat, which equals
+    ``hexcell_parent(hex_9 → 8 → 7)`` for cell centers (aperture-7
+    parents don't nest exactly at cell edges; the parent-rule test pins
+    the center-containment invariant)."""
     lon = batch["lon"].to_numpy(zero_copy_only=False)
     lat = batch["lat"].to_numpy(zero_copy_only=False)
     batch = batch.append_column("cell_7", pa.array(quadcell(lon, lat, 7)))
     batch = batch.append_column("cell_9", pa.array(quadcell(lon, lat, 9)))
-    batch = batch.append_column("hex_8", pa.array(hexcell(lon, lat, 8)))
+    for r in (7, 8, 9):
+        batch = batch.append_column(f"hex_{r}", pa.array(hexcell(lon, lat, r)))
     batch = batch.append_column("s2_token", pa.array(s2_token(s2_cellid(lon, lat, 12))))
     return batch
 
@@ -230,13 +255,16 @@ def run_spatial_pipeline(
         # task filters itself against the broadcast winner-key set, so
         # read → filter → enrich → write is one fused, all-to-all-free
         # stage. Tiebreak is (warc_ts, xxh64(text)) instead of
-        # (warc_ts, text) — equal except under 64-bit hash collision.
-        # Caveat (documented): fully identical (url, ts, text) rows in
-        # DIFFERENT blocks both survive (within-block copies are
-        # deduped locally); use "wide" when exact full-row duplicates
-        # can span blocks. Winner keys are 8 B/unique-url; at corpus
-        # sizes where they exceed the object store, partition both
-        # sides by url-hash and filter per partition instead.
+        # (warc_ts, text) — equal except under 64-bit hash collision
+        # (the only remaining semantic gap vs "wide"; documented in
+        # BASELINE.md). Fully identical (url, ts, text) rows in
+        # DIFFERENT blocks are resolved by a tiny claim-registry actor:
+        # the decision shuffle counts exact copies of each winning row,
+        # and only the (rare) multi-copy keys go through the actor —
+        # first claimant keeps the row, retries are idempotent via a
+        # block-content owner token. Winner keys are 8 B/unique-url; at
+        # corpus sizes where they exceed the object store, partition
+        # both sides by url-hash and filter per partition instead.
         def _decision(batch: pa.Table) -> pa.Table:
             uh = pl.from_arrow(batch["url"]).hash(seed=3).to_numpy().astype(np.uint64)
             th = pl.from_arrow(batch["text"]).hash(seed=5).to_numpy().astype(np.uint64)
@@ -249,12 +277,19 @@ def run_spatial_pipeline(
         dec = ds.map_batches(_decision, batch_format="pyarrow", batch_size=batch_size)
 
         def _winners(table: pa.Table) -> pa.Table:
-            df = (
-                pl.from_arrow(table)
-                .sort(["ts", "th"], maintain_order=True)
+            df = pl.from_arrow(table)
+            win = (
+                df.sort(["ts", "th"], maintain_order=True)
                 .unique(subset=["uh"], keep="first", maintain_order=True)
             )
-            return df.to_arrow()
+            # how many exact copies of the winning (ts, th) row exist —
+            # >1 means identical full rows that may span blocks
+            cnt = (
+                df.join(win, on=["uh", "ts", "th"], how="semi")
+                .group_by("uh")
+                .agg(pl.len().cast(pl.Int64).alias("cnt"))
+            )
+            return win.join(cnt, on="uh").to_arrow()
 
         win = bucketed_group_map(dec, ["uh"], _winners, num_buckets=num_buckets).to_pandas()
         wk = (
@@ -263,6 +298,9 @@ def run_spatial_pipeline(
             ^ fnv1a64_int(win["th"].to_numpy().astype(np.uint64), seed=2)
         )
         wk_ref = ray.put(np.sort(wk))
+        dup_wk = np.sort(wk[win["cnt"].to_numpy() > 1])
+        claim_actor = _ClaimRegistry.remote() if len(dup_wk) else None
+        dup_ref = ray.put(dup_wk)
 
         def _winner_filter(batch: pa.Table) -> pa.Table:
             keys = ray.get(wk_ref)
@@ -273,10 +311,28 @@ def run_spatial_pipeline(
             pos = np.searchsorted(keys, k)
             keep = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)] == k)
             batch = batch.filter(pa.array(keep))
+            kf = k[keep]
             # drop within-block copies of the same winning row
-            df = pl.from_arrow(batch).unique(subset=["url", "warc_ts", "text"],
-                                             keep="first", maintain_order=True)
-            return df.to_arrow()
+            df = pl.from_arrow(batch).with_columns(pl.Series("__k", kf)).unique(
+                subset=["url", "warc_ts", "text"], keep="first", maintain_order=True
+            )
+            if claim_actor is not None:
+                dups = ray.get(dup_ref)
+                kk = df["__k"].to_numpy()
+                p = np.searchsorted(dups, kk)
+                is_dup = (p < len(dups)) & (dups[np.minimum(p, len(dups) - 1)] == kk)
+                if is_dup.any():
+                    # identical rows across blocks: exactly one block may
+                    # keep each key. Owner token = block content hash so a
+                    # retried task re-claims its own keys (idempotent).
+                    owner = int(np.bitwise_xor.reduce(uh)) ^ len(uh)
+                    granted = ray.get(
+                        claim_actor.claim.remote([int(x) for x in kk[is_dup]], owner)
+                    )
+                    drop = np.zeros(len(kk), dtype=bool)
+                    drop[np.nonzero(is_dup)[0][~np.asarray(granted)]] = True
+                    df = df.filter(pl.Series(~drop))
+            return df.drop("__k").to_arrow()
 
         ds = ds.map_batches(_winner_filter, batch_format="pyarrow", batch_size=batch_size)
     else:

@@ -185,3 +185,25 @@ class TestS2Independent:
             for i in range(len(lon)):
                 assert int(fast[i]) == _s2_id_slow(float(lon[i]), float(lat[i]), lvl), (
                     lon[i], lat[i], lvl)
+
+
+def test_hex_parent_rule_7_8_9():
+    """The flagship's shuffle-key rule: hex_7 computed directly from
+    lon/lat equals the res-7 parent of the res-9 cell's CENTER through
+    the hierarchy (9 -> 8 -> 7), i.e. parent-of-center containment."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    lon = rng.uniform(-170, 170, 2000)
+    lat = rng.uniform(-80, 80, 2000)
+    h9 = hexcell(lon, lat, 9)
+    clon, clat = hexcell_center(h9)
+    # the res-7 hex containing the res-9 cell center equals chained parents
+    via_chain = hexcell_parent(hexcell_parent(h9, 8), 7)
+    direct = hexcell(clon, clat, 7)
+    # chained parent may differ from direct assignment only near edges of
+    # the rotated lattice; for cell CENTERS the two agree almost always —
+    # assert the documented >=99% agreement plus exact agreement of the
+    # one-step parent rule
+    assert (hexcell_parent(h9, 8) == hexcell(clon, clat, 8)).mean() == 1.0
+    assert (via_chain == direct).mean() >= 0.99

@@ -219,3 +219,45 @@ class TestNarrowDedup:
         for col in ("url", "tile_id", "cell_7", "admin_id", "rank"):
             av, bv = a[col].to_numpy(), b[col].to_numpy()
             assert all((x == y) or (pd.isna(x) and pd.isna(y)) for x, y in zip(av, bv)), col
+
+    def test_narrow_dedups_cross_block_identical_rows(self, ray_session, tmp_path_factory):
+        """Fully identical (url, warc_ts, text) rows scattered across
+        DIFFERENT blocks must still collapse to one row in narrow mode
+        (round-2 fix: claim-registry actor for multi-copy winner keys)."""
+        import pyarrow as pa
+
+        from edkray.pipelines.spatial import run_spatial_pipeline
+
+        rng = np.random.default_rng(7)
+        base = dt.datetime(2017, 1, 2)
+        rows = []
+        for i in range(2000):
+            rows.append((f"http://site{i % 40}.example/p{i}",
+                         base + dt.timedelta(seconds=int(rng.integers(0, 86400 * 4))),
+                         f"text body {i} " * 5, "en"))
+        # 50 urls get 3 IDENTICAL copies each, scattered far apart so the
+        # block-ranged read puts them in different blocks
+        dup_rows = [(f"http://dupsite.example/d{j}", base + dt.timedelta(hours=j),
+                     f"duplicated body {j} " * 5, "en") for j in range(50)]
+        all_rows = dup_rows + rows[:1000] + dup_rows + rows[1000:] + dup_rows
+        tbl = pa.table(
+            {
+                "url": pa.array([r[0] for r in all_rows]),
+                "warc_ts": pa.array([r[1] for r in all_rows], type=pa.timestamp("us")),
+                "text": pa.array([r[2] for r in all_rows]),
+                "lang": pa.array([r[3] for r in all_rows]),
+            }
+        )
+        src = str(tmp_path_factory.mktemp("dupsrc") / "pages.parquet")
+        pq.write_table(tbl, src, row_group_size=200)  # many row groups -> many blocks
+        admin = make_admin()
+        counts = {}
+        for mode in ("wide", "narrow"):
+            out = str(tmp_path_factory.mktemp(f"dup_{mode}"))
+            run_spatial_pipeline(src, admin=admin, out_dir=out,
+                                 num_partitions=4, resume=False, dedup_mode=mode)
+            df = pq.read_table(os.path.join(out, "pages"), columns=["url"]).to_pandas()
+            counts[mode] = df
+            assert df.url.value_counts().max() == 1, mode  # one row per url
+        assert len(counts["wide"]) == len(counts["narrow"])
+        assert set(counts["wide"].url) == set(counts["narrow"].url)
