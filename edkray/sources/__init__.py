@@ -6,3 +6,6 @@ list matching files, parse dates back out of paths, persist a catalog.
 Here the listing side is the local filesystem / parquet dataset and the
 catalog is Parquet with typed nested columns instead of stringly CSV.
 """
+
+# import for side-effect: registers the "stac_json" engine
+from edkray.sources import stac_json as _stac_json  # noqa: F401

@@ -6,6 +6,8 @@ from __future__ import annotations
 import datetime as dt
 import os
 
+import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -209,3 +211,127 @@ class TestSourceRegistry:
 
         with _pytest.raises(ValueError, match="no files matched"):
             get_source("parquet").scan(str(tmp_path) + "/nothing/*.parquet")
+
+
+class TestJsonCatalogSource:
+    """Second registry engine: STAC-like JSON catalog with bbox/datetime
+    pushdown, a signing hook, and the probe-resume asset cache."""
+
+    @pytest.fixture(scope="class")
+    def catalog(self, tmp_path_factory):
+        import json
+
+        root = tmp_path_factory.mktemp("stac")
+        items = []
+        for i in range(6):
+            path = str(root / f"item{i}.parquet")
+            pq.write_table(
+                pa.table({"x": pa.array(np.arange(5) + 10 * i, type=pa.int64())}), path
+            )
+            items.append(
+                {
+                    "id": f"item{i}",
+                    "datetime": f"2017-01-{i + 1:02d}T00:00:00",
+                    "bbox": [i * 10.0, 0.0, i * 10.0 + 5.0, 5.0],
+                    "assets": {
+                        "data": {
+                            # odd items need signing
+                            "href": ("signed+" if i % 2 else "") + path,
+                            "media_type": "application/x-parquet",
+                            "roles": ["data"],
+                        },
+                        "thumb": {  # must be filtered out (media type)
+                            "href": path,
+                            "media_type": "image/png",
+                            "roles": ["thumbnail"],
+                        },
+                    },
+                }
+            )
+        cat = root / "catalog.json"
+        cat.write_text(json.dumps({"collection": "c1", "items": items}))
+        return str(cat)
+
+    def test_pushdown_and_signing(self, ray_session, catalog):
+        import datetime as dt
+
+        from edkray.sources.registry import get_source
+        from edkray.sources.stac_json import make_prefix_signer
+
+        src = get_source("stac_json", signer=make_prefix_signer("tok"))
+        # datetime pushdown: items 0-2 only (Jan 1-3); bbox pushdown:
+        # items with bbox x in [0, 25] → items 0-2 intersect [0,25]
+        ds = src.scan(
+            catalog,
+            time_range=(dt.datetime(2017, 1, 1), dt.datetime(2017, 1, 4)),
+            query_bbox=(0.0, 0.0, 25.0, 90.0),
+        )
+        df = ds.to_pandas()
+        assert sorted(df.tile_name.unique()) == ["item0", "item1", "item2"]
+        assert len(df) == 15  # 3 items x 5 rows; thumbnails filtered
+        assert set(df.date.dt.day) == {1, 2, 3}
+
+    def test_unsigned_access_denied(self, ray_session, catalog):
+        import datetime as dt
+
+        from edkray.sources.registry import get_source
+        from edkray.sources.stac_json import make_prefix_signer
+
+        src = get_source("stac_json", signer=make_prefix_signer(""))  # no credential
+        with pytest.raises(PermissionError):
+            src.scan(catalog, time_range=(dt.datetime(2017, 1, 1), dt.datetime(2017, 1, 7)))
+
+    def test_zero_result_raises(self, ray_session, catalog):
+        import datetime as dt
+
+        from edkray.sources.registry import get_source
+
+        with pytest.raises(ValueError):
+            get_source("stac_json").scan(
+                catalog, time_range=(dt.datetime(2020, 1, 1), dt.datetime(2020, 1, 2))
+            )
+
+    def test_cache_probe_resume(self, ray_session, catalog, tmp_path):
+        import datetime as dt
+        import os
+
+        from edkray.sources.cache import cache_path, fetch_all
+        from edkray.sources.registry import get_source
+        from edkray.sources.stac_json import make_prefix_signer
+
+        cache = str(tmp_path / "cache")
+        src = get_source("stac_json", signer=make_prefix_signer("tok"), cache_dir=cache)
+        tr = (dt.datetime(2017, 1, 1), dt.datetime(2017, 1, 3))
+        df1 = src.scan(catalog, time_range=tr).to_pandas()
+        cached = sorted(os.listdir(cache))
+        assert len(cached) == 2  # one file per kept item
+        # corrupt one cached copy; re-scan must re-fetch ONLY that file
+        bad = os.path.join(cache, cached[0])
+        mtimes = {f: os.path.getmtime(os.path.join(cache, f)) for f in cached}
+        with open(bad, "wb") as f:
+            f.write(b"garbage")
+        import time
+
+        time.sleep(0.01)
+        df2 = src.scan(catalog, time_range=tr).to_pandas()
+        assert df2.x.sort_values().tolist() == df1.x.sort_values().tolist()
+        assert os.path.getmtime(bad) > mtimes[cached[0]]  # re-fetched
+        good = os.path.join(cache, cached[1])
+        assert os.path.getmtime(good) == mtimes[cached[1]]  # untouched
+
+    def test_two_engines_same_rows(self, ray_session, catalog, tmp_path):
+        """Registry exercises BOTH engines end-to-end over the same
+        files: the parquet template source and the catalog source must
+        deliver identical payload rows."""
+        import datetime as dt
+        import os
+
+        from edkray.sources.registry import get_source
+        from edkray.sources.stac_json import make_prefix_signer
+
+        root = os.path.dirname(catalog)
+        a = get_source("parquet").scan(os.path.join(root, "item*.parquet")).to_pandas()
+        b = get_source("stac_json", signer=make_prefix_signer("tok")).scan(
+            catalog, time_range=(dt.datetime(2017, 1, 1), dt.datetime(2017, 2, 1))
+        ).to_pandas()
+        assert sorted(a.x.tolist()) == sorted(b.x.tolist())
