@@ -236,6 +236,7 @@ def run_spatial_pipeline(
     todo_arr[todo] = True
 
     def _part_filter(batch: pa.Table) -> pa.Table:
+        batch = batch.replace_schema_metadata(None)  # unhashable-dict metadata breaks Ray's schema dedup
         pid = (
             pl.from_arrow(batch["url"]).hash(seed=7) % np.uint64(num_partitions)
         ).to_numpy().astype(np.int64)

@@ -40,7 +40,14 @@ def _p(sf_dir: str, table: str) -> str:
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
-    return ray.data.read_parquet(_p(sf_dir, table), columns=columns)
+    ds = ray.data.read_parquet(_p(sf_dir, table), columns=columns)
+    # the test parquet carries a `pandas` schema-metadata dict that makes
+    # hash(schema) raise inside Ray's schema dedup ("Failed to hash the
+    # schemas" warnings); strip it at the read boundary — metadata-only,
+    # zero-copy, fuses with the next stage
+    return ds.map_batches(
+        lambda b: b.replace_schema_metadata(None), batch_format="pyarrow"
+    )
 
 
 def round_half_away(x: np.ndarray, decimals: int) -> np.ndarray:

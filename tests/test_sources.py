@@ -335,3 +335,121 @@ class TestJsonCatalogSource:
             catalog, time_range=(dt.datetime(2017, 1, 1), dt.datetime(2017, 2, 1))
         ).to_pandas()
         assert sorted(a.x.tolist()) == sorted(b.x.tolist())
+
+
+class TestFormatAdapters:
+    @pytest.fixture(scope="class")
+    def tree(self, tmp_path_factory):
+        root = tmp_path_factory.mktemp("fmt")
+        # two standalone files + one "subdataset" directory of 3 members
+        for i in range(2):
+            pq.write_table(
+                pa.table({"a": pa.array([i] * 4, type=pa.int64()),
+                          "b": pa.array([0.5] * 4)}),
+                str(root / f"tile{i}.parquet"),
+            )
+        sub = root / "multi"
+        sub.mkdir()
+        for name in ("temp", "wind", "rain"):
+            pq.write_table(pa.table({"v": pa.array([1.0, 2.0])}), str(sub / f"{name}.parquet"))
+        return str(root)
+
+    def test_parquet_adapter(self, ray_session, tree):
+        import ray.data
+
+        from edkray.sources.formats import get_adapter
+
+        scan = ray.data.from_items(
+            [{"path": os.path.join(tree, f"tile{i}.parquet"), "tile_name": f"t{i}"}
+             for i in range(2)]
+        )
+        cat = get_adapter("parquet").create_tiles(scan).to_pandas()
+        assert len(cat) == 2
+        assert sorted(cat.tile_name) == ["t0", "t1"]
+        bands = cat.iloc[0]["bands"]
+        assert [b["description"] for b in bands] == ["a", "b"]
+        assert [b["source_idx"] for b in bands] == [1, 2]
+        assert cat.n_rows.tolist() == [4, 4]
+
+    def test_parquet_dir_adapter_expands_subdatasets(self, ray_session, tree):
+        import ray.data
+
+        from edkray.sources.formats import get_adapter
+
+        scan = ray.data.from_items([{"path": os.path.join(tree, "multi"), "tile_name": "m"}])
+        cat = get_adapter("parquet_dir").create_tiles(scan).to_pandas()
+        assert len(cat) == 3  # 1 scan row -> 3 subdataset rows
+        assert sorted(cat.subdataset) == ["rain", "temp", "wind"]
+        assert all(t == "m" for t in cat.tile_name)
+        assert cat.iloc[0]["bands"][0]["description"].startswith(cat.iloc[0]["subdataset"] + ":")
+
+    def test_stac_asset_adapter(self, ray_session, tree):
+        import json
+
+        import ray.data
+
+        from edkray.sources.formats import get_adapter
+
+        assets = {
+            "data": {"href": os.path.join(tree, "tile0.parquet"),
+                     "media_type": "application/x-parquet", "roles": ["data"]},
+            "thumb": {"href": os.path.join(tree, "tile1.parquet"),
+                      "media_type": "image/png", "roles": ["thumbnail"]},
+        }
+        scan = ray.data.from_items([{"tile_name": "item0", "assets": json.dumps(assets)}])
+        cat = get_adapter("stac_asset").create_tiles(scan).to_pandas()
+        assert len(cat) == 1  # thumbnail filtered
+        assert cat.iloc[0]["subdataset"] == "data"
+
+    def test_unknown_adapter_raises(self):
+        from edkray.sources.formats import get_adapter
+
+        with pytest.raises(KeyError):
+            get_adapter("geotiff-nope")
+
+
+class TestWindowedRead:
+    @pytest.fixture(scope="class")
+    def big_tile(self, tmp_path_factory):
+        path = str(tmp_path_factory.mktemp("win") / "tile.parquet")
+        tbl = pa.table({"i": pa.array(np.arange(1000), type=pa.int64()),
+                        "x": pa.array(np.arange(1000) * 0.5)})
+        pq.write_table(tbl, path, row_group_size=100)
+        return path
+
+    def test_read_window_matches_slice(self, big_tile):
+        from edkray.sources.window import read_window
+
+        full = pq.read_table(big_tile)
+        for off, n in [(0, 10), (95, 10), (250, 500), (990, 10), (1000, 5), (0, 1000)]:
+            got = read_window(big_tile, off, n)
+            exp = full.slice(off, n)
+            assert got.equals(exp), (off, n)
+
+    def test_read_window_prunes_row_groups(self, big_tile):
+        from edkray.sources.window import read_window
+
+        # a 10-row window in the middle must not materialize all 1000 rows:
+        # verify via column projection + correct values (group pruning is
+        # what bounds the read at scale)
+        got = read_window(big_tile, 450, 10, columns=["i"])
+        assert got["i"].to_pylist() == list(range(450, 460))
+        assert got.schema.names == ["i"]
+
+    def test_tile_reader_stage_and_handle_pool(self, ray_session, big_tile):
+        import ray.data
+
+        from edkray.sources.window import TileReader, windowed_read
+
+        windows = ray.data.from_items(
+            [{"path": big_tile, "row_offset": i * 50, "num_rows": 50} for i in range(20)]
+        )
+        out = windowed_read(windows, columns=["i"]).to_pandas()
+        assert sorted(out.i.tolist()) == list(range(1000))
+        # handle pool: same path across many windows in one actor opens once
+        rd = TileReader(columns=["i"])
+        batch = pa.table({"path": pa.array([big_tile] * 5),
+                          "row_offset": pa.array([0, 50, 100, 150, 200]),
+                          "num_rows": pa.array([50] * 5)})
+        rd(batch)
+        assert rd.handle_misses == 1 and rd.handle_hits == 4
