@@ -236,6 +236,28 @@ def top_k_per_group(
     return bucketed_group_map(pre, keys, _topk, num_buckets=16)
 
 
+def global_top_k(
+    ds: ray.data.Dataset,
+    order_cols: list[str],
+    k: int,
+    descending: bool | list[bool] = True,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Global top-k WITHOUT a global sort: per-block top-k combiner →
+    one-block final merge. The exchange carries ≤ k rows per input
+    block (k × n_blocks total) instead of every row, so at 100 TB the
+    all-to-all a ``sort().limit(k)`` plan would do never happens.
+    ``order_cols`` must totally order rows (ties broken explicitly)."""
+    if isinstance(descending, bool):
+        descending = [descending] * len(order_cols)
+
+    def _local(batch: pa.Table) -> pa.Table:
+        return pl.from_arrow(batch).sort(order_cols, descending=descending).head(k).to_arrow()
+
+    pre = ds.map_batches(_local, batch_format="pyarrow", batch_size=batch_size)
+    return pre.repartition(1).map_batches(_local, batch_format="pyarrow", batch_size=None)
+
+
 def approx_count_distinct(
     ds: ray.data.Dataset,
     keys: list[str],

@@ -159,8 +159,12 @@ GROUP BY r_name
 
 
 def q_top_revenue_orders(sf_dir: str):
-    from edkray.ops.aggregate import grouped_agg
-    from edkray.ops.joins import hash_join
+    """Top-10 orders by lineitem revenue. Scale shape: pre-aggregated
+    groupby → `global_top_k` (per-block top-10 combiner, the exchange
+    carries 10 rows/block — no global sort, no large-large join) → the
+    10 winner keys filter-scan `orders` for their priority (a 10-key
+    semi-join pushed into the read, not a full hash join)."""
+    from edkray.ops.aggregate import global_top_k, grouped_agg
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -169,11 +173,19 @@ def q_top_revenue_orders(sf_dir: str):
         return pa.table({"o_orderkey": b["l_orderkey"], "rev": r})
 
     rev = grouped_agg(li.map_batches(_rev, batch_format="pyarrow"), ["o_orderkey"], [("sum", "rev", "revenue")])
+    top = global_top_k(rev, ["revenue", "o_orderkey"], 10, descending=[True, False]).to_pandas()
+    keys = pa.array(top["o_orderkey"].to_numpy())
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    joined = hash_join(rev, orders, on=["o_orderkey"], num_partitions=8)
-    top = joined.sort(["revenue", "o_orderkey"], descending=[True, False]).limit(10)
-    out = top.to_pandas()
-    out = out[["o_orderkey", "o_orderpriority", "revenue"]]
+    pri = (
+        orders.map_batches(
+            lambda b: b.filter(pc.is_in(b["o_orderkey"], value_set=keys)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    out = top.merge(pri, on="o_orderkey", how="left")
+    out = out.sort_values(["revenue", "o_orderkey"], ascending=[False, True])
+    out = out[["o_orderkey", "o_orderpriority", "revenue"]].reset_index(drop=True)
     out["revenue"] = round_half_away(out["revenue"].to_numpy(), 4)
     return out
 
@@ -1120,12 +1132,29 @@ WHERE (o_orderkey * 2654435761) % 4294967296 < CAST(0.1 * 4294967296 AS BIGINT)
 
 def q_approx_users_per_type(sf_dir: str):
     """HyperLogLog approximate distinct users per event type (the scale
-    path of ``users_per_type`` — shuffles sketches, not values).
-    Rows-only check: the estimate is approximate by design (±~1.6%)."""
-    from edkray.ops.aggregate import approx_count_distinct
+    path of ``users_per_type`` — shuffles 2^12-register sketches, not
+    values) — WITH an oracle-checked error bound: the query runs the HLL
+    path AND the exact two-phase count-distinct, and emits per type the
+    exact count plus ``hll_ok`` = |est/exact - 1| ≤ 0.05 (3σ for p=12,
+    σ = 1.04/√4096 ≈ 1.6%). The DuckDB oracle asserts the exact counts
+    and ``hll_ok = TRUE``, so an out-of-bounds sketch is a hard
+    hash-mismatch, not a rows-only pass."""
+    from edkray.ops.aggregate import approx_count_distinct, count_distinct
 
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
-    return approx_count_distinct(ds, ["event_type"], "user_id")
+    est = approx_count_distinct(ds, ["event_type"], "user_id").to_pandas()
+    exact = count_distinct(ds, ["event_type"], "user_id", alias="exact_users").to_pandas()
+    m = exact.merge(est, on="event_type", how="left")
+    m["hll_ok"] = (m["approx_nd"] / m["exact_users"] - 1.0).abs() <= 0.05
+    out = m[["event_type", "exact_users", "hll_ok"]].sort_values("event_type")
+    return pa.Table.from_pandas(out.reset_index(drop=True))
+
+
+_SQL_APPROX_USERS = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS hll_ok
+FROM events GROUP BY event_type
+"""
 
 
 def q_minhash_pairs(sf_dir: str):
@@ -1155,10 +1184,53 @@ def q_minhash_jaccard_pairs(sf_dir: str):
 
 
 def q_simhash_pairs(sf_dir: str):
+    """Near-dup pairs with Hamming(simhash64) ≤ 3 via 4×16-bit chunk
+    banding (pigeonhole-EXACT: any such pair agrees on ≥1 chunk, so the
+    banded output equals the brute-force pair set). Full SQL oracle:
+    ``_sql_simhash_pairs`` recomputes the 64-bit SimHash op-by-op in
+    DuckDB (byte-4-gram polynomial hashes mod 2^64 → per-bit majority
+    vote → bit_or pack, verified bit-identical) and brute-forces
+    bit_count(xor) ≤ 3 over all pairs."""
     from edkray.ops.dedup import simhash_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return simhash_pairs(ds, max_hamming=3)
+
+
+def _sql_simhash_pairs(max_hamming: int = 3) -> str:
+    """DuckDB mirror of ``simhash64`` + brute-force Hamming pairing.
+
+    Bit-identical to `edkray.ops.dedup.simhash64` for ASCII text (the
+    Python path hashes UTF-8 bytes; the corpus is pure ASCII so
+    ``ord(substr(...))`` = byte value). Docs shorter than k=4 chars
+    would take the Python whole-string-hash fallback and diverge — the
+    corpus minimum is 44 chars."""
+    B = 0x100000001B3
+    M = 1 << 64
+    P = [pow(B, e, M) for e in range(4)]
+    return f"""
+WITH grams AS (
+  SELECT doc_id, unnest(range(1, length(text)-2)) AS pos, text FROM documents
+), gh AS (
+  SELECT doc_id,
+    CAST((ord(substr(text,pos,1))*{P[3]}::HUGEINT + ord(substr(text,pos+1,1))*{P[2]}::HUGEINT
+        + ord(substr(text,pos+2,1))*{P[1]}::HUGEINT + ord(substr(text,pos+3,1))*{P[0]}::HUGEINT)
+        % {M}::HUGEINT AS UBIGINT) AS h
+  FROM grams
+), bits AS (
+  SELECT doc_id, b, sum(CAST((h >> b) & 1 AS BIGINT)) AS cnt, count(*) AS n
+  FROM gh, unnest(range(64)) t(b)
+  GROUP BY doc_id, b
+), sh AS (
+  SELECT doc_id,
+         bit_or(CASE WHEN 2*cnt > n THEN CAST(1 AS UBIGINT) << CAST(b AS INTEGER) ELSE 0 END) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
 
 
 def q_lsh_embedding_pairs(sf_dir: str):
@@ -1174,11 +1246,87 @@ def q_lsh_embedding_pairs(sf_dir: str):
     return out.map_batches(lambda b: b.select(["id_a", "id_b"]), batch_format="pyarrow")
 
 
+def _hex16(arr) -> pa.Array:
+    """uint64 → 16-hex-digit strings, vectorized (bytes → hexlify → S16),
+    same no-row-loop trick as ``edkray.geo.s2.s2_token``."""
+    import binascii
+
+    a = np.ascontiguousarray(np.asarray(arr, dtype=np.uint64))
+    if a.size == 0:
+        return pa.array(np.empty(0, dtype="U16"))
+    be = a.byteswap().view(np.uint8).reshape(-1, 8)
+    hx = np.frombuffer(binascii.hexlify(be.tobytes()), dtype="S16")
+    return pa.array(hx.astype("U16"))
+
+
 def q_fingerprints(sf_dir: str):
+    """Winnowing document fingerprints (min k=8-gram hash per w=16
+    window, xor-fold of distinct minima) + whole-doc polynomial hash,
+    emitted as 16-hex strings so the compare is integer-width-safe.
+    Full SQL oracle: ``_sql_fingerprints`` mirrors the polynomial
+    k-gram hash (mod-2^64 HUGEINT arithmetic), the 15-PRECEDING window
+    min, the distinct-xor fold and the recursive power table
+    op-by-op — verified bit-identical on the test corpora."""
     from edkray.ops.text import fingerprint
 
+    def _fp(b: pa.Table) -> pa.Table:
+        out = fingerprint(b)
+        return pa.table(
+            {
+                "doc_id": out["doc_id"],
+                "fingerprint_hex": _hex16(out["fingerprint"].to_numpy(zero_copy_only=False)),
+                "doc_hash_hex": _hex16(out["doc_hash"].to_numpy(zero_copy_only=False)),
+            }
+        )
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(lambda b: fingerprint(b).drop_columns(["text"]), batch_format="pyarrow")
+    return ds.map_batches(_fp, batch_format="pyarrow")
+
+
+def _sql_fingerprints(k: int = 8, w: int = 16) -> str:
+    """DuckDB mirror of ``edkray.ops.text.fingerprint`` (ASCII corpus:
+    ``ord(substr(...))`` = UTF-8 byte). Docs shorter than k take the
+    Python whole-string fallback and would diverge — corpus min is 44
+    chars; the ``nh < w`` branch mirrors the single-window case."""
+    B = 0x100000001B3
+    M = 1 << 64
+    P = [pow(B, e, M) for e in range(k)]
+    terms = " + ".join(
+        f"ord(substr(text,pos+{j},1))*{P[k - 1 - j]}::HUGEINT" for j in range(k)
+    )
+    return f"""
+WITH RECURSIVE pows(e, p) AS (
+  SELECT 0, CAST(1 AS UBIGINT)
+  UNION ALL
+  SELECT e+1, CAST((p::HUGEINT * {B}::HUGEINT) % {M}::HUGEINT AS UBIGINT)
+  FROM pows WHERE e < (SELECT max(length(text)) FROM documents)
+), grams AS (
+  SELECT doc_id, unnest(range(1, length(text)-{k - 2})) AS pos, text FROM documents
+), gh AS (
+  SELECT doc_id, pos, CAST(({terms}) % {M}::HUGEINT AS UBIGINT) AS h FROM grams
+), winmin AS (
+  SELECT doc_id, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS m,
+         count(*) OVER (PARTITION BY doc_id) AS nh
+  FROM gh
+), fp AS (
+  SELECT doc_id, bit_xor(DISTINCT m) AS fingerprint
+  FROM winmin WHERE pos >= {w} OR (nh < {w} AND pos = nh)
+  GROUP BY doc_id
+), chars AS (
+  SELECT doc_id, unnest(range(1, length(text)+1)) AS pos, text FROM documents
+), dh AS (
+  SELECT c.doc_id,
+         CAST(sum(ord(substr(c.text,c.pos,1))::HUGEINT * pw.p::HUGEINT) % {M}::HUGEINT
+              AS UBIGINT) AS doc_hash
+  FROM chars c JOIN pows pw ON pw.e = length(c.text) - c.pos
+  GROUP BY c.doc_id
+)
+SELECT fp.doc_id, lower(lpad(to_hex(fp.fingerprint),16,'0')) AS fingerprint_hex,
+       lower(lpad(to_hex(dh.doc_hash),16,'0')) AS doc_hash_hex
+FROM fp JOIN dh USING (doc_id)
+"""
 
 
 def q_hex_cells(sf_dir: str):
@@ -1245,9 +1393,15 @@ GROUP BY 1, 2, 3
 
 
 def q_s2_cells(sf_dir: str):
-    """S2 token histogram — rows-only (the Hilbert-curve cell id has no
-    SQL expression; correctness is established by the independent
-    recursive-walker cross-check tests in tests/test_geo.py)."""
+    """S2 level-10 token histogram — full SQL oracle: the DuckDB mirror
+    (``_sql_s2_cells``) reproduces the published S2 scheme end-to-end —
+    cube-face selection, quadratic uv→st projection, st→ij
+    quantization, and the Hilbert curve as a 10-step recursive CTE over
+    the 16-entry (orientation, ij)→(pos, next-orientation) table
+    derived from _POS_TO_IJ/_POS_TO_ORIENT — verified bit-identical to
+    ``edkray.geo.s2.s2_cellid`` on all three corpora plus a 20k random
+    sweep. (Only the top 10 ij bits reach a level-10 id, so the
+    recursion walks bits 29..20.)"""
     from edkray.ops.aggregate import grouped_agg
     from edkray.ops.stages import add_cells
 
@@ -1257,6 +1411,81 @@ def q_s2_cells(sf_dir: str):
         batch_format="pyarrow",
     )
     return grouped_agg(ds, ["s2_token"], [("count", None, "n_docs")])
+
+
+def _sql_s2_cells(level: int = 10) -> str:
+    """DuckDB mirror of lon/lat → S2 cell token at ``level`` (see
+    ``q_s2_cells`` docstring). The per-level Hilbert lookup table is the
+    2-bit-step form of ``edkray.geo.s2._init_lookup``'s 4-bit batched
+    table: for orientation o, position p, ``_POS_TO_IJ[o][p]`` gives the
+    ij quadrant and ``o ^ _POS_TO_ORIENT[p]`` the child orientation —
+    inverted here to (o, ij) → (p, next_o)."""
+    from edkray.geo.s2 import _POS_TO_IJ, _POS_TO_ORIENT
+
+    lut = []
+    for o in range(4):
+        r = _POS_TO_IJ[o]
+        for p in range(4):
+            lut.append((o, r[p], p, o ^ _POS_TO_ORIENT[p]))
+    lut_vals = ",".join(f"({o},{ij},{p},{no})" for o, ij, p, no in lut)
+    kmin = 30 - level  # walk consumes ij bits 29..kmin
+    face_mul = 1 << 61
+    pos_mul = 1 << (2 * kmin + 1)
+    lsb = 1 << (2 * kmin)
+    return f"""
+WITH RECURSIVE lut(o, ij, p, no) AS (VALUES {lut_vals}),
+pts AS (
+  SELECT doc_id, {_sql_lon('doc_id')} AS lon, {_sql_lat('doc_id')} AS lat FROM documents
+), xyz AS (
+  SELECT doc_id,
+         cos(radians(lon))*cos(radians(lat)) AS x,
+         sin(radians(lon))*cos(radians(lat)) AS y,
+         sin(radians(lat)) AS z
+  FROM pts
+), f0 AS (
+  SELECT doc_id, x, y, z,
+         CASE WHEN abs(x) >= abs(y) THEN CASE WHEN abs(x) >= abs(z) THEN 0 ELSE 2 END
+              ELSE CASE WHEN abs(y) >= abs(z) THEN 1 ELSE 2 END END AS face0
+  FROM xyz
+), fc AS (
+  SELECT doc_id, x, y, z,
+         face0 + CASE WHEN (CASE face0 WHEN 0 THEN x WHEN 1 THEN y ELSE z END) < 0
+                      THEN 3 ELSE 0 END AS face
+  FROM f0
+), uv AS (
+  SELECT doc_id, face,
+         CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+                   WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+         CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+                   WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+  FROM fc
+), ij AS (
+  SELECT doc_id, face,
+         CAST(least(greatest(floor((CASE WHEN u >= 0 THEN 0.5*sqrt(abs(1+3*u))
+                                         ELSE 1-0.5*sqrt(abs(1-3*u)) END) * 1073741824.0),
+                             0), 1073741823) AS BIGINT) AS i,
+         CAST(least(greatest(floor((CASE WHEN v >= 0 THEN 0.5*sqrt(abs(1+3*v))
+                                         ELSE 1-0.5*sqrt(abs(1-3*v)) END) * 1073741824.0),
+                             0), 1073741823) AS BIGINT) AS j
+  FROM uv
+), walk AS (
+  SELECT doc_id, face, i, j, 29 AS k, CAST(0 AS BIGINT) AS pos, face % 2 AS orient
+  FROM ij
+  UNION ALL
+  SELECT w.doc_id, w.face, w.i, w.j, w.k - 1, w.pos*4 + lut.p, lut.no
+  FROM walk w JOIN lut ON lut.o = w.orient
+       AND lut.ij = ((w.i >> w.k) & 1)*2 + ((w.j >> w.k) & 1)
+  WHERE w.k >= {kmin}
+), cid AS (
+  SELECT doc_id,
+         CAST((face::HUGEINT * {face_mul} + pos::HUGEINT * {pos_mul} + {lsb})
+              % 18446744073709551616::HUGEINT AS UBIGINT) AS id
+  FROM walk WHERE k = {kmin - 1}
+)
+SELECT rtrim(lower(lpad(to_hex(id),16,'0')),'0') AS s2_token,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM cid GROUP BY 1
+"""
 
 
 def q_ivf_topk(sf_dir: str):
@@ -1373,4 +1602,16 @@ def oracle_sql() -> dict:
         "ivf_topk": _SQL_EMB_TOPK,
         # est-filtered pair set equals the exact J≥0.5 set on this corpus
         "minhash_pairs": f"SELECT id_a, id_b FROM ({_sql_jaccard(0.5)})",
+        # exact counts + HLL-within-3σ boolean (out-of-bounds sketch →
+        # hll_ok=false → hash mismatch)
+        "approx_users_per_type": _SQL_APPROX_USERS,
+        # op-by-op DuckDB SimHash + brute-force Hamming (banding is
+        # pigeonhole-exact at ham≤3, so sets are equal by construction)
+        "simhash_pairs": _sql_simhash_pairs(3),
+        # op-by-op DuckDB winnowing mirror (poly hashes, window min,
+        # distinct-xor fold), bit-identical
+        "fingerprints": _sql_fingerprints(),
+        # recursive-CTE Hilbert walk, bit-identical to geo.s2 (3 corpora
+        # + 20k random sweep)
+        "s2_cells": _sql_s2_cells(10),
     }

@@ -66,6 +66,21 @@ class TestAggregate:
         got = distinct(ray.data.from_arrow(rand_table), ["g"]).to_pandas()
         assert sorted(got["g"]) == ["a", "b", "c"]
 
+    def test_global_top_k_matches_pandas(self, ray_session, rand_table):
+        import ray.data
+
+        from edkray.ops.aggregate import global_top_k
+
+        ds = ray.data.from_arrow(rand_table).repartition(8)
+        got = global_top_k(ds, ["x", "o"], 7, descending=[True, False]).to_pandas()
+        exp = (
+            rand_table.to_pandas()
+            .sort_values(["x", "o"], ascending=[False, True], kind="stable")
+            .head(7)
+            .reset_index(drop=True)
+        )
+        _df_eq(got, exp, float_cols={"x"})
+
 
 class TestDedup:
     def test_exact_dedup_matches_pandas(self, ray_session, rand_table):
