@@ -303,6 +303,91 @@ def asof_join(
     )
 
 
+def asof_join_large(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+    suffix: str = "_r",
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Large↔large as-of join — completes reference J5 beyond the
+    broadcast-right :func:`asof_join`. Both sides are hash-bucketed on
+    the key columns (every key's COMPLETE series from both sides lands
+    in one bucket), then joined per bucket with vectorized
+    ``polars.join_asof`` — the only exchange is one key-hash shuffle of
+    each side; no side is ever materialized whole.
+
+    Requires non-empty ``on`` (a keyless large-large as-of needs
+    time-range partitioning with boundary replication — not needed by
+    any reference pipeline). Right columns clashing with left names get
+    ``suffix``. Output columns: left's, then right's minus the keys.
+    """
+    if not on:
+        raise ValueError(
+            "asof_join_large needs key columns; use asof_join (broadcast) for keyless"
+        )
+    SIDE = "__asof_side"
+    lnames = list(left.schema().names)
+    rnames = list(right.schema().names)
+    rename = {
+        c: c + suffix for c in rnames if c in lnames and c not in on and c != right_ts
+    }
+    if right_ts in lnames and right_ts != left_ts:
+        rename[right_ts] = right_ts + suffix
+    r_ts = rename.get(right_ts, right_ts)
+    r_out = [rename.get(c, c) for c in rnames if c not in on]
+    ls, rs = left.schema(), right.schema()
+    l_types = dict(zip(ls.names, ls.types))
+    r_types = dict(zip(rs.names, rs.types))
+    all_cols = lnames + [c for c in r_out if c not in lnames]
+
+    def _type_of(col: str) -> pa.DataType:
+        if col in lnames:
+            return l_types[col]
+        orig = next(c for c in rnames if rename.get(c, c) == col)
+        return r_types[orig]
+
+    def _align(batch: pa.Table, side: int) -> pa.Table:
+        if side == 1:
+            batch = batch.rename_columns([rename.get(c, c) for c in batch.schema.names])
+        cols = {}
+        for c in all_cols:
+            if c in batch.schema.names:
+                cols[c] = batch[c]
+            else:
+                cols[c] = pa.nulls(len(batch), type=_type_of(c))
+        cols[SIDE] = pa.array(np.full(len(batch), side, dtype=np.int8))
+        return pa.table(cols)
+
+    tagged = left.map_batches(
+        lambda b: _align(b, 0), batch_format="pyarrow", batch_size=batch_size
+    ).union(
+        right.map_batches(
+            lambda b: _align(b, 1), batch_format="pyarrow", batch_size=batch_size
+        )
+    )
+
+    from edkray.ops.shuffle import bucketed_group_map
+
+    def _bucket_asof(table: pa.Table) -> pa.Table:
+        df = pl.from_arrow(table)
+        l = df.filter(pl.col(SIDE) == 0).select(lnames).sort(left_ts)
+        r = df.filter(pl.col(SIDE) == 1).select(on + r_out).sort(r_ts)
+        if r.schema[r_ts] != l.schema[left_ts]:
+            r = r.with_columns(pl.col(r_ts).cast(l.schema[left_ts]))
+        out = l.join_asof(
+            r, left_on=left_ts, right_on=r_ts, by=on, strategy=direction, coalesce=False
+        )
+        return out.select(lnames + r_out).to_arrow()
+
+    return bucketed_group_map(tagged, on, _bucket_asof, num_buckets=num_buckets,
+                              batch_size=batch_size)
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

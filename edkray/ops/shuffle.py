@@ -55,7 +55,10 @@ def bucketed_group_map(
         out = fn(group)
         if BUCKET_COL in out.schema.names:
             out = out.drop_columns([BUCKET_COL])
-        return out
+        # pa.Table.from_pandas inside bucket fns re-attaches the pandas
+        # schema-metadata dict, which makes hash(schema) raise inside
+        # Ray's schema dedup ("Failed to hash the schemas" warnings)
+        return out.replace_schema_metadata(None)
 
     return with_bucket.groupby(BUCKET_COL).map_groups(_wrap, batch_format="pyarrow")
 

@@ -351,6 +351,45 @@ FROM events e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderd
 """
 
 
+def q_asof_orders_large(sf_dir: str):
+    """Same result as ``asof_orders`` (same SQL oracle) via the
+    LARGE-LARGE path: no broadcast — orders are deduped distributively
+    (bucketed keep-first on (custkey, orderdate) ordered by -orderkey)
+    and both sides flow through ``asof_join_large``'s single key-hash
+    shuffle with per-bucket vectorized join_asof. This is the scale
+    path when the right side outgrows the object store."""
+    from edkray.ops.dedup import exact_dedup
+    from edkray.ops.joins import asof_join_large
+
+    orders = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"]
+    )
+
+    def _prep(b: pa.Table) -> pa.Table:
+        neg = pc.negate(b["o_orderkey"])
+        b = b.append_column("neg_okey", neg)
+        return b.set_column(
+            b.schema.get_field_index("o_orderdate"),
+            "o_orderdate",
+            b["o_orderdate"].cast(pa.timestamp("us")),
+        )
+
+    orders = orders.map_batches(_prep, batch_format="pyarrow")
+    dedup = exact_dedup(orders, ["o_custkey", "o_orderdate"], ["neg_okey"])
+    right = dedup.map_batches(
+        lambda b: b.drop_columns(["neg_okey"]).rename_columns(
+            ["user_id", "o_orderdate", "o_orderkey", "o_totalprice"]
+        ),
+        batch_format="pyarrow",
+    )
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    out = asof_join_large(ev, right, on=["user_id"], left_ts="ts", right_ts="o_orderdate")
+    return out.map_batches(
+        lambda b: b.select(["event_id", "ts", "user_id", "o_orderkey", "o_totalprice"]),
+        batch_format="pyarrow",
+    )
+
+
 # --------------------------------------------------------------------------
 # Q: cells_histogram — quadcell spatial key (SQL-reproducible bit packing)
 
@@ -382,6 +421,66 @@ WITH pts AS (
 SELECT (CAST(7 AS BIGINT) << 58) | (ix << 29) | iy AS cell_7, count(*) AS n_customers
 FROM ij GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# Q: overview_pyramid — COG-overview analogue (SURVEY S15): cascaded
+# 2×2 cell aggregation, each level checkpointed + computed from the
+# level below (geometric total work), returned as one union
+
+
+def q_overview_pyramid(sf_dir: str):
+    """Doc-count pyramid over quadcells res 8 → 5. The cascade
+    aggregates level r from level r+1 (4 rows per parent, never the
+    base table) with per-level partitioned-Parquet checkpoints — the
+    overview half of a COG export. Oracle: each level recomputed
+    directly from the base points in SQL (sum is associative, so the
+    cascade equals the direct group-by)."""
+    import shutil
+    import tempfile
+
+    from edkray.geo.cells import quadcell
+    from edkray.ops.aggregate import grouped_agg
+    from edkray.pipelines.pyramid import build_overviews, pyramid_union
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def _cells(b: pa.Table) -> pa.Table:
+        b = _add_lonlat(b, "doc_id")
+        lon = b["lon"].to_numpy(zero_copy_only=False)
+        lat = b["lat"].to_numpy(zero_copy_only=False)
+        return pa.table({"cell": pa.array(quadcell(lon, lat, 8))})
+
+    base = grouped_agg(
+        ds.map_batches(_cells, batch_format="pyarrow"), ["cell"], [("count", None, "n_docs")]
+    )
+    scratch = tempfile.mkdtemp(prefix="edkray_pyramid_")
+    try:
+        levels = build_overviews(
+            base, "cell", base_res=8, min_res=5, aggs=[("sum", "n_docs", "n_docs")],
+            out_dir=scratch,
+        )
+        out = pyramid_union({8: base, **levels}).to_pandas()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return pa.Table.from_pandas(out.sort_values("cell").reset_index(drop=True))
+
+
+def _sql_pyramid(base_res: int = 8, min_res: int = 5) -> str:
+    parts = []
+    for r in range(min_res, base_res + 1):
+        n = 1 << r
+        parts.append(f"""
+SELECT (CAST({r} AS BIGINT) << 58)
+       | (least(greatest(CAST(floor((lon + 180.0) / 360.0 * {n}) AS BIGINT), 0), {n - 1}) << 29)
+       | least(greatest(CAST(floor((lat + 90.0) / 180.0 * {n}) AS BIGINT), 0), {n - 1}) AS cell,
+       count(*) AS n_docs
+FROM pts GROUP BY 1""")
+        sep = "\nUNION ALL\n"
+    return (
+        f"WITH pts AS (\n  SELECT {_sql_lon('doc_id')} AS lon, {_sql_lat('doc_id')} AS lat"
+        " FROM documents\n)" + sep.join(parts)
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1521,6 +1620,8 @@ def queries() -> dict:
         "dedup_lineitem_first": q_dedup_lineitem_first,
         "distinct_flags": q_distinct_flags,
         "asof_orders": q_asof_orders,
+        "asof_orders_large": q_asof_orders_large,
+        "overview_pyramid": q_overview_pyramid,
         "cells_histogram": q_cells_histogram,
         "tile_counts": q_tile_counts,
         "tile_rank": q_tile_rank,
@@ -1567,6 +1668,10 @@ def oracle_sql() -> dict:
         "dedup_lineitem_first": _SQL_DEDUP_LI,
         "distinct_flags": _SQL_DISTINCT,
         "asof_orders": _SQL_ASOF,
+        # large-large path, same semantics → same oracle
+        "asof_orders_large": _SQL_ASOF,
+        # each level recomputed from base in SQL (sum associative)
+        "overview_pyramid": _sql_pyramid(8, 5),
         "cells_histogram": _SQL_CELLS,
         "tile_counts": _SQL_TILES,
         "tile_rank": _SQL_TILE_RANK,

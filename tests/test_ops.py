@@ -245,6 +245,45 @@ class TestJoins:
         )
         _df_eq(got, exp)
 
+    def test_asof_join_large_matches_merge_asof(self, ray_session):
+        import ray.data
+
+        from edkray.ops.joins import asof_join_large
+
+        rng = np.random.default_rng(3)
+        t0 = dt.datetime(2024, 1, 1)
+        n, m = 500, 120
+        left = pa.table(
+            {
+                "id": pa.array(np.arange(n)),
+                "key": pa.array(rng.integers(0, 17, n)),
+                "ts": pa.array([t0 + dt.timedelta(minutes=int(x)) for x in rng.integers(0, 10000, n)],
+                               type=pa.timestamp("us")),
+                # a column whose name clashes with the right side
+                "payload": pa.array(rng.normal(size=n)),
+            }
+        )
+        rts = np.sort(rng.choice(np.arange(10000), size=m, replace=False))
+        right = pa.table(
+            {
+                "key": pa.array(rng.integers(0, 17, m)),
+                "rts": pa.array([t0 + dt.timedelta(minutes=int(x)) for x in rts],
+                                type=pa.timestamp("us")),
+                "payload": pa.array(rng.integers(0, 1000, m)),
+            }
+        )
+        got = asof_join_large(
+            ray.data.from_arrow(left).repartition(6),
+            ray.data.from_arrow(right).repartition(4),
+            on=["key"], left_ts="ts", right_ts="rts", num_buckets=8,
+        ).to_pandas()
+        exp = pd.merge_asof(
+            left.to_pandas().sort_values("ts"), right.to_pandas().sort_values("rts"),
+            left_on="ts", right_on="rts", left_by="key", right_by="key",
+            direction="backward", suffixes=("", "_r"),
+        )
+        _df_eq(got.sort_values("id"), exp.sort_values("id"), float_cols={"payload"})
+
     def test_hash_join(self, ray_session, rand_table):
         import ray.data
 

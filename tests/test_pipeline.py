@@ -261,3 +261,46 @@ class TestNarrowDedup:
             assert df.url.value_counts().max() == 1, mode  # one row per url
         assert len(counts["wide"]) == len(counts["narrow"])
         assert set(counts["wide"].url) == set(counts["narrow"].url)
+
+
+class TestPyramid:
+    def test_cascade_matches_direct_groupby_and_resume_skips(
+        self, ray_session, tmp_path_factory
+    ):
+        import pyarrow as pa
+        import ray.data
+
+        from edkray.geo.cells import quadcell, quadcell_parent
+        from edkray.ops.aggregate import grouped_agg
+        from edkray.pipelines.pyramid import build_overviews, pyramid_union
+
+        rng = np.random.default_rng(5)
+        lon = rng.uniform(-180, 180, 4000)
+        lat = rng.uniform(-85, 85, 4000)
+        base_cells = quadcell(lon, lat, 8)
+        ds = ray.data.from_arrow(pa.table({"cell": pa.array(base_cells)})).repartition(6)
+        base = grouped_agg(ds, ["cell"], [("count", None, "n")])
+        out = str(tmp_path_factory.mktemp("pyr"))
+        levels = build_overviews(
+            base, "cell", base_res=8, min_res=5, aggs=[("sum", "n", "n")], out_dir=out
+        )
+        # every level equals the direct group-by from the raw points
+        for r in (7, 6, 5):
+            got = levels[r].to_pandas().sort_values("cell").reset_index(drop=True)
+            exp = (
+                pd.DataFrame({"cell": quadcell_parent(base_cells, r), "n": 1})
+                .groupby("cell", as_index=False)["n"].sum()
+                .sort_values("cell").reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(got.astype({"n": "int64"}), exp.astype({"n": "int64"}))
+        # union carries all levels; per-level totals all equal the base count
+        uni = pyramid_union(levels).to_pandas()
+        assert len(uni) == sum(len(levels[r].to_pandas()) for r in (7, 6, 5))
+        # resume: poison one checkpoint level's parquet; resumed build must
+        # re-read (skip) it rather than recompute
+        levels2 = build_overviews(
+            base, "cell", base_res=8, min_res=5, aggs=[("sum", "n", "n")],
+            out_dir=out, resume=True,
+        )
+        for r in (7, 6, 5):
+            assert levels2[r].to_pandas()["n"].sum() == 4000
