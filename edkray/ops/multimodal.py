@@ -144,6 +144,48 @@ class ImageResize:
         return batch.set_column(idx, self.payload_col, pa.array(resized, type=pa.binary()))
 
 
+class AxisTranspose:
+    """Actor-pool stage: decode image → axis transpose → tensor column.
+
+    The reference's M13 axis-transpose normalizes raster array layout
+    (band/y/x order) before compute; the model-pipeline equivalent is
+    HWC→CHW (channels-first) ahead of batched inference. Output is an
+    Arrow ``list<uint8>`` ``tensor`` column plus a ``list<int32>``
+    ``shape`` column — list assembly is one offsets array + one
+    concatenated values buffer, no per-row Python list building (the
+    per-payload decode loop is inherent to codecs, as documented
+    above).
+    """
+
+    _AXES = "hwc"
+
+    def __init__(self, order: str = "chw", payload_col: str = "payload"):
+        if sorted(order) != sorted(self._AXES):
+            raise ValueError(f"order must be a permutation of {self._AXES!r}")
+        self.perm = tuple(self._AXES.index(a) for a in order)
+        self.order = order
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flats, shapes = [], np.empty((len(batch), 3), dtype=np.int32)
+        for i, payload in enumerate(batch[self.payload_col].to_pylist()):
+            arr = decode_image(payload).transpose(self.perm)
+            shapes[i] = arr.shape
+            flats.append(np.ascontiguousarray(arr).ravel())
+        sizes = shapes.prod(axis=1, dtype=np.int64)
+        offsets = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int32)
+        values = pa.array(
+            np.concatenate(flats) if flats else np.empty(0, dtype=np.uint8), type=pa.uint8()
+        )
+        tensor = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), values)
+        shape_col = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, 3 * (len(batch) + 1), 3, dtype=np.int32), type=pa.int32()),
+            pa.array(shapes.ravel(), type=pa.int32()),
+        )
+        batch = batch.drop_columns([self.payload_col])
+        return batch.append_column("tensor", tensor).append_column("shape", shape_col)
+
+
 class AudioFeatures:
     """Actor-pool stage: decode audio → duration, RMS, zero-crossings."""
 
@@ -204,6 +246,12 @@ def image_stats(ds: ray.data.Dataset, concurrency=(1, 4), batch_size: int = 256)
 def image_resize(ds: ray.data.Dataset, width: int, height: int,
                  concurrency=(1, 4), batch_size: int = 256) -> ray.data.Dataset:
     return ds.map_batches(ImageResize, fn_constructor_kwargs=dict(width=width, height=height),
+                          batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
+
+
+def axis_transpose(ds: ray.data.Dataset, order: str = "chw",
+                   concurrency=(1, 4), batch_size: int = 256) -> ray.data.Dataset:
+    return ds.map_batches(AxisTranspose, fn_constructor_kwargs=dict(order=order),
                           batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
 
 

@@ -108,3 +108,30 @@ class TestStages:
         # every sampled frame decodes as a valid single-frame image
         arr = decode_image(out.frame.iloc[0])
         assert arr.ndim == 3
+
+    def test_axis_transpose(self, ray_session, media):
+        import pyarrow.compute as pc
+        import ray.data
+
+        from edkray.ops.multimodal import axis_transpose
+
+        imgs = media.filter(pc.equal(media["kind"], "image"))
+        out = axis_transpose(ray.data.from_arrow(imgs), order="chw").to_pandas()
+        assert len(out) == 50 and "payload" not in out.columns
+        row0 = out[out.media_id == 0].iloc[0]
+        arr = decode_image(imgs["payload"][0].as_py())  # hwc
+        chw = arr.transpose(2, 0, 1)
+        assert tuple(row0["shape"]) == chw.shape
+        assert (np.asarray(row0.tensor, dtype=np.uint8) == chw.ravel()).all()
+        # identity order preserves layout
+        hwc = axis_transpose(ray.data.from_arrow(imgs.slice(0, 4)), order="hwc").to_pandas()
+        r = hwc.iloc[0]
+        a = decode_image(imgs["payload"][0].as_py())
+        assert tuple(r["shape"]) == a.shape
+        assert (np.asarray(r.tensor, dtype=np.uint8) == a.ravel()).all()
+
+    def test_axis_transpose_bad_order(self):
+        from edkray.ops.multimodal import AxisTranspose
+
+        with pytest.raises(ValueError):
+            AxisTranspose(order="xyz")
