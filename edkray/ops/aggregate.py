@@ -92,6 +92,7 @@ def grouped_agg_small(
     keys: list[str],
     aggs: list[AggSpec],
     batch_size: int = 65536,
+    max_partial_rows: int = 2_000_000,
 ):
     """Like :func:`grouped_agg` but the FINAL combine runs driver-side
     (polars over the collected partials) instead of a Ray shuffle.
@@ -100,7 +101,10 @@ def grouped_agg_small(
     on the driver — i.e. key cardinality × blocks is small. This is the
     reference's driver-side date grouping pattern (dataset.py:789) and
     skips a whole Ray execution's shuffle for small-keyed counts.
-    Returns a pandas DataFrame.
+    The bound is ENFORCED: if the collected partials exceed
+    ``max_partial_rows`` (≈ key cardinality × blocks), this raises with
+    a pointer to :func:`grouped_agg` instead of silently OOMing the
+    driver at scale. Returns a pandas DataFrame.
     """
     partial_exprs, _, finalize = _partial_exprs(aggs)
 
@@ -108,7 +112,15 @@ def grouped_agg_small(
         return pl.from_arrow(batch).group_by(keys).agg(partial_exprs).to_arrow()
 
     partials = ds.map_batches(_partial, batch_format="pyarrow", batch_size=batch_size)
-    df = pl.from_pandas(partials.to_pandas())
+    try:
+        collected = partials.to_pandas(limit=max_partial_rows)
+    except ValueError as e:
+        raise ValueError(
+            f"grouped_agg_small: partial rows exceed max_partial_rows="
+            f"{max_partial_rows}; key cardinality is too large for a "
+            f"driver-side combine — use grouped_agg (distributed shuffle)"
+        ) from e
+    df = pl.from_pandas(collected)
     combine = []
     for fn, col, alias in aggs:
         if fn in ("sum", "count"):

@@ -186,9 +186,11 @@ class KnnJoin:
         self.lon_col, self.lat_col = lon_col, lat_col
 
     # rows per inner chunk: bounds the (chunk × refs) cosine matrix to
-    # ~160 MB at 5000 refs — a 64k-row batch would otherwise allocate
-    # 2.6 GB per task
-    CHUNK = 4096
+    # ~40 MB at 5000 refs — a 64k-row batch would otherwise allocate
+    # 2.6 GB per task, and on this lazily-backed VM every worker
+    # process pays ~9 s/GB first-touch on its buffer, so small buffers
+    # matter more than matmul shape (argmax passes are scan-bound)
+    CHUNK = 1024
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lon = batch[self.lon_col].to_numpy(zero_copy_only=False)
@@ -203,18 +205,33 @@ class KnnJoin:
         # across an actor's lifetime, and a small first batch followed by
         # a larger one would otherwise make np.matmul(..., out=) raise.
         rows = min(self.CHUNK, len(lon))
+        small_k = k <= 8
         if (
             not hasattr(self, "_buf")
             or self._buf.shape[1] != m
             or self._buf.shape[0] < rows
         ):
             self._buf = np.empty((self.CHUNK, m), dtype=np.float64)
+            self._neg = None if small_k else np.empty_like(self._buf)
+        elif not small_k and self._neg is None:
             self._neg = np.empty_like(self._buf)
         ut = np.ascontiguousarray(self.units.T)
         for s in range(0, len(lon), self.CHUNK):
             e = min(s + self.CHUNK, len(lon))
             cos = self._buf[: e - s]
             np.matmul(q[s:e], ut, out=cos)
+            if small_k:
+                # k sequential argmax+mask passes: each is one linear
+                # scan, ~5x faster than argpartition's per-row
+                # introselect at k<=8, and needs no _neg buffer.
+                # np.argmax picks the FIRST max → ties break to the
+                # lowest ref index, same as the lexsort path below.
+                ridx = np.arange(e - s)
+                for j in range(k):
+                    best = np.argmax(cos, axis=1)
+                    out_idx[s:e, j] = best
+                    cos[ridx, best] = -np.inf
+                continue
             # negate into a reused buffer and select kth=k-1 from the
             # low end — argpartition with kth near m is ~3x slower, and
             # fresh 160MB allocations page-fault hard on this host

@@ -424,6 +424,62 @@ FROM ij GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# Q: tile_overlay — S17 plot sink, driver-checked. Per-cell count →
+# colorize (distributed min/max bounds + vectorized colormap stage) →
+# the colored table that to_geojson serializes (reference folium.py:
+# 30-62 renders the same artifact). A two-stop grayscale ramp keeps the
+# interp math (255*t over exact-int counts) bit-identical to the SQL
+# mirror; the default viridis path is pinned by tests/test_plot.py.
+
+
+def q_tile_overlay(sf_dir: str):
+    from edkray.geo.cells import quadcell
+    from edkray.ops.aggregate import grouped_agg
+    from edkray.ops.plot import colorize
+
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+
+    def _cells(b: pa.Table) -> pa.Table:
+        b = _add_lonlat(b, "c_custkey")
+        lon = b["lon"].to_numpy(zero_copy_only=False)
+        lat = b["lat"].to_numpy(zero_copy_only=False)
+        return b.append_column("cell_5", pa.array(quadcell(lon, lat, 5)))
+
+    agg = grouped_agg(
+        ds.map_batches(_cells, batch_format="pyarrow"),
+        ["cell_5"], [("count", None, "n_customers")],
+    )
+    ramp = np.array([[0, 0, 0], [255, 255, 255]])
+    return colorize(agg, "n_customers", colors=ramp)
+
+
+_SQL_OVERLAY = f"""
+WITH pts AS (
+  SELECT {_sql_lon('c_custkey')} AS lon, {_sql_lat('c_custkey')} AS lat FROM customer
+), agg AS (
+  SELECT (CAST(5 AS BIGINT) << 58)
+         | (least(greatest(CAST(floor((lon + 180.0) / 360.0 * 32) AS BIGINT), 0), 31) << 29)
+         | least(greatest(CAST(floor((lat + 90.0) / 180.0 * 32) AS BIGINT), 0), 31) AS cell_5,
+         count(*) AS n_customers
+  FROM pts GROUP BY 1
+), b AS (
+  SELECT CAST(min(n_customers) AS DOUBLE) AS lo, CAST(max(n_customers) AS DOUBLE) AS hi FROM agg
+), t AS (
+  SELECT cell_5, n_customers,
+         CASE WHEN hi > lo
+              THEN least(greatest((CAST(n_customers AS DOUBLE) - lo) / (hi - lo), 0.0), 1.0)
+              ELSE 0.0 END AS t
+  FROM agg, b
+), g AS (
+  SELECT cell_5, n_customers, CAST(floor(255.0 * t + 0.5) AS BIGINT) AS gr FROM t
+)
+SELECT cell_5, n_customers, printf('#%02x%02x%02x', gr, gr, gr) AS fill,
+       CAST(1.0 AS DOUBLE) AS fill_opacity
+FROM g
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: overview_pyramid — COG-overview analogue (SURVEY S15): cascaded
 # 2×2 cell aggregation, each level checkpointed + computed from the
 # level below (geometric total work), returned as one union
@@ -1622,6 +1678,7 @@ def queries() -> dict:
         "asof_orders": q_asof_orders,
         "asof_orders_large": q_asof_orders_large,
         "overview_pyramid": q_overview_pyramid,
+        "tile_overlay": q_tile_overlay,
         "cells_histogram": q_cells_histogram,
         "tile_counts": q_tile_counts,
         "tile_rank": q_tile_rank,
@@ -1672,6 +1729,7 @@ def oracle_sql() -> dict:
         "asof_orders_large": _SQL_ASOF,
         # each level recomputed from base in SQL (sum associative)
         "overview_pyramid": _sql_pyramid(8, 5),
+        "tile_overlay": _SQL_OVERLAY,
         "cells_histogram": _SQL_CELLS,
         "tile_counts": _SQL_TILES,
         "tile_rank": _SQL_TILE_RANK,

@@ -58,6 +58,23 @@ class TestAggregate:
         )
         _df_eq(got, exp, float_cols={"sum_x", "min_x", "max_x", "mean_x"})
 
+    def test_grouped_agg_small_matches_and_enforces_bound(self, ray_session, rand_table):
+        import pytest
+        import ray.data
+
+        from edkray.ops.aggregate import grouped_agg_small
+
+        ds = ray.data.from_arrow(rand_table).repartition(8)
+        got = grouped_agg_small(ds, ["g"], [("sum", "x", "sum_x"), ("count", None, "n")])
+        exp = (
+            rand_table.to_pandas().groupby(["g"], as_index=False)
+            .agg(sum_x=("x", "sum"), n=("x", "size"))
+        )
+        _df_eq(got, exp, float_cols={"sum_x"})
+        # driver-side combine refuses unbounded partials
+        with pytest.raises(ValueError, match="use grouped_agg"):
+            grouped_agg_small(ds, ["g"], [("count", None, "n")], max_partial_rows=1)
+
     def test_distinct(self, ray_session, rand_table):
         import ray.data
 
