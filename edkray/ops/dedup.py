@@ -25,6 +25,7 @@ import ray.data
 
 from edkray.ops.shuffle import bucketed_group_map, dedup_in_bucket
 from edkray.ops.text import kgram_hashes
+from edkray.utils import list_to_matrix, matrix_to_list_array
 
 
 def exact_dedup(
@@ -448,7 +449,7 @@ def embedding_dup_pairs(
 
     def _band_rows(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        emb = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        emb = list_to_matrix(batch[vec_col])
         planes = _planes(dim or emb.shape[1])
         bits = (emb @ planes) > 0  # (n, bands*rbits)
         buckets = (bits.reshape(len(ids), bands, rbits) * weights).sum(axis=2)
@@ -507,18 +508,20 @@ def embedding_dup_pairs(
         if not keep.any():
             return pa.table({id_col: pa.array([], type=pa.int64()),
                              "unit": pa.array([], type=pa.list_(pa.float64()))})
-        emb = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)[keep]).astype(np.float64)
+        emb = list_to_matrix(batch[vec_col])[keep]
         norm = np.linalg.norm(emb, axis=1)
         norm[norm == 0] = 1.0
         unit = emb / norm[:, None]
-        return pa.table(
-            {id_col: pa.array(ids[keep]), "unit": pa.array(list(unit), type=pa.list_(pa.float64()))}
-        )
+        return pa.table({id_col: pa.array(ids[keep]), "unit": matrix_to_list_array(unit)})
 
-    got = ds.map_batches(_gather, batch_format="pyarrow", batch_size=batch_size).to_pandas()
-    unit_by_id = dict(zip(got[id_col].to_numpy(), (np.asarray(u) for u in got["unit"])))
-    ua = np.stack([unit_by_id[i] for i in cand_df["id_a"]])
-    ub = np.stack([unit_by_id[i] for i in cand_df["id_b"]])
+    got = ds.map_batches(_gather, batch_format="pyarrow", batch_size=batch_size)
+    gt = pa.concat_tables(ray.get(got.to_arrow_refs())).combine_chunks()
+    gids = gt[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(gids)
+    gids = gids[order]
+    units = list_to_matrix(gt["unit"])[order]
+    ua = units[np.searchsorted(gids, cand_df["id_a"].to_numpy())]
+    ub = units[np.searchsorted(gids, cand_df["id_b"].to_numpy())]
     cos = np.einsum("ij,ij->i", ua, ub)
     keep = cos >= threshold
     out = pa.table(

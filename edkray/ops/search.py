@@ -18,6 +18,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from edkray.utils import list_to_matrix
+
 
 def _unit_rows(mat: np.ndarray) -> np.ndarray:
     norm = np.linalg.norm(mat, axis=1)
@@ -35,7 +37,7 @@ class _BatchTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        emb = np.stack(batch[self.vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        emb = list_to_matrix(batch[self.vec_col])
         unit = _unit_rows(emb)
         cos = self.q @ unit.T  # (nq, n)
         k = min(self.k, cos.shape[1])
@@ -138,7 +140,7 @@ def ivf_topk(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch[id_col].to_numpy(zero_copy_only=False)
-            emb = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+            emb = list_to_matrix(batch[vec_col])
             unit = _unit_rows(emb)
             lists = np.argmax(unit @ self.centroids.T, axis=1)
             out_q, out_id, out_cos = [], [], []

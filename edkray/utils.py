@@ -48,6 +48,34 @@ def fnv1a64_int(vals: np.ndarray, seed: int = 0) -> np.ndarray:
     return x
 
 
+def list_to_matrix(col: pa.Array | pa.ChunkedArray, dtype=np.float64) -> np.ndarray:
+    """Arrow ``list<numeric>`` column → contiguous 2-D numpy matrix.
+
+    ``np.stack(col.to_numpy())`` builds one Python object per row before
+    stacking; for a rectangular list column the flat child buffer is
+    already the matrix, so this reshapes it instead (one copy at most,
+    no per-row objects). ``flatten()`` respects slice offsets and nulls.
+    Raises if rows are ragged (every embedding column here is fixed-dim).
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    if flat.size % n:
+        raise ValueError(f"ragged list column: {flat.size} values / {n} rows")
+    return np.ascontiguousarray(flat.reshape(n, flat.size // n), dtype=dtype)
+
+
+def matrix_to_list_array(mat: np.ndarray) -> pa.ListArray:
+    """2-D numpy matrix → Arrow ``list<float64>`` column without
+    building a Python list per row (uniform offsets + flat values)."""
+    n, d = mat.shape
+    offsets = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32), type=pa.int32())
+    return pa.ListArray.from_arrays(offsets, pa.array(np.ascontiguousarray(mat).reshape(-1), type=pa.float64()))
+
+
 def derive_lonlat(ids: np.ndarray, a: int = 7919, b: int = 104729) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic id → (lon, lat) derivation used by tests/queries.
 
