@@ -290,18 +290,36 @@ def run_spatial_pipeline(
                 .group_by("uh")
                 .agg(pl.len().cast(pl.Int64).alias("cnt"))
             )
-            return win.join(cnt, on="uh").to_arrow()
+            w = win.join(cnt, on="uh")
+            # fold the winner key IN the reduce task (parallel) so the
+            # driver only concat+sorts 8 B/unique-url — the driver-side
+            # pandas collect + fnv over every unique url was the one
+            # serial term in the wide job
+            wk = (
+                fnv1a64_int(w["uh"].to_numpy().astype(np.uint64))
+                ^ fnv1a64_int(w["ts"].to_numpy().astype(np.uint64), seed=1)
+                ^ fnv1a64_int(w["th"].to_numpy().astype(np.uint64), seed=2)
+            )
+            return pa.table({"wk": pa.array(wk), "cnt": pa.array(w["cnt"].to_numpy())})
 
-        win = bucketed_group_map(dec, ["uh"], _winners, num_buckets=num_buckets).to_pandas()
-        wk = (
-            fnv1a64_int(win["uh"].to_numpy().astype(np.uint64))
-            ^ fnv1a64_int(win["ts"].to_numpy().astype(np.uint64), seed=1)
-            ^ fnv1a64_int(win["th"].to_numpy().astype(np.uint64), seed=2)
+        t_dec = time.time()
+        win_ds = bucketed_group_map(dec, ["uh"], _winners, num_buckets=num_buckets)
+        refs = win_ds.to_arrow_refs()
+        wt = (
+            pa.concat_tables(ray.get(refs)).combine_chunks()
+            if refs
+            else pa.table({"wk": pa.array([], pa.uint64()), "cnt": pa.array([], pa.int64())})
         )
+        wk = wt["wk"].to_numpy(zero_copy_only=False).astype(np.uint64)
         wk_ref = ray.put(np.sort(wk))
-        dup_wk = np.sort(wk[win["cnt"].to_numpy() > 1])
+        dup_wk = np.sort(wk[wt["cnt"].to_numpy(zero_copy_only=False) > 1])
         claim_actor = _ClaimRegistry.remote() if len(dup_wk) else None
         dup_ref = ray.put(dup_wk)
+        # decision shuffle + winner collect/broadcast runs EAGERLY (the
+        # enrich+write execution below can't start without wk_ref), so
+        # time it as its own phase — it contains the only driver-serial
+        # work in the wide job (winner sort + ray.put)
+        phase_times["wide_write.dedup_decide"] = round(time.time() - t_dec, 3)
 
         def _winner_filter(batch: pa.Table) -> pa.Table:
             keys = ray.get(wk_ref)
@@ -391,10 +409,16 @@ def run_spatial_pipeline(
         ).map_batches(_salt, batch_format="pyarrow", batch_size=batch_size)
 
     # 8a. ONE count job: per-(tile, salt) partial counts combined
-    # driver-side (tiles × salts is small; skips a Ray shuffle)
+    # driver-side (tiles × salts is small; skips a Ray shuffle).
+    # The narrow projection is materialized ONCE and reused by the rank
+    # shuffle below — same ~60 B/row bytes the shuffle's map outputs
+    # would pin in the object store anyway, but the parquet planning
+    # (footer scan over every written file) and read+decompress are
+    # paid once instead of twice.
     from edkray.ops.aggregate import grouped_agg_small
 
-    sc = grouped_agg_small(_narrow(), ["tile_id", "salt"], [("count", None, "n")])
+    narrow = _narrow().materialize()
+    sc = grouped_agg_small(narrow, ["tile_id", "salt"], [("count", None, "n")])
     totals = sc.groupby("tile_id")["n"].sum()
     hot = set(totals[totals > salt_threshold].index)
     manifest.metrics["hot_tiles"] = sorted(hot)
@@ -424,7 +448,7 @@ def run_spatial_pipeline(
         eff = np.where(is_hot, salt, 0)
         return batch.set_column(batch.schema.get_field_index("salt"), "salt", pa.array(eff))
 
-    salted = _narrow().map_batches(_effective_salt, batch_format="pyarrow", batch_size=batch_size)
+    salted = narrow.map_batches(_effective_salt, batch_format="pyarrow", batch_size=batch_size)
 
     from edkray.ops.shuffle import bucketed_group_map
 
