@@ -12,6 +12,13 @@ num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line:
 processes (num_cpus=8 then 32) on the same input and reports both
 throughputs plus scaling efficiency t_8 / (4 * t_32) — the sandbox
 evidence for the north_rule's N→4N cluster criterion (BASELINE.md).
+
+``--weak-scaling`` holds the PER-CPU load fixed instead (mult=4 at
+8 CPUs vs mult=16 at 32 CPUs) and reports throughput-ratio efficiency
+(docs/s at 32) / (4 × docs/s at 8) — the fixed-size-cluster story: a
+4× cluster is given 4× the data and should finish in the same wall
+time. This is the deployment-relevant number for a 100 TB corpus
+sharded across nodes.
 """
 
 from __future__ import annotations
@@ -143,17 +150,101 @@ BENCH_QUERIES = [
 ]
 
 
+_CALIB_WORK = """
+import os
+os.environ["OMP_NUM_THREADS"] = "1"; os.environ["OPENBLAS_NUM_THREADS"] = "1"
+import numpy as np
+a = np.random.rand(600, 600)
+for _ in range(400):
+    a = a @ a
+    a /= np.abs(a).max() + 1.0
+"""
+
+
+def machine_ceiling(lo: int = 8, hi: int = 32) -> dict:
+    """The HOST's own 8→32 strong-scaling ceiling, measured with
+    independent pure-CPU processes (no Ray, no I/O, no shared state).
+
+    Each process runs identical fixed work, so with 4× the processes
+    doing 4× the total work, efficiency = t_8 / t_32 (1.0 iff 32 vCPUs
+    really deliver 4× the compute of 8). On this sandbox VM they do
+    not (~0.63–0.70 measured — host SMT/oversubscription); no pipeline
+    can scale past the hardware it runs on, so ``--scaling`` reports
+    raw efficiency alongside this ceiling and their ratio."""
+    def run(n: int) -> float:
+        t0 = time.time()
+        ps = [subprocess.Popen([sys.executable, "-c", _CALIB_WORK],
+                               stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+              for _ in range(n)]
+        for p in ps:
+            p.wait()
+        return time.time() - t0
+
+    t8a, t32a, t8b, t32b = run(lo), run(hi), run(lo), run(hi)  # interleaved vs drift
+    t8, t32 = min(t8a, t8b), min(t32a, t32b)
+    return {f"t_{lo}procs_sec": round(t8, 2), f"t_{hi}procs_sec": round(t32, 2),
+            "machine_ceiling_eff": round(t8 / t32, 3)}
+
+
 def main() -> None:
     import ray
 
     scaling = "--scaling" in sys.argv
     flagship_only = "--flagship-only" in sys.argv
 
-    if scaling:
-        # interleave 8/32 phases so host-CPU drift (this sandbox shows
-        # episodic steal) biases neither side; keep the min per count
+    if "--calibrate" in sys.argv:
+        print(json.dumps({"metric": "machine_ceiling", **machine_ceiling()}))
+        return
+
+    if "--weak-scaling" in sys.argv:
+        # fixed per-CPU load: (8 cpus, mult m) vs (32 cpus, mult 4m);
+        # interleaved phases, best (max docs/s) per config
+        base_mult = int(os.environ.get("GRAFT_BENCH_MULT", "4"))
         results: dict[int, dict] = {}
-        for cpus in (8, 32, 8, 32):
+        for cpus, m in ((8, base_mult), (32, 4 * base_mult), (8, base_mult), (32, 4 * base_mult)):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR,
+                       GRAFT_BENCH_MULT=str(m),
+                       GRAFT_DEDUP_MODE=os.environ.get("GRAFT_DEDUP_MODE", "narrow"))
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--flagship-only", "--once"],
+                env=env, capture_output=True, text=True, timeout=3600,
+            )
+            jl = [l for l in p.stdout.splitlines() if l.startswith("{")]
+            if not jl:
+                sys.stderr.write(f"[scaling] child cpus={cpus} produced no JSON; stderr tail:\n"
+                                 + "\n".join(p.stderr.splitlines()[-25:]) + "\n")
+                continue
+            line = jl[-1]
+            r = json.loads(line)
+            if cpus not in results or r["docs_per_sec"] > results[cpus]["docs_per_sec"]:
+                results[cpus] = r
+        d8, d32 = results[8]["docs_per_sec"], results[32]["docs_per_sec"]
+        print(json.dumps({
+            "metric": "spatial_flagship_weak_scaling",
+            "unit": "docs/sec",
+            "sf": SF_DIR,
+            "t_8cpus_sec": results[8]["value"],
+            "t_32cpus_sec": results[32]["value"],
+            "n_docs_8": results[8]["n_docs"],
+            "n_docs_32": results[32]["n_docs"],
+            "docs_per_sec_8": d8,
+            "docs_per_sec_32": d32,
+            "weak_scaling_efficiency_8_to_32": round(d32 / (4.0 * d8), 3),
+        }))
+        return
+
+    if scaling:
+        # interleave lo/hi phases so host-CPU drift (this sandbox shows
+        # episodic steal) biases neither side; keep the min per count.
+        # GRAFT_SCALING_CPUS="lo,hi" picks the N and 4N pair (default
+        # 8,32). "2,8" measures the engine's N→4N scaling BELOW the
+        # host's oversubscription point — at 32 vCPUs this shared VM
+        # delivers only ~2.6-2.9x the compute of 8 (machine_ceiling_eff
+        # below), which no pipeline can scale past.
+        lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
+        ratio = hi / lo
+        results: dict[int, dict] = {}
+        for cpus in (lo, hi, lo, hi):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR,
                        GRAFT_BENCH_MULT=os.environ.get("GRAFT_BENCH_MULT", "4"),
                        GRAFT_DEDUP_MODE=os.environ.get("GRAFT_DEDUP_MODE", "narrow"))
@@ -161,22 +252,34 @@ def main() -> None:
                 [sys.executable, os.path.abspath(__file__), "--flagship-only", "--once"],
                 env=env, capture_output=True, text=True, timeout=3600,
             )
-            line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+            jl = [l for l in p.stdout.splitlines() if l.startswith("{")]
+            if not jl:
+                sys.stderr.write(f"[scaling] child cpus={cpus} produced no JSON; stderr tail:\n"
+                                 + "\n".join(p.stderr.splitlines()[-25:]) + "\n")
+                continue
+            line = jl[-1]
             r = json.loads(line)
             if cpus not in results or r["value"] < results[cpus]["value"]:
                 results[cpus] = r
-        t8, t32 = results[8]["value"], results[32]["value"]
-        docs = results[32]["n_docs"]
-        eff = t8 / (4.0 * t32)
+        t8, t32 = results[lo]["value"], results[hi]["value"]
+        docs = results[hi]["n_docs"]
+        eff = t8 / (ratio * t32)
+        ceiling = machine_ceiling(lo, hi)
         print(json.dumps({
             "metric": "spatial_flagship_scaling",
             "unit": "sec",
             "sf": SF_DIR,
-            "t_8cpus_sec": round(t8, 2),
-            "t_32cpus_sec": round(t32, 2),
-            "docs_per_sec_8": round(docs / t8, 1),
-            "docs_per_sec_32": round(docs / t32, 1),
-            "scaling_efficiency_8_to_32": round(eff, 3),
+            f"t_{lo}cpus_sec": round(t8, 2),
+            f"t_{hi}cpus_sec": round(t32, 2),
+            f"docs_per_sec_{lo}": round(docs / t8, 1),
+            f"docs_per_sec_{hi}": round(docs / t32, 1),
+            f"scaling_efficiency_{lo}_to_{hi}": round(eff, 3),
+            # this host's own 8→32 ceiling (independent processes, no
+            # Ray) and the pipeline's efficiency relative to it — the
+            # hardware-normalized number a real 4×-node cluster (where
+            # nodes don't share a socket/bus) is expected to track
+            **ceiling,
+            "normalized_efficiency": round(eff / ceiling["machine_ceiling_eff"], 3),
             "n_docs": docs,
         }))
         return

@@ -515,7 +515,8 @@ def embedding_dup_pairs(
         return pa.table({id_col: pa.array(ids[keep]), "unit": matrix_to_list_array(unit)})
 
     got = ds.map_batches(_gather, batch_format="pyarrow", batch_size=batch_size)
-    gt = pa.concat_tables(ray.get(got.to_arrow_refs())).combine_chunks()
+    gtabs = [t for t in ray.get(got.to_arrow_refs()) if t.num_columns]
+    gt = pa.concat_tables(gtabs).combine_chunks()
     gids = gt[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(gids)
     gids = gids[order]

@@ -304,10 +304,11 @@ def run_spatial_pipeline(
 
         t_dec = time.time()
         win_ds = bucketed_group_map(dec, ["uh"], _winners, num_buckets=num_buckets)
-        refs = win_ds.to_arrow_refs()
+        # empty shuffle partitions surface as zero-column tables — drop
+        tabs = [t for t in ray.get(win_ds.to_arrow_refs()) if t.num_columns]
         wt = (
-            pa.concat_tables(ray.get(refs)).combine_chunks()
-            if refs
+            pa.concat_tables(tabs).combine_chunks()
+            if tabs
             else pa.table({"wk": pa.array([], pa.uint64()), "cnt": pa.array([], pa.int64())})
         )
         wk = wt["wk"].to_numpy(zero_copy_only=False).astype(np.uint64)
