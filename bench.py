@@ -200,8 +200,11 @@ def main() -> None:
         # fixed per-CPU load: (8 cpus, mult m) vs (32 cpus, mult 4m);
         # interleaved phases, best (max docs/s) per config
         base_mult = int(os.environ.get("GRAFT_BENCH_MULT", "4"))
+        lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
+        ratio = hi / lo
         results: dict[int, dict] = {}
-        for cpus, m in ((8, base_mult), (32, 4 * base_mult), (8, base_mult), (32, 4 * base_mult)):
+        for cpus, m in ((lo, base_mult), (hi, int(ratio * base_mult)),
+                        (lo, base_mult), (hi, int(ratio * base_mult))):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR,
                        GRAFT_BENCH_MULT=str(m),
                        GRAFT_DEDUP_MODE=os.environ.get("GRAFT_DEDUP_MODE", "narrow"))
@@ -218,18 +221,22 @@ def main() -> None:
             r = json.loads(line)
             if cpus not in results or r["docs_per_sec"] > results[cpus]["docs_per_sec"]:
                 results[cpus] = r
-        d8, d32 = results[8]["docs_per_sec"], results[32]["docs_per_sec"]
+        missing = [c for c in (lo, hi) if c not in results]
+        if missing:
+            raise SystemExit(f"[weak-scaling] no successful run for cpus={missing}; "
+                             "see stderr above for child failures")
+        d_lo, d_hi = results[lo]["docs_per_sec"], results[hi]["docs_per_sec"]
         print(json.dumps({
             "metric": "spatial_flagship_weak_scaling",
             "unit": "docs/sec",
             "sf": SF_DIR,
-            "t_8cpus_sec": results[8]["value"],
-            "t_32cpus_sec": results[32]["value"],
-            "n_docs_8": results[8]["n_docs"],
-            "n_docs_32": results[32]["n_docs"],
-            "docs_per_sec_8": d8,
-            "docs_per_sec_32": d32,
-            "weak_scaling_efficiency_8_to_32": round(d32 / (4.0 * d8), 3),
+            f"t_{lo}cpus_sec": results[lo]["value"],
+            f"t_{hi}cpus_sec": results[hi]["value"],
+            f"n_docs_{lo}": results[lo]["n_docs"],
+            f"n_docs_{hi}": results[hi]["n_docs"],
+            f"docs_per_sec_{lo}": d_lo,
+            f"docs_per_sec_{hi}": d_hi,
+            f"weak_scaling_efficiency_{lo}_to_{hi}": round(d_hi / (ratio * d_lo), 3),
         }))
         return
 
@@ -261,6 +268,10 @@ def main() -> None:
             r = json.loads(line)
             if cpus not in results or r["value"] < results[cpus]["value"]:
                 results[cpus] = r
+        missing = [c for c in (lo, hi) if c not in results]
+        if missing:
+            raise SystemExit(f"[scaling] no successful run for cpus={missing}; "
+                             "see stderr above for child failures")
         t8, t32 = results[lo]["value"], results[hi]["value"]
         docs = results[hi]["n_docs"]
         eff = t8 / (ratio * t32)

@@ -240,7 +240,18 @@ class KnnJoin:
             part = np.argpartition(neg, kth=k - 1, axis=1)[:, :k]
             pcos = np.take_along_axis(cos, part, axis=1)
             order = np.lexsort((part, -pcos), axis=1)
-            out_idx[s:e] = np.take_along_axis(part, order, axis=1)
+            sel = np.take_along_axis(part, order, axis=1)
+            # boundary-tie stabilization: argpartition may admit a
+            # higher-index ref tied exactly at the k-th value (duplicate
+            # reference points) where the small-k path keeps the lowest
+            # index. Detect rows whose boundary value has unselected
+            # ties and redo just those with a stable full sort — exact
+            # float equality only, so near-always zero rows.
+            b = np.min(pcos, axis=1)
+            bad = np.flatnonzero((cos == b[:, None]).sum(1) > (pcos == b[:, None]).sum(1))
+            for i in bad:
+                sel[i] = np.argsort(-cos[i], kind="stable")[:k]
+            out_idx[s:e] = sel
         # zero-Python list column: take ref ids by flat index, wrap with
         # fixed-stride offsets (Arrow C++, no per-row Python)
         values = self.ref_arr.take(pa.array(out_idx.ravel()))
@@ -353,7 +364,10 @@ def asof_join_large(
     rename = {
         c: c + suffix for c in rnames if c in lnames and c not in on and c != right_ts
     }
-    if right_ts in lnames and right_ts != left_ts:
+    # always suffix a colliding right_ts — including right_ts == left_ts
+    # (the common "both sides call it ts" case), else the final select
+    # would name the column twice
+    if right_ts in lnames and right_ts not in on:
         rename[right_ts] = right_ts + suffix
     r_ts = rename.get(right_ts, right_ts)
     r_out = [rename.get(c, c) for c in rnames if c not in on]

@@ -21,6 +21,7 @@ after the base level), the same constraint raster overviews impose.
 from __future__ import annotations
 
 import os
+import shutil
 
 import pyarrow as pa
 import ray.data
@@ -79,6 +80,11 @@ def build_overviews(
         else:
             cur = coarsen_level(cur, cell_col, r, aggs)
             if part:
+                # write_parquet appends on Ray 2.49 — purge any stale
+                # partial level (crashed run, or re-run into the same
+                # out_dir) so the checkpoint re-read never double-counts
+                if os.path.isdir(part):
+                    shutil.rmtree(part)
                 cur.write_parquet(part)
                 open(done, "w").close()
                 cur = ray.data.read_parquet(part).select_columns(cols)

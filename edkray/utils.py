@@ -62,6 +62,10 @@ def list_to_matrix(col: pa.Array | pa.ChunkedArray, dtype=np.float64) -> np.ndar
     n = len(col)
     if n == 0:
         return np.empty((0, 0), dtype=dtype)
+    if col.null_count:
+        # flatten() silently drops null rows' values — if the survivor
+        # count still divided n the reshape would misalign rows with ids
+        raise ValueError(f"list column has {col.null_count} null rows")
     flat = col.flatten().to_numpy(zero_copy_only=False)
     if flat.size % n:
         raise ValueError(f"ragged list column: {flat.size} values / {n} rows")

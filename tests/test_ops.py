@@ -477,6 +477,86 @@ class TestRound2Fixes:
             process_cached(("key", i), lambda x: x)
         assert len(_STATE_CACHE) <= _STATE_CACHE_MAX
 
+
+class TestRound3Fixes:
+    def test_asof_join_large_same_ts_name(self, ray_session):
+        """Regression (ADVICE r2 medium): both sides using the SAME
+        timestamp column name ('ts') raised polars DuplicateError."""
+        import ray.data
+
+        from edkray.ops.joins import asof_join_large
+
+        rng = np.random.default_rng(7)
+        t0 = dt.datetime(2024, 1, 1)
+        n, m = 300, 80
+        left = pa.table({
+            "id": pa.array(np.arange(n)),
+            "key": pa.array(rng.integers(0, 11, n)),
+            "ts": pa.array([t0 + dt.timedelta(minutes=int(x)) for x in rng.integers(0, 5000, n)],
+                           type=pa.timestamp("us")),
+        })
+        rts = np.sort(rng.choice(np.arange(5000), size=m, replace=False))
+        right = pa.table({
+            "key": pa.array(rng.integers(0, 11, m)),
+            "ts": pa.array([t0 + dt.timedelta(minutes=int(x)) for x in rts],
+                           type=pa.timestamp("us")),
+            "payload": pa.array(rng.integers(0, 1000, m)),
+        })
+        got = asof_join_large(
+            ray.data.from_arrow(left).repartition(4),
+            ray.data.from_arrow(right).repartition(3),
+            on=["key"], left_ts="ts", right_ts="ts", num_buckets=4,
+        ).to_pandas()
+        exp = pd.merge_asof(
+            left.to_pandas().sort_values("ts"), right.to_pandas().sort_values("ts"),
+            on="ts", by="key", direction="backward", suffixes=("", "_r"),
+        )
+        assert "ts_r" in got.columns  # right ts kept under the suffix
+        g = got.sort_values("id").reset_index(drop=True)
+        e = exp.sort_values("id").reset_index(drop=True)
+        pd.testing.assert_series_equal(g["payload"].astype("float64"),
+                                       e["payload"].astype("float64"), check_names=False)
+
+    def test_knn_tie_stable_across_k_paths(self, ray_session):
+        """Regression (ADVICE r2 low): with duplicate reference points
+        tied exactly at the k-th boundary, the argpartition (k>8) path
+        must break ties to the lowest ref index like the argmax (k<=8)
+        path does."""
+        import ray
+
+        from edkray.ops.joins import KnnJoin
+
+        rng = np.random.default_rng(31)
+        base_lon = rng.uniform(-180, 180, 6)
+        base_lat = rng.uniform(-85, 85, 6)
+        # 30 refs = each base point duplicated 5x → ties guaranteed to
+        # straddle any k boundary that isn't a multiple of 5
+        lon = np.repeat(base_lon, 5)
+        lat = np.repeat(base_lat, 5)
+        refs = pa.table({"ref_id": pa.array(np.arange(30, dtype=np.int64)),
+                         "lon": pa.array(lon), "lat": pa.array(lat)})
+        qlon, qlat = rng.uniform(-180, 180, 64), rng.uniform(-85, 85, 64)
+        batch = pa.table({"lon": pa.array(qlon), "lat": pa.array(qlat)})
+        for k in (7, 12):  # straddles duplicate groups on both paths
+            out = KnnJoin(ray.put(refs), ref_id_col="ref_id", k=k)(batch)
+            got = [list(x) for x in out["neighbor_ids"].to_pylist()]
+            # expected: stable sort by (-cos, index)
+            from edkray.geo.distance import lonlat_to_unit
+            cos = lonlat_to_unit(qlon, qlat) @ lonlat_to_unit(lon, lat).T
+            exp = [np.argsort(-row, kind="stable")[:k].tolist() for row in cos]
+            assert got == exp, f"k={k}"
+
+    def test_list_to_matrix_rejects_nulls(self):
+        """Regression (ADVICE r2 low): null rows must raise, not
+        silently misalign when the survivor count divides n."""
+        from edkray.utils import list_to_matrix
+
+        # 2 null rows out of 4; remaining 2 rows x 2 vals = 4 values,
+        # 4 % 4 == 0 → the old ragged check passed and rows misaligned
+        col = pa.array([[1.0, 2.0], None, [5.0, 6.0], None], type=pa.list_(pa.float64()))
+        with pytest.raises(ValueError, match="null"):
+            list_to_matrix(col)
+
     def test_s2_token_empty_and_shape(self):
         from edkray.geo.s2 import s2_token
 

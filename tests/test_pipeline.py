@@ -304,3 +304,40 @@ class TestPyramid:
         )
         for r in (7, 6, 5):
             assert levels2[r].to_pandas()["n"].sum() == 4000
+        # re-run WITHOUT resume into the same out_dir: write_parquet
+        # appends on Ray 2.49, so stale files must be purged first or
+        # every level double-counts (ADVICE r2 high)
+        levels3 = build_overviews(
+            base, "cell", base_res=8, min_res=5, aggs=[("sum", "n", "n")], out_dir=out
+        )
+        for r in (7, 6, 5):
+            assert levels3[r].to_pandas()["n"].sum() == 4000
+
+    def test_crashed_level_purged_on_rerun(self, ray_session, tmp_path_factory):
+        """A partial level dir (no _DONE — simulated crash mid-write) must
+        be cleared before recompute, not appended to (ADVICE r2 high)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from edkray.geo.cells import quadcell
+        from edkray.ops.aggregate import grouped_agg
+        from edkray.pipelines.pyramid import build_overviews
+
+        rng = np.random.default_rng(6)
+        cells = quadcell(rng.uniform(-180, 180, 1000), rng.uniform(-85, 85, 1000), 8)
+        ds = ray.data.from_arrow(pa.table({"cell": pa.array(cells)})).repartition(4)
+        base = grouped_agg(ds, ["cell"], [("count", None, "n")])
+        out = str(tmp_path_factory.mktemp("pyrcrash"))
+        # fake a crashed run: partial parquet in res=7/ without _DONE
+        part = os.path.join(out, "res=7")
+        os.makedirs(part)
+        pq.write_table(pa.table({"cell": pa.array([0], type=pa.int64()),
+                                 "n": pa.array([999], type=pa.int64())}),
+                       os.path.join(part, "stale.parquet"))
+        levels = build_overviews(
+            base, "cell", base_res=8, min_res=6, aggs=[("sum", "n", "n")],
+            out_dir=out, resume=True,
+        )
+        assert levels[7].to_pandas()["n"].sum() == 1000
+        assert levels[6].to_pandas()["n"].sum() == 1000
