@@ -94,11 +94,17 @@ def _pages_path(sf_dir: str, mult: int = 1) -> str:
             }
         )
 
+    # shard count via READ splits, not repartition: a repartition here is
+    # a full shuffle of the GENERATED table (~50 GB at mult=64 — measured
+    # spilling to disk for 40+ min in an 8-CPU session). N read blocks →
+    # N map tasks → N output files, zero exchange. batch_size bounds the
+    # per-task generated block (mult× amplification) to ~100 MB.
     (
         ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
-                              columns=["l_orderkey", "l_linenumber"])
-        .map_batches(_to_pages, batch_format="pyarrow")
-        .repartition(16 * mult)
+                              columns=["l_orderkey", "l_linenumber"],
+                              override_num_blocks=min(16 * mult, 512))
+        .map_batches(_to_pages, batch_format="pyarrow",
+                     batch_size=max(1024, 65536 // mult))
         .write_parquet(out)
     )
     open(os.path.join(out, "_DONE"), "w").write("ok")
@@ -127,7 +133,8 @@ def run_flagship(sf_dir: str, out_root: str, mult: int = 1) -> tuple[float, int]
     run_spatial_pipeline(pages, admin=make_admin(), out_dir=out_dir,
                          knn_refs=make_knn_refs(5000),
                          num_partitions=16, resume=False,
-                         dedup_mode=os.environ.get("GRAFT_DEDUP_MODE", "wide"))
+                         dedup_mode=os.environ.get("GRAFT_DEDUP_MODE", "wide"),
+                         wk_mode=os.environ.get("GRAFT_WK_MODE", "broadcast"))
     return time.time() - t0, n_docs
 
 
@@ -310,13 +317,21 @@ def main() -> None:
     _pages_path(SF_DIR, MULT)  # build the cache outside the timed section
 
     # pre-fault guest memory (untimed): this sandbox VM's memory is
-    # lazily host-backed (~9 s/GB on first touch); touching a pool up
-    # front keeps the timed run out of the first-fault regime
+    # lazily host-backed (~9 s/GB on first touch in a healthy window);
+    # touching a pool up front keeps the timed run out of the
+    # first-fault regime. ADAPTIVE: in degraded windows the host drops
+    # to <10 MB/s provisioning (measured 162 s/GB on 2026-08-17) — there
+    # the prefault costs far more than it saves, so probe 1 GB and skip
+    # the rest if the host is slow.
     import numpy as _np
 
-    for _ in range(6):
-        _a = _np.ones(1 << 27, dtype=_np.float64)
-        del _a
+    _t0 = time.time()
+    _a = _np.ones(1 << 27, dtype=_np.float64)
+    del _a
+    if time.time() - _t0 < 15:
+        for _ in range(5):
+            _a = _np.ones(1 << 27, dtype=_np.float64)
+            del _a
 
     # warm up the executor + actor-pool code paths on a tiny input so
     # the timed run measures steady-state throughput, not cold start

@@ -279,28 +279,69 @@ def knn_join(
 
 
 class _AsofJoiner:
-    """Actor: broadcast right side sorted once; merge_asof per batch."""
+    """Actor: broadcast right side sorted once; merge_asof per batch.
 
-    def __init__(self, right_ref, on, left_ts, right_ts, direction, suffix):
+    With ``interpolate="linear"`` the reference J5 ``combine`` semantics
+    (da.interp(..., method="linear"), reference stitching/classes/
+    dataset.py:922-965) apply along the time axis: each left row gets
+    the bracketing right rows per key and each ``value_cols`` column is
+    linearly interpolated between them (held flat beyond the ends,
+    exactly like xarray's fill behavior for method="nearest" edges)."""
+
+    def __init__(self, right_ref, on, left_ts, right_ts, direction, suffix,
+                 interpolate=None, value_cols=None):
         right = ray.get(right_ref) if isinstance(right_ref, ray.ObjectRef) else right_ref
         rdf = right.to_pandas()
         self.right = rdf.sort_values([right_ts]).reset_index(drop=True)
         self.on, self.left_ts, self.right_ts = on, left_ts, right_ts
         self.direction, self.suffix = direction, suffix
+        self.interpolate, self.value_cols = interpolate, list(value_cols or [])
+        if interpolate == "linear":
+            keep = list(on or []) + [right_ts] + self.value_cols
+            base = self.right[keep]
+            self.rp = base.rename(
+                columns={right_ts: "__t0", **{c: c + "__0" for c in self.value_cols}}
+            )
+            self.rf = base.rename(
+                columns={right_ts: "__t1", **{c: c + "__1" for c in self.value_cols}}
+            )
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         order = np.argsort(batch[self.left_ts].to_numpy(), kind="stable")
         left = batch.iloc[order].reset_index(drop=True)
-        out = pd.merge_asof(
-            left,
-            self.right,
-            left_on=self.left_ts,
-            right_on=self.right_ts,
-            left_by=self.on or None,
-            right_by=self.on or None,
-            direction=self.direction,
-            suffixes=("", self.suffix),
-        )
+        if self.interpolate is None:
+            return pd.merge_asof(
+                left,
+                self.right,
+                left_on=self.left_ts,
+                right_on=self.right_ts,
+                left_by=self.on or None,
+                right_by=self.on or None,
+                direction=self.direction,
+                suffixes=("", self.suffix),
+            )
+        by = self.on or None
+        p = pd.merge_asof(left, self.rp, left_on=self.left_ts, right_on="__t0",
+                          left_by=by, right_by=by, direction="backward")
+        f = pd.merge_asof(left, self.rf, left_on=self.left_ts, right_on="__t1",
+                          left_by=by, right_by=by, direction="forward")
+        t = left[self.left_ts].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        t0 = p["__t0"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        t1 = f["__t1"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        m0 = p["__t0"].notna().to_numpy()
+        m1 = f["__t1"].notna().to_numpy()
+        both = m0 & m1
+        denom = np.where(both & (t1 != t0), (t1 - t0).astype(np.float64), 1.0)
+        w = np.where(both & (t1 != t0), (t - t0) / denom, 0.0)
+        out = left.copy()
+        for c in self.value_cols:
+            v0 = p[c + "__0"].to_numpy(dtype=np.float64)
+            v1 = f[c + "__1"].to_numpy(dtype=np.float64)
+            v = np.where(
+                both, v0 + (v1 - v0) * w,
+                np.where(m0, v0, np.where(m1, v1, np.nan)),
+            )
+            out[c] = v
         return out
 
 
@@ -312,18 +353,31 @@ def asof_join(
     right_ts: str,
     direction: str = "backward",
     suffix: str = "_r",
+    interpolate: str | None = None,
+    value_cols: list[str] | None = None,
     concurrency: int | tuple[int, int] = (1, 4),
     batch_size: int = 65536,
 ) -> ray.data.Dataset:
     """As-of join (latest right row ≤/≥ left ts per key) — reference J5
     ``combine``/interp analogue. Right side broadcast + sorted once per
-    actor; per-batch ``pd.merge_asof`` (left sorted within the batch)."""
+    actor; per-batch ``pd.merge_asof`` (left sorted within the batch).
+
+    ``interpolate="linear"`` switches to the reference's
+    ``method="linear"`` combine: each ``value_cols`` column is linearly
+    interpolated between the bracketing right rows per key (flat beyond
+    the series ends); output = left columns + interpolated value
+    columns (float64)."""
+    if interpolate not in (None, "linear"):
+        raise ValueError(f"interpolate must be None or 'linear', got {interpolate!r}")
+    if interpolate and not value_cols:
+        raise ValueError("interpolate='linear' needs value_cols")
     ref = ray.put(right)
     return ds.map_batches(
         _AsofJoiner,
         fn_constructor_kwargs=dict(
             right_ref=ref, on=on, left_ts=left_ts, right_ts=right_ts,
             direction=direction, suffix=suffix,
+            interpolate=interpolate, value_cols=value_cols,
         ),
         batch_format="pandas",
         batch_size=batch_size,
@@ -339,6 +393,8 @@ def asof_join_large(
     right_ts: str,
     direction: str = "backward",
     suffix: str = "_r",
+    interpolate: str | None = None,
+    value_cols: list[str] | None = None,
     num_buckets: int = 64,
     batch_size: int = 65536,
 ) -> ray.data.Dataset:
@@ -353,14 +409,27 @@ def asof_join_large(
     time-range partitioning with boundary replication — not needed by
     any reference pipeline). Right columns clashing with left names get
     ``suffix``. Output columns: left's, then right's minus the keys.
+
+    ``interpolate="linear"`` (reference J5 ``combine`` with
+    method="linear", stitching/classes/dataset.py:922-965): each
+    ``value_cols`` column is linearly interpolated between the
+    bracketing right rows per key (flat beyond the ends); output =
+    left columns + interpolated value columns (float64, renamed with
+    ``suffix`` on collision).
     """
     if not on:
         raise ValueError(
             "asof_join_large needs key columns; use asof_join (broadcast) for keyless"
         )
+    if interpolate not in (None, "linear"):
+        raise ValueError(f"interpolate must be None or 'linear', got {interpolate!r}")
+    if interpolate and not value_cols:
+        raise ValueError("interpolate='linear' needs value_cols")
     SIDE = "__asof_side"
     lnames = list(left.schema().names)
     rnames = list(right.schema().names)
+    if interpolate:
+        rnames = list(on) + [right_ts] + [c for c in value_cols]
     rename = {
         c: c + suffix for c in rnames if c in lnames and c not in on and c != right_ts
     }
@@ -384,6 +453,10 @@ def asof_join_large(
 
     def _align(batch: pa.Table, side: int) -> pa.Table:
         if side == 1:
+            if interpolate:
+                # drop unused right cols: an excluded col sharing a left
+                # name would otherwise collide in the union schema
+                batch = batch.select(rnames)
             batch = batch.rename_columns([rename.get(c, c) for c in batch.schema.names])
         cols = {}
         for c in all_cols:
@@ -404,16 +477,49 @@ def asof_join_large(
 
     from edkray.ops.shuffle import bucketed_group_map
 
+    vr = [rename.get(c, c) for c in (value_cols or [])]
+
     def _bucket_asof(table: pa.Table) -> pa.Table:
         df = pl.from_arrow(table)
         l = df.filter(pl.col(SIDE) == 0).select(lnames).sort(left_ts)
         r = df.filter(pl.col(SIDE) == 1).select(on + r_out).sort(r_ts)
         if r.schema[r_ts] != l.schema[left_ts]:
             r = r.with_columns(pl.col(r_ts).cast(l.schema[left_ts]))
+        if interpolate is None:
+            out = l.join_asof(
+                r, left_on=left_ts, right_on=r_ts, by=on, strategy=direction, coalesce=False
+            )
+            return out.select(lnames + r_out).to_arrow()
+        # linear interpolation between the bracketing right rows per key
+        rp = r.rename({r_ts: "__t0", **{c: c + "__0" for c in vr}})
+        rf = r.rename({r_ts: "__t1", **{c: c + "__1" for c in vr}})
         out = l.join_asof(
-            r, left_on=left_ts, right_on=r_ts, by=on, strategy=direction, coalesce=False
+            rp, left_on=left_ts, right_on="__t0", by=on, strategy="backward", coalesce=False
+        ).join_asof(
+            rf, left_on=left_ts, right_on="__t1", by=on, strategy="forward", coalesce=False
         )
-        return out.select(lnames + r_out).to_arrow()
+        t = pl.col(left_ts).cast(pl.Int64)
+        t0, t1 = pl.col("__t0").cast(pl.Int64), pl.col("__t1").cast(pl.Int64)
+        w = (
+            pl.when((t1 - t0) != 0)
+            .then((t - t0).cast(pl.Float64) / (t1 - t0).cast(pl.Float64))
+            .otherwise(0.0)
+        )
+        exprs = []
+        for c in vr:
+            v0 = pl.col(c + "__0").cast(pl.Float64)
+            v1 = pl.col(c + "__1").cast(pl.Float64)
+            exprs.append(
+                pl.when(pl.col("__t0").is_null() & pl.col("__t1").is_null())
+                .then(None)
+                .when(pl.col("__t0").is_null())
+                .then(v1)
+                .when(pl.col("__t1").is_null() | (t1 == t0))
+                .then(v0)
+                .otherwise(v0 + (v1 - v0) * w)
+                .alias(c)
+            )
+        return out.with_columns(exprs).select(lnames + vr).to_arrow()
 
     return bucketed_group_map(tagged, on, _bucket_asof, num_buckets=num_buckets,
                               batch_size=batch_size)

@@ -155,7 +155,8 @@ def to_geojson(
     if hasattr(table, "to_arrow"):  # polars
         table = table.to_arrow()
     if not isinstance(table, pa.Table):
-        table = pa.Table.from_pandas(table, preserve_index=False)
+        from edkray.utils import table_from_pandas
+        table = table_from_pandas(table)
     if table.num_rows > MAX_FEATURES:
         raise ValueError(
             f"{table.num_rows} rows > MAX_FEATURES={MAX_FEATURES}: "

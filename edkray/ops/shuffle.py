@@ -33,6 +33,68 @@ def add_bucket(batch: pa.Table, keys: list[str], num_buckets: int, seed: int = 1
     return batch.append_column(BUCKET_COL, pa.array(bucket))
 
 
+def _key_hash(batch: pa.Table, keys: list[str], seed: int) -> np.ndarray:
+    df = pl.from_arrow(batch.select(keys))
+    return df.select(pl.struct(keys).hash(seed=seed).alias("h"))["h"].to_numpy()
+
+
+def _detect_hot_keys(
+    ds: ray.data.Dataset, keys: list[str], budget: int, seed: int = 11
+) -> tuple[np.ndarray, np.ndarray]:
+    """Count-driven hot-key detection: returns (sorted key hashes whose
+    row count exceeds ``budget``, per-key split factor ceil(count /
+    budget)). The count pre-pass shuffles only (key-hash, partial-count)
+    rows; only the hot subset — by construction a handful of keys —
+    reaches the driver."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(_key_hash(batch, keys, seed), return_counts=True)
+        return pa.table({"kh": pa.array(u), "c": pa.array(c.astype(np.int64))})
+
+    partial = ds.map_batches(_partial, batch_format="pyarrow")
+
+    def _total(table: pa.Table) -> pa.Table:
+        df = pl.from_arrow(table)
+        tot = df.group_by("kh").agg(pl.col("c").sum())
+        hot = tot.filter(pl.col("c") > budget)
+        return hot.to_arrow()
+
+    hot_ds = bucketed_group_map(partial, ["kh"], _total, num_buckets=16)
+    tabs = [t for t in ray.get(hot_ds.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    hot = pa.concat_tables(tabs)
+    kh = hot["kh"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    cnt = hot["c"].to_numpy(zero_copy_only=False)
+    order = np.argsort(kh)
+    splits = -(-cnt[order] // budget)  # ceil
+    return kh[order], splits.astype(np.int64)
+
+
+def _salted_bucket(
+    batch: pa.Table,
+    keys: list[str],
+    num_buckets: int,
+    seed: int,
+    hot_kh: np.ndarray,
+    hot_splits: np.ndarray,
+) -> pa.Table:
+    """Bucket column with hot keys spread over ``split`` buckets each
+    (salt = row-position round-robin, deterministic within a batch)."""
+    h = _key_hash(batch, keys, seed)
+    bucket = (h % np.uint64(num_buckets)).astype(np.int64)
+    if len(hot_kh):
+        pos = np.searchsorted(hot_kh, h)
+        posc = np.minimum(pos, len(hot_kh) - 1)
+        is_hot = hot_kh[posc] == h
+        if is_hot.any():
+            idx = np.flatnonzero(is_hot)
+            salt = np.arange(len(idx), dtype=np.uint64) % hot_splits[posc[idx]].astype(np.uint64)
+            bucket[idx] = ((h[idx] + salt * np.uint64(0x9E3779B97F4A7C15))
+                           % np.uint64(num_buckets)).astype(np.int64)
+    return batch.append_column(BUCKET_COL, pa.array(bucket))
+
+
 def bucketed_group_map(
     ds: ray.data.Dataset,
     keys: list[str],
@@ -40,16 +102,40 @@ def bucketed_group_map(
     num_buckets: int = 64,
     batch_size: int = 65536,
     seed: int = 11,
+    hot_key_merge: Callable[[pa.Table], pa.Table] | None = None,
+    hot_key_budget: int = 500_000,
 ) -> ray.data.Dataset:
     """Apply ``fn`` to each hash bucket (a pa.Table holding complete
     key-groups for every key hashing into the bucket). ``fn`` must
     handle multiple keys per call — vectorized, e.g. polars
-    ``group_by(keys)`` or window exprs ``.over(keys)``."""
-    with_bucket = ds.map_batches(
-        lambda b: add_bucket(b, keys, num_buckets, seed),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-    )
+    ``group_by(keys)`` or window exprs ``.over(keys)``.
+
+    **Hot-key salting** (optional): pass ``hot_key_merge`` to protect
+    against one key dominating a bucket (the skew straggler). A
+    count-driven pre-pass (narrow (key-hash, count) rows only) finds
+    keys above ``hot_key_budget`` rows; their rows are round-robin
+    salted across ceil(count/budget) buckets, ``fn`` runs on each
+    partial group, and ONLY the hot keys' outputs re-group once more
+    through ``hot_key_merge``. Requirements: ``fn``'s output must
+    retain the key columns, and ``merge(fn(a) ∪ fn(b))`` must equal
+    ``fn(a ∪ b)`` for row-splits of one key — true for self-mergeable
+    fns (dedup/first-wins/min-max: pass ``hot_key_merge=fn``).
+    Enabling it materializes ``ds`` (the count pass re-reads it).
+    """
+    if hot_key_merge is None:
+        with_bucket = ds.map_batches(
+            lambda b: add_bucket(b, keys, num_buckets, seed),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+    else:
+        ds = ds.materialize()
+        hot_kh, hot_splits = _detect_hot_keys(ds, keys, hot_key_budget, seed)
+        with_bucket = ds.map_batches(
+            lambda b: _salted_bucket(b, keys, num_buckets, seed, hot_kh, hot_splits),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
 
     def _wrap(group: pa.Table) -> pa.Table:
         out = fn(group)
@@ -60,7 +146,28 @@ def bucketed_group_map(
         # Ray's schema dedup ("Failed to hash the schemas" warnings)
         return out.replace_schema_metadata(None)
 
-    return with_bucket.groupby(BUCKET_COL).map_groups(_wrap, batch_format="pyarrow")
+    first = with_bucket.groupby(BUCKET_COL).map_groups(_wrap, batch_format="pyarrow")
+    if hot_key_merge is None or len(hot_kh) == 0:
+        return first
+
+    # hot keys' outputs are partial (their groups were split): route just
+    # those rows through one more complete-group pass under the merge fn
+    first = first.materialize()
+
+    def _pick(batch: pa.Table, want_hot: bool) -> pa.Table:
+        h = _key_hash(batch, keys, seed)
+        pos = np.searchsorted(hot_kh, h)
+        posc = np.minimum(pos, len(hot_kh) - 1)
+        is_hot = hot_kh[posc] == h
+        return batch.filter(pa.array(is_hot if want_hot else ~is_hot))
+
+    cold = first.map_batches(lambda b: _pick(b, False), batch_format="pyarrow",
+                             batch_size=batch_size)
+    hot = first.map_batches(lambda b: _pick(b, True), batch_format="pyarrow",
+                            batch_size=batch_size)
+    merged = bucketed_group_map(hot, keys, hot_key_merge, num_buckets=num_buckets,
+                                batch_size=batch_size, seed=seed)
+    return cold.union(merged)
 
 
 def dedup_in_bucket(keys: list[str], order_cols: list[str]) -> Callable[[pa.Table], pa.Table]:

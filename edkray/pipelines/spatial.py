@@ -153,6 +153,82 @@ def assign_grid_tile(batch: pa.Table, freq: str = "day") -> pa.Table:
     return batch.append_column("tile_id", tiles.to_arrow().cast(pa.string()))
 
 
+def _partitioned_winner_filter(
+    ds: ray.data.Dataset,
+    win_ds: ray.data.Dataset,
+    pages_path: str,
+    num_buckets: int,
+    batch_size: int,
+) -> ray.data.Dataset:
+    """Winner-key filter without the broadcast: pages and winner keys
+    co-shuffle on url-hash, each bucket filters its own pages against
+    its own (sorted) key slice. Costs one wide shuffle of the pages —
+    like ``dedup_mode="wide"`` — but keeps the narrow tiebreak
+    semantics, and because ALL copies of a url share a bucket, a single
+    in-bucket unique resolves cross-block identical rows with no claim
+    actor. This is the 10^12-url path where the 8 B/url broadcast
+    (~8 TB) would blow the object store."""
+    from edkray.ops.shuffle import bucketed_group_map
+    from edkray.utils import fnv1a64_int
+
+    DSIDE = "__dside"
+    from edkray.utils import scrubbed_schema
+
+    cols = ["url", "warc_ts", "text", "lang"]
+    base_sch = scrubbed_schema(pages_path, cols)
+    if base_sch is None:  # hive tree or opaque layout — fetch via Ray
+        s = ray.data.read_parquet(pages_path, columns=cols).schema()
+        base_sch = pa.schema(list(zip(s.names, s.types)))
+    page_fields = [(f.name, f.type) for f in base_sch] + [("part_id", pa.int64())]
+    page_cols = [n for n, _ in page_fields]
+    all_fields = [("uh", pa.uint64()), ("wk", pa.uint64())] + page_fields
+
+    def _tag(t: pa.Table, side: int) -> pa.Table:
+        cols = {}
+        for name, typ in all_fields:
+            if name in t.schema.names:
+                c = t[name]
+                cols[name] = c.cast(typ) if c.type != typ else c
+            else:
+                cols[name] = pa.nulls(len(t), typ)
+        cols[DSIDE] = pa.array(np.full(len(t), side, dtype=np.int8))
+        return pa.table(cols)
+
+    def _tag_pages(b: pa.Table) -> pa.Table:
+        uh = pl.from_arrow(b["url"]).hash(seed=3).to_numpy().astype(np.uint64)
+        return _tag(b.append_column("uh", pa.array(uh)), 1)
+
+    tagged = win_ds.map_batches(
+        lambda t: _tag(t, 0), batch_format="pyarrow", batch_size=batch_size
+    ).union(ds.map_batches(_tag_pages, batch_format="pyarrow", batch_size=batch_size))
+
+    def _part_dedup(table: pa.Table) -> pa.Table:
+        side = table[DSIDE].to_numpy(zero_copy_only=False)
+        wtab = table.filter(pa.array(side == 0))
+        pages = table.filter(pa.array(side == 1))
+        keys = np.sort(wtab["wk"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        uh = pages["uh"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        th = pl.from_arrow(pages["text"]).hash(seed=5).to_numpy().astype(np.uint64)
+        ts = pages["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+        kk = fnv1a64_int(uh) ^ fnv1a64_int(ts, seed=1) ^ fnv1a64_int(th, seed=2)
+        pos = np.searchsorted(keys, kk)
+        keep = (pos < len(keys)) & (len(keys) > 0)
+        if len(keys):
+            keep &= keys[np.minimum(pos, len(keys) - 1)] == kk
+        kept = pages.filter(pa.array(keep)).select(page_cols)
+        # every copy of a url is in this bucket: one unique pass resolves
+        # within- AND cross-block identical winning rows
+        return (
+            pl.from_arrow(kept)
+            .unique(subset=["url", "warc_ts", "text"], keep="first", maintain_order=True)
+            .to_arrow()
+        )
+
+    return bucketed_group_map(
+        tagged, ["uh"], _part_dedup, num_buckets=num_buckets, batch_size=batch_size
+    )
+
+
 def run_spatial_pipeline(
     pages_path: str,
     admin: pa.Table,
@@ -170,6 +246,8 @@ def run_spatial_pipeline(
     batch_size: int = 65536,
     resume: bool = True,
     dedup_mode: str = "wide",
+    wk_mode: str = "auto",
+    wk_broadcast_max: int = 150_000_000,
 ) -> dict:
     """Run the full pipeline; returns the manifest metrics dict.
 
@@ -181,6 +259,14 @@ def run_spatial_pipeline(
     - ``assignments/part_id=N/`` (url, tile_id, cell_7, cell_9,
                                  s2_token, admin_id, date_bucket, rank)
     - ``_manifest.json``         fingerprint + per-partition rows/status
+
+    ``wk_mode`` (narrow dedup only) picks the winner-key filter:
+    ``"broadcast"`` ships the sorted key array via ``ray.put`` (8 B per
+    unique url — fastest while it fits the object store);
+    ``"partitioned"`` co-shuffles pages and winner keys on url-hash and
+    filters per bucket (one wide shuffle, no broadcast — the 10^12-url
+    path); ``"auto"`` counts winners and picks broadcast below
+    ``wk_broadcast_max`` keys (default 150M ≈ 1.2 GB).
     """
     import pyarrow.compute as pc
 
@@ -225,9 +311,14 @@ def run_spatial_pipeline(
     phase_times: dict[str, float] = {}
     t_phase = time.time()
 
-    # 1. read — html pruned at the read (never leaves storage)
+    # 1. read — html pruned at the read (never leaves storage); schema
+    # scrubbed of pandas metadata so read blocks hash cleanly
+    from edkray.utils import scrubbed_schema
+
+    _page_cols = ["url", "warc_ts", "text", "lang"]
     ds = ray.data.read_parquet(
-        pages_path, columns=["url", "warc_ts", "text", "lang"],
+        pages_path, columns=_page_cols,
+        schema=scrubbed_schema(pages_path, _page_cols),
         override_num_blocks=num_blocks,
     )
 
@@ -264,8 +355,9 @@ def run_spatial_pipeline(
         # and only the (rare) multi-copy keys go through the actor —
         # first claimant keeps the row, retries are idempotent via a
         # block-content owner token. Winner keys are 8 B/unique-url; at
-        # corpus sizes where they exceed the object store, partition
-        # both sides by url-hash and filter per partition instead.
+        # corpus sizes where they exceed the object store, wk_mode
+        # switches to _partitioned_winner_filter (co-shuffle on
+        # url-hash, no broadcast, no claim actor).
         def _decision(batch: pa.Table) -> pa.Table:
             uh = pl.from_arrow(batch["url"]).hash(seed=3).to_numpy().astype(np.uint64)
             th = pl.from_arrow(batch["text"]).hash(seed=5).to_numpy().astype(np.uint64)
@@ -300,61 +392,78 @@ def run_spatial_pipeline(
                 ^ fnv1a64_int(w["ts"].to_numpy().astype(np.uint64), seed=1)
                 ^ fnv1a64_int(w["th"].to_numpy().astype(np.uint64), seed=2)
             )
-            return pa.table({"wk": pa.array(wk), "cnt": pa.array(w["cnt"].to_numpy())})
+            # uh rides along for the partitioned path's co-shuffle key
+            return pa.table({"uh": pa.array(w["uh"].to_numpy().astype(np.uint64)),
+                             "wk": pa.array(wk), "cnt": pa.array(w["cnt"].to_numpy())})
 
         t_dec = time.time()
         win_ds = bucketed_group_map(dec, ["uh"], _winners, num_buckets=num_buckets)
-        # empty shuffle partitions surface as zero-column tables — drop
-        tabs = [t for t in ray.get(win_ds.to_arrow_refs()) if t.num_columns]
-        wt = (
-            pa.concat_tables(tabs).combine_chunks()
-            if tabs
-            else pa.table({"wk": pa.array([], pa.uint64()), "cnt": pa.array([], pa.int64())})
-        )
-        wk = wt["wk"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        wk_ref = ray.put(np.sort(wk))
-        dup_wk = np.sort(wk[wt["cnt"].to_numpy(zero_copy_only=False) > 1])
-        claim_actor = _ClaimRegistry.remote() if len(dup_wk) else None
-        dup_ref = ray.put(dup_wk)
-        # decision shuffle + winner collect/broadcast runs EAGERLY (the
-        # enrich+write execution below can't start without wk_ref), so
-        # time it as its own phase — it contains the only driver-serial
-        # work in the wide job (winner sort + ray.put)
-        phase_times["wide_write.dedup_decide"] = round(time.time() - t_dec, 3)
+        if wk_mode == "auto":
+            win_ds = win_ds.materialize()  # narrow 24 B/key rows, distributed
+            partitioned = win_ds.count() > wk_broadcast_max
+        elif wk_mode in ("broadcast", "partitioned"):
+            partitioned = wk_mode == "partitioned"
+        else:
+            raise ValueError(f"wk_mode must be auto|broadcast|partitioned, got {wk_mode!r}")
 
-        def _winner_filter(batch: pa.Table) -> pa.Table:
-            keys = ray.get(wk_ref)
-            uh = pl.from_arrow(batch["url"]).hash(seed=3).to_numpy().astype(np.uint64)
-            th = pl.from_arrow(batch["text"]).hash(seed=5).to_numpy().astype(np.uint64)
-            ts = batch["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
-            k = fnv1a64_int(uh) ^ fnv1a64_int(ts, seed=1) ^ fnv1a64_int(th, seed=2)
-            pos = np.searchsorted(keys, k)
-            keep = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)] == k)
-            batch = batch.filter(pa.array(keep))
-            kf = k[keep]
-            # drop within-block copies of the same winning row
-            df = pl.from_arrow(batch).with_columns(pl.Series("__k", kf)).unique(
-                subset=["url", "warc_ts", "text"], keep="first", maintain_order=True
+        if partitioned:
+            # documented 10^12-url fallback (VERDICT r2 item 3): no
+            # broadcast — pages and winner keys co-shuffle on url-hash
+            ds = _partitioned_winner_filter(ds, win_ds, pages_path, num_buckets, batch_size)
+            phase_times["wide_write.dedup_decide"] = round(time.time() - t_dec, 3)
+        else:
+            # empty shuffle partitions surface as zero-column tables — drop
+            tabs = [t for t in ray.get(win_ds.select_columns(["wk", "cnt"]).to_arrow_refs())
+                    if t.num_columns]
+            wt = (
+                pa.concat_tables(tabs).combine_chunks()
+                if tabs
+                else pa.table({"wk": pa.array([], pa.uint64()), "cnt": pa.array([], pa.int64())})
             )
-            if claim_actor is not None:
-                dups = ray.get(dup_ref)
-                kk = df["__k"].to_numpy()
-                p = np.searchsorted(dups, kk)
-                is_dup = (p < len(dups)) & (dups[np.minimum(p, len(dups) - 1)] == kk)
-                if is_dup.any():
-                    # identical rows across blocks: exactly one block may
-                    # keep each key. Owner token = block content hash so a
-                    # retried task re-claims its own keys (idempotent).
-                    owner = int(np.bitwise_xor.reduce(uh)) ^ len(uh)
-                    granted = ray.get(
-                        claim_actor.claim.remote([int(x) for x in kk[is_dup]], owner)
-                    )
-                    drop = np.zeros(len(kk), dtype=bool)
-                    drop[np.nonzero(is_dup)[0][~np.asarray(granted)]] = True
-                    df = df.filter(pl.Series(~drop))
-            return df.drop("__k").to_arrow()
+            wk = wt["wk"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            wk_ref = ray.put(np.sort(wk))
+            dup_wk = np.sort(wk[wt["cnt"].to_numpy(zero_copy_only=False) > 1])
+            claim_actor = _ClaimRegistry.remote() if len(dup_wk) else None
+            dup_ref = ray.put(dup_wk)
+            # decision shuffle + winner collect/broadcast runs EAGERLY (the
+            # enrich+write execution below can't start without wk_ref), so
+            # time it as its own phase — it contains the only driver-serial
+            # work in the wide job (winner sort + ray.put)
+            phase_times["wide_write.dedup_decide"] = round(time.time() - t_dec, 3)
 
-        ds = ds.map_batches(_winner_filter, batch_format="pyarrow", batch_size=batch_size)
+            def _winner_filter(batch: pa.Table) -> pa.Table:
+                keys = ray.get(wk_ref)
+                uh = pl.from_arrow(batch["url"]).hash(seed=3).to_numpy().astype(np.uint64)
+                th = pl.from_arrow(batch["text"]).hash(seed=5).to_numpy().astype(np.uint64)
+                ts = batch["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+                k = fnv1a64_int(uh) ^ fnv1a64_int(ts, seed=1) ^ fnv1a64_int(th, seed=2)
+                pos = np.searchsorted(keys, k)
+                keep = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)] == k)
+                batch = batch.filter(pa.array(keep))
+                kf = k[keep]
+                # drop within-block copies of the same winning row
+                df = pl.from_arrow(batch).with_columns(pl.Series("__k", kf)).unique(
+                    subset=["url", "warc_ts", "text"], keep="first", maintain_order=True
+                )
+                if claim_actor is not None:
+                    dups = ray.get(dup_ref)
+                    kk = df["__k"].to_numpy()
+                    p = np.searchsorted(dups, kk)
+                    is_dup = (p < len(dups)) & (dups[np.minimum(p, len(dups) - 1)] == kk)
+                    if is_dup.any():
+                        # identical rows across blocks: exactly one block may
+                        # keep each key. Owner token = block content hash so a
+                        # retried task re-claims its own keys (idempotent).
+                        owner = int(np.bitwise_xor.reduce(uh)) ^ len(uh)
+                        granted = ray.get(
+                            claim_actor.claim.remote([int(x) for x in kk[is_dup]], owner)
+                        )
+                        drop = np.zeros(len(kk), dtype=bool)
+                        drop[np.nonzero(is_dup)[0][~np.asarray(granted)]] = True
+                        df = df.filter(pl.Series(~drop))
+                return df.drop("__k").to_arrow()
+
+            ds = ds.map_batches(_winner_filter, batch_format="pyarrow", batch_size=batch_size)
     else:
         raise ValueError(f"dedup_mode must be 'wide' or 'narrow', got {dedup_mode!r}")
 
@@ -416,10 +525,18 @@ def run_spatial_pipeline(
     # would pin in the object store anyway, but the parquet planning
     # (footer scan over every written file) and read+decompress are
     # paid once instead of twice.
-    from edkray.ops.aggregate import grouped_agg_small
+    from edkray.ops.aggregate import grouped_agg, grouped_agg_small
 
     narrow = _narrow().materialize()
-    sc = grouped_agg_small(narrow, ["tile_id", "salt"], [("count", None, "n")])
+    try:
+        sc = grouped_agg_small(narrow, ["tile_id", "salt"], [("count", None, "n")])
+    except ValueError:
+        # partial rows (blocks × tiles × salts) exceed the driver-side
+        # bound at high doc counts — distributed combine instead; the
+        # FINAL result (tiles × salts) is still tiny, so collecting it
+        # is safe. narrow is materialized: the retry re-reads object
+        # store blocks, not parquet.
+        sc = grouped_agg(narrow, ["tile_id", "salt"], [("count", None, "n")]).to_pandas()
     totals = sc.groupby("tile_id")["n"].sum()
     hot = set(totals[totals > salt_threshold].index)
     manifest.metrics["hot_tiles"] = sorted(hot)
@@ -443,7 +560,7 @@ def run_spatial_pipeline(
 
     def _effective_salt(batch: pa.Table) -> pa.Table:
         hot_list = ray.get(hot_ref)
-        tid = batch["tile_id"].to_pandas().to_numpy()
+        tid = batch["tile_id"].to_numpy(zero_copy_only=False)
         salt = batch["salt"].to_numpy(zero_copy_only=False)
         is_hot = np.isin(tid, hot_list) if hot_list else np.zeros(len(tid), dtype=bool)
         eff = np.where(is_hot, salt, 0)

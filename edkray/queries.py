@@ -29,7 +29,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from edkray.utils import derive_lonlat
+from edkray.utils import derive_lonlat, table_from_pandas
 
 # --------------------------------------------------------------------------
 # helpers
@@ -40,14 +40,15 @@ def _p(sf_dir: str, table: str) -> str:
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
-    ds = ray.data.read_parquet(_p(sf_dir, table), columns=columns)
     # the test parquet carries a `pandas` schema-metadata dict that makes
     # hash(schema) raise inside Ray's schema dedup ("Failed to hash the
-    # schemas" warnings); strip it at the read boundary — metadata-only,
-    # zero-copy, fuses with the next stage
-    return ds.map_batches(
-        lambda b: b.replace_schema_metadata(None), batch_format="pyarrow"
-    )
+    # schemas" warnings on the READ operator itself); pass an explicitly
+    # scrubbed schema so even the read blocks hash cleanly
+    path = _p(sf_dir, table)
+    sch = pq.read_schema(path).remove_metadata()
+    if columns is not None:
+        sch = pa.schema([sch.field(c) for c in columns])
+    return ray.data.read_parquet(path, columns=columns, schema=sch)
 
 
 def round_half_away(x: np.ndarray, decimals: int) -> np.ndarray:
@@ -331,7 +332,7 @@ def q_asof_orders(sf_dir: str):
     odf = orders.to_pandas().sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
     odf = odf.drop_duplicates(subset=["o_custkey", "o_orderdate"], keep="last")
     odf = odf.rename(columns={"o_custkey": "user_id"})
-    right = pa.Table.from_pandas(odf, preserve_index=False)
+    right = table_from_pandas(odf)
 
     ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
     out = asof_join(ev, right, on=["user_id"], left_ts="ts", right_ts="o_orderdate")
@@ -388,6 +389,86 @@ def q_asof_orders_large(sf_dir: str):
         lambda b: b.select(["event_id", "ts", "user_id", "o_orderkey", "o_totalprice"]),
         batch_format="pyarrow",
     )
+
+
+# --------------------------------------------------------------------------
+# Q: interp_orders — linear-interpolation combine (reference J5
+# ``combine`` with method="linear", stitching/classes/dataset.py:922-965):
+# each event's price is interpolated between the user's bracketing orders
+
+
+def _interp_right(sf_dir: str) -> pa.Table:
+    orders = pq.read_table(
+        _p(sf_dir, "orders"), columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"]
+    )
+    odf = orders.to_pandas().sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    odf = odf.drop_duplicates(subset=["o_custkey", "o_orderdate"], keep="last")
+    odf = odf.rename(columns={"o_custkey": "user_id"})
+    return table_from_pandas(odf[["user_id", "o_orderdate", "o_totalprice"]])
+
+
+def q_interp_orders(sf_dir: str):
+    from edkray.ops.joins import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    out = asof_join(
+        ev, _interp_right(sf_dir), on=["user_id"], left_ts="ts", right_ts="o_orderdate",
+        interpolate="linear", value_cols=["o_totalprice"],
+    )
+    return out.map_batches(
+        lambda b: b.select(["event_id", "ts", "user_id", "o_totalprice"]).rename_columns(
+            ["event_id", "ts", "user_id", "price_interp"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_interp_orders_large(sf_dir: str):
+    """Same oracle as ``interp_orders`` via the large-large path: both
+    sides shuffle once on user_id, per-bucket bracketing join_asof +
+    vectorized interpolation (no broadcast)."""
+    import ray.data
+
+    from edkray.ops.joins import asof_join_large
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    right = ray.data.from_arrow(_interp_right(sf_dir))
+    out = asof_join_large(
+        ev, right, on=["user_id"], left_ts="ts", right_ts="o_orderdate",
+        interpolate="linear", value_cols=["o_totalprice"],
+    )
+    return out.map_batches(
+        lambda b: b.select(["event_id", "ts", "user_id", "o_totalprice"]).rename_columns(
+            ["event_id", "ts", "user_id", "price_interp"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_SQL_INTERP = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, o_totalprice FROM orders
+  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1
+), p AS (
+  SELECT e.event_id, o.o_orderdate AS t0, o.o_totalprice AS v0
+  FROM events e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+), f AS (
+  SELECT e.event_id, o.o_orderdate AS t1, o.o_totalprice AS v1
+  FROM events e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+)
+SELECT e.event_id, e.ts, e.user_id,
+  CASE
+    WHEN p.t0 IS NULL AND f.t1 IS NULL THEN NULL
+    WHEN p.t0 IS NULL THEN f.v1
+    WHEN f.t1 IS NULL OR f.t1 = p.t0 THEN p.v0
+    ELSE p.v0 + (f.v1 - p.v0)
+         * (epoch_us(e.ts) - epoch_us(p.t0))
+         / (epoch_us(f.t1) - epoch_us(p.t0))
+  END AS price_interp
+FROM events e
+JOIN p USING (event_id)
+JOIN f USING (event_id)
+"""
 
 
 # --------------------------------------------------------------------------
@@ -519,7 +600,7 @@ def q_overview_pyramid(sf_dir: str):
         out = pyramid_union({8: base, **levels}).to_pandas()
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
-    return pa.Table.from_pandas(out.sort_values("cell").reset_index(drop=True))
+    return table_from_pandas(out.sort_values("cell").reset_index(drop=True))
 
 
 def _sql_pyramid(base_res: int = 8, min_res: int = 5) -> str:
@@ -1302,7 +1383,7 @@ def q_approx_users_per_type(sf_dir: str):
     m = exact.merge(est, on="event_type", how="left")
     m["hll_ok"] = (m["approx_nd"] / m["exact_users"] - 1.0).abs() <= 0.05
     out = m[["event_type", "exact_users", "hll_ok"]].sort_values("event_type")
-    return pa.Table.from_pandas(out.reset_index(drop=True))
+    return table_from_pandas(out.reset_index(drop=True))
 
 
 _SQL_APPROX_USERS = """
@@ -1677,6 +1758,8 @@ def queries() -> dict:
         "distinct_flags": q_distinct_flags,
         "asof_orders": q_asof_orders,
         "asof_orders_large": q_asof_orders_large,
+        "interp_orders": q_interp_orders,
+        "interp_orders_large": q_interp_orders_large,
         "overview_pyramid": q_overview_pyramid,
         "tile_overlay": q_tile_overlay,
         "cells_histogram": q_cells_histogram,
@@ -1725,6 +1808,8 @@ def oracle_sql() -> dict:
         "dedup_lineitem_first": _SQL_DEDUP_LI,
         "distinct_flags": _SQL_DISTINCT,
         "asof_orders": _SQL_ASOF,
+        "interp_orders": _SQL_INTERP,
+        "interp_orders_large": _SQL_INTERP,
         # large-large path, same semantics → same oracle
         "asof_orders_large": _SQL_ASOF,
         # each level recomputed from base in SQL (sum associative)

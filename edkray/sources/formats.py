@@ -120,7 +120,33 @@ class ParquetDirAdapter:
     """Subdataset expansion: a scan row addressing a directory explodes
     into one tile row per member parquet file (1 → N flat-map, the
     NetCDF subdataset enumeration shape, formats/netcdf.py:18-63);
-    band description := member file stem (the varname analogue)."""
+    band description := member file stem (the varname analogue).
+
+    ``recursive=True`` (default) walks NESTED directories too — the
+    reference's recursive subdataset walk (utilities/geo.py:136-157,
+    formats/earth_engine.py:13-107, where a subdataset may itself
+    expose subdatasets). Nested members get ``:``-joined subdataset
+    names (``outer:inner:file``), mirroring GDAL's nested-subdataset
+    naming; ``max_depth`` bounds runaway trees/symlink cycles."""
+
+    def __init__(self, recursive: bool = True, max_depth: int = 8):
+        self.recursive = recursive
+        self.max_depth = max_depth
+
+    def _walk(self, root: str, depth: int = 0) -> list[tuple[str, str]]:
+        """[(member_path, subdataset_name)] — files at this level first
+        (sorted), then nested subdatasets (sorted), depth-first."""
+        files, dirs = [], []
+        for m in sorted(os.listdir(root)):
+            full = os.path.join(root, m)
+            if m.endswith(".parquet") and os.path.isfile(full):
+                files.append((full, m.removesuffix(".parquet")))
+            elif os.path.isdir(full) and self.recursive and depth < self.max_depth:
+                dirs.append((full, m))
+        out = list(files)
+        for full, name in dirs:
+            out.extend((p, f"{name}:{sub}") for p, sub in self._walk(full, depth + 1))
+        return out
 
     def create_tiles(self, scan: ray.data.Dataset) -> ray.data.Dataset:
         def _tiles(batch: pa.Table) -> pa.Table:
@@ -132,12 +158,7 @@ class ParquetDirAdapter:
                 tname = (batch["tile_name"][i].as_py() if "tile_name" in names
                          else os.path.basename(root.rstrip("/")))
                 date = batch["date"][i].as_py() if "date" in names else None
-                members = sorted(
-                    os.path.join(root, m) for m in os.listdir(root)
-                    if m.endswith(".parquet")
-                )
-                for m in members:
-                    stem = os.path.basename(m).removesuffix(".parquet")
+                for m, stem in self._walk(root):
                     f = pq.ParquetFile(m)
                     out["path"].append(m)
                     out["tile_name"].append(tname)

@@ -62,9 +62,11 @@ class TileReader:
     __init__.py:6; repeated ``gdal.Open`` per chunk read was the cost
     the pool amortized, entrypoint.py:95-133)."""
 
-    def __init__(self, columns: list[str] | None = None, pool_size: int = 1024):
+    def __init__(self, columns: list[str] | None = None, pool_size: int = 1024,
+                 passthrough: list[str] | None = None):
         self.columns = columns
         self.pool_size = pool_size
+        self.passthrough = passthrough or []
         self._handles: OrderedDict[str, pq.ParquetFile] = OrderedDict()
         self.handle_hits = 0
         self.handle_misses = 0
@@ -84,13 +86,20 @@ class TileReader:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         parts = []
-        for path, off, n in zip(
+        for i, (path, off, n) in enumerate(zip(
             batch["path"].to_pylist(),
             batch["row_offset"].to_pylist(),
             batch["num_rows"].to_pylist(),
-        ):
+        )):
             t = read_window(path, off, n, columns=self.columns, _pf=self._handle(path))
             t = t.append_column("__tile_path", pa.array([path] * len(t), type=pa.string()))
+            # window-row metadata (tile_name/date/band…) fans out onto
+            # every data row — the stack read's coordinate tags
+            for c in self.passthrough:
+                val = batch[c][i].as_py()
+                t = t.append_column(
+                    c, pa.array([val] * len(t), type=batch.schema.field(c).type)
+                )
             parts.append(t)
         if not parts:
             return pa.table({"__tile_path": pa.array([], type=pa.string())})
@@ -108,6 +117,79 @@ def windowed_read(
     return windows.map_batches(
         TileReader,
         fn_constructor_kwargs=dict(columns=columns),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def read_stack(
+    catalog: ray.data.Dataset,
+    *,
+    time_range: tuple | None = None,
+    bands: list[str] | None = None,
+    window: tuple[int, int] | None = None,
+    columns: list[str] | None = None,
+    concurrency: int | tuple[int, int] = (1, 4),
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """Lazily-indexed multi-tile stack read — the 4-D
+    ``(time, band, x, y)`` coordinate view of the reference
+    (xarray_boosted/entrypoint.py:280-304) as one compositional call.
+
+    Selection happens at PLAN time against the CATALOG only (no tile
+    file is opened to decide): rows are pruned by ``time_range``
+    (left-inclusive, like the reference's date slicing) and ``bands``
+    (band-description membership, reference M7
+    ``df["description"].isin(bands)``, dataset.py:778-780); each
+    surviving tile contributes one ``(path, row_offset, num_rows)``
+    window (``window`` = the x/y-window analogue over the tile's row
+    space; ``None`` = whole tile), and the windows stream through the
+    :class:`TileReader` actor pool with its handle cache. Output rows
+    carry their coordinate tags (``tile_name``, ``date``,
+    ``subdataset``, ``__tile_path``); ``columns`` projects the payload
+    read (pruned at the row-group read, never afterwards)."""
+
+    def _prune(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        keep = np.ones(len(batch), dtype=bool)
+        if time_range is not None:
+            d = batch["date"].to_numpy(zero_copy_only=False)
+            keep &= (d >= np.datetime64(time_range[0])) & (d < np.datetime64(time_range[1]))
+        if bands is not None:
+            want = set(bands)
+            ok = [
+                any(b["description"] in want for b in (batch["bands"][i].as_py() or []))
+                for i in range(len(batch))
+            ]
+            keep &= np.asarray(ok, dtype=bool)
+        sub = batch.filter(pa.array(keep))
+        nr = sub["n_rows"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if window is None:
+            off = np.zeros(len(sub), dtype=np.int64)
+            n = nr
+        else:
+            off = np.full(len(sub), int(window[0]), dtype=np.int64)
+            n = np.maximum(np.minimum(nr - off, int(window[1])), 0)
+        out = pa.table(
+            {
+                "path": sub["path"],
+                "tile_name": sub["tile_name"],
+                "date": sub["date"],
+                "subdataset": sub["subdataset"],
+                "row_offset": pa.array(off),
+                "num_rows": pa.array(n),
+            }
+        )
+        return out.filter(pa.array(n > 0))
+
+    windows = catalog.map_batches(_prune, batch_format="pyarrow")
+    return windows.map_batches(
+        TileReader,
+        fn_constructor_kwargs=dict(
+            columns=columns, passthrough=["tile_name", "date", "subdataset"]
+        ),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -435,6 +435,49 @@ class TestShuffle:
         exp = rand_table.to_pandas().groupby("k", as_index=False).agg(n=("k", "size"))
         _df_eq(got, exp)
 
+    def test_hot_key_salting_output_unchanged(self, ray_session):
+        """VERDICT r2 item 6: with one key holding 50% of rows, the
+        count-driven salting splits that key across buckets (no single
+        task holds the whole key) and a self-mergeable fn's output is
+        identical to the unsalted run."""
+        import ray.data
+
+        from edkray.ops.shuffle import (
+            _detect_hot_keys, _salted_bucket, bucketed_group_map, dedup_in_bucket,
+        )
+
+        rng = np.random.default_rng(41)
+        n = 40_000
+        # key 0 = 50% of rows; 200 cold keys share the rest
+        k = np.where(rng.random(n) < 0.5, 0, rng.integers(1, 201, n))
+        tbl = pa.table({
+            "k": pa.array(k.astype(np.int64)),
+            "ord": pa.array(rng.permutation(n).astype(np.int64)),
+            "v": pa.array(rng.normal(size=n)),
+        })
+        ds = ray.data.from_arrow(tbl).repartition(8)
+        fn = dedup_in_bucket(["k"], ["ord"])
+        plain = bucketed_group_map(ds, ["k"], fn, num_buckets=8).to_pandas()
+        salted = bucketed_group_map(
+            ray.data.from_arrow(tbl).repartition(8), ["k"], fn, num_buckets=8,
+            hot_key_merge=fn, hot_key_budget=2000,
+        ).to_pandas()
+        a = plain.sort_values("k").reset_index(drop=True)
+        b = salted.sort_values("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+        # detection found the hot key with the right split factor
+        hot_kh, splits = _detect_hot_keys(ray.data.from_arrow(tbl), ["k"], 2000)
+        assert len(hot_kh) == 1
+        assert splits[0] == -(-int((k == 0).sum()) // 2000)
+        # and the bucket assigner actually spreads it over many buckets
+        hot_rows = pa.table({"k": pa.array(np.zeros(5000, dtype=np.int64)),
+                             "ord": pa.array(np.arange(5000)),
+                             "v": pa.array(np.zeros(5000))})
+        bucketed = _salted_bucket(hot_rows, ["k"], 8, 11, hot_kh, splits)
+        n_buckets_used = len(np.unique(bucketed["__bucket"].to_numpy()))
+        assert n_buckets_used > 1
+
 
 class TestRound2Fixes:
     def test_knn_join_small_then_large_batch(self, ray_session):
@@ -517,6 +560,47 @@ class TestRound3Fixes:
         pd.testing.assert_series_equal(g["payload"].astype("float64"),
                                        e["payload"].astype("float64"), check_names=False)
 
+    def test_interp_join_linear(self, ray_session):
+        """Linear-interpolation combine (reference J5 method='linear'):
+        broadcast and large-large paths agree with a numpy oracle,
+        including edge holds and exact-timestamp hits."""
+        import ray.data
+
+        from edkray.ops.joins import asof_join, asof_join_large
+
+        t0 = dt.datetime(2024, 1, 1)
+        right = pa.table({
+            "key": pa.array([0, 0, 0, 1]),
+            "rts": pa.array([t0, t0 + dt.timedelta(hours=10), t0 + dt.timedelta(hours=20),
+                             t0 + dt.timedelta(hours=5)], type=pa.timestamp("us")),
+            "val": pa.array([100.0, 200.0, 150.0, 50.0]),
+        })
+        left = pa.table({
+            "id": pa.array(np.arange(6)),
+            "key": pa.array([0, 0, 0, 0, 1, 1]),
+            "ts": pa.array([
+                t0 - dt.timedelta(hours=2),      # before series → hold first (100)
+                t0 + dt.timedelta(hours=5),      # midpoint 100..200 → 150
+                t0 + dt.timedelta(hours=10),     # exact hit → 200
+                t0 + dt.timedelta(hours=30),     # after series → hold last (150)
+                t0 + dt.timedelta(hours=5),      # exact single point → 50
+                t0 + dt.timedelta(hours=9),      # after single point → 50
+            ], type=pa.timestamp("us")),
+        })
+        exp = [100.0, 150.0, 200.0, 150.0, 50.0, 50.0]
+        got_b = asof_join(
+            ray.data.from_arrow(left), right, on=["key"], left_ts="ts", right_ts="rts",
+            interpolate="linear", value_cols=["val"],
+        ).to_pandas().sort_values("id")
+        assert got_b["val"].tolist() == exp
+        got_l = asof_join_large(
+            ray.data.from_arrow(left).repartition(3),
+            ray.data.from_arrow(right).repartition(2),
+            on=["key"], left_ts="ts", right_ts="rts",
+            interpolate="linear", value_cols=["val"], num_buckets=4,
+        ).to_pandas().sort_values("id")
+        assert got_l["val"].tolist() == exp
+
     def test_knn_tie_stable_across_k_paths(self, ray_session):
         """Regression (ADVICE r2 low): with duplicate reference points
         tied exactly at the k-th boundary, the argpartition (k>8) path
@@ -545,6 +629,42 @@ class TestRound3Fixes:
             cos = lonlat_to_unit(qlon, qlat) @ lonlat_to_unit(lon, lat).T
             exp = [np.argsort(-row, kind="stable")[:k].tolist() for row in cos]
             assert got == exp, f"k={k}"
+
+    def test_lsh_verification_stays_distributed(self, ray_session, monkeypatch):
+        """VERDICT r2 item 2: the LSH verification pass must never pull
+        candidate texts/vectors (or the pair set) onto the driver.
+        Forbid Dataset.to_pandas for the duration of both ops — the
+        round-2 implementation called it on the candidate/text path."""
+        import ray
+        import ray.data
+
+        from edkray.ops.dedup import embedding_dup_pairs, minhash_lsh_pairs
+
+        def _boom(self, *a, **k):
+            raise AssertionError("driver-side Dataset materialization on candidate path")
+
+        monkeypatch.setattr(ray.data.Dataset, "to_pandas", _boom)
+
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        texts = [base, base + "tail", "totally different words here " * 6] + [
+            f"unique filler document number {i} with its own content" for i in range(30)
+        ]
+        tbl = pa.table({"doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                        "text": pa.array(texts)})
+        out = minhash_lsh_pairs(ray.data.from_arrow(tbl), threshold=0.5)
+        tabs = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+        got = pa.concat_tables(tabs).to_pydict() if tabs else {"id_a": [], "id_b": []}
+        assert (0, 1) in set(zip(got["id_a"], got["id_b"]))
+
+        rng = np.random.default_rng(23)
+        emb = rng.normal(size=(40, 16))
+        emb[1] = emb[0] + rng.normal(scale=1e-4, size=16)  # near-dup pair
+        etbl = pa.table({"vec_id": pa.array(np.arange(40, dtype=np.int64)),
+                         "embedding": pa.array(list(emb), type=pa.list_(pa.float64()))})
+        eout = embedding_dup_pairs(ray.data.from_arrow(etbl), threshold=0.999)
+        etabs = [t for t in ray.get(eout.to_arrow_refs()) if t.num_rows]
+        egot = pa.concat_tables(etabs).to_pydict() if etabs else {"id_a": [], "id_b": []}
+        assert (0, 1) in set(zip(egot["id_a"], egot["id_b"]))
 
     def test_list_to_matrix_rejects_nulls(self):
         """Regression (ADVICE r2 low): null rows must raise, not

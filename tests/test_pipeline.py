@@ -208,17 +208,23 @@ class TestNarrowDedup:
         pages = os.path.join(fixture_dir, "pages.parquet")
         admin = make_admin()
         outs = {}
-        for mode in ("wide", "narrow"):
-            out = str(tmp_path_factory.mktemp(f"dedup_{mode}"))
+        # partitioned = the no-broadcast winner-key fallback forced on
+        variants = [("wide", "auto"), ("narrow", "broadcast"), ("narrow", "partitioned")]
+        for mode, wk in variants:
+            out = str(tmp_path_factory.mktemp(f"dedup_{mode}_{wk}"))
             run_spatial_pipeline(pages, admin=admin, out_dir=out,
-                                 num_partitions=4, resume=False, dedup_mode=mode)
+                                 num_partitions=4, resume=False, dedup_mode=mode,
+                                 wk_mode=wk)
             df = pq.read_table(os.path.join(out, "assignments")).to_pandas()
-            outs[mode] = df.sort_values("url").reset_index(drop=True)
-        a, b = outs["wide"], outs["narrow"]
-        assert len(a) == len(b)
-        for col in ("url", "tile_id", "cell_7", "admin_id", "rank"):
-            av, bv = a[col].to_numpy(), b[col].to_numpy()
-            assert all((x == y) or (pd.isna(x) and pd.isna(y)) for x, y in zip(av, bv)), col
+            outs[(mode, wk)] = df.sort_values("url").reset_index(drop=True)
+        a = outs[("wide", "auto")]
+        for key in variants[1:]:
+            b = outs[key]
+            assert len(a) == len(b), key
+            for col in ("url", "tile_id", "cell_7", "admin_id", "rank"):
+                av, bv = a[col].to_numpy(), b[col].to_numpy()
+                assert all((x == y) or (pd.isna(x) and pd.isna(y))
+                           for x, y in zip(av, bv)), (key, col)
 
     def test_narrow_dedups_cross_block_identical_rows(self, ray_session, tmp_path_factory):
         """Fully identical (url, warc_ts, text) rows scattered across
@@ -252,15 +258,18 @@ class TestNarrowDedup:
         pq.write_table(tbl, src, row_group_size=200)  # many row groups -> many blocks
         admin = make_admin()
         counts = {}
-        for mode in ("wide", "narrow"):
-            out = str(tmp_path_factory.mktemp(f"dup_{mode}"))
+        for mode, wk in (("wide", "auto"), ("narrow", "broadcast"), ("narrow", "partitioned")):
+            out = str(tmp_path_factory.mktemp(f"dup_{mode}_{wk}"))
             run_spatial_pipeline(src, admin=admin, out_dir=out,
-                                 num_partitions=4, resume=False, dedup_mode=mode)
+                                 num_partitions=4, resume=False, dedup_mode=mode,
+                                 wk_mode=wk)
             df = pq.read_table(os.path.join(out, "pages"), columns=["url"]).to_pandas()
-            counts[mode] = df
-            assert df.url.value_counts().max() == 1, mode  # one row per url
-        assert len(counts["wide"]) == len(counts["narrow"])
-        assert set(counts["wide"].url) == set(counts["narrow"].url)
+            counts[(mode, wk)] = df
+            assert df.url.value_counts().max() == 1, (mode, wk)  # one row per url
+        assert len(counts[("wide", "auto")]) == len(counts[("narrow", "broadcast")])
+        assert len(counts[("wide", "auto")]) == len(counts[("narrow", "partitioned")])
+        assert set(counts[("wide", "auto")].url) == set(counts[("narrow", "broadcast")].url)
+        assert set(counts[("wide", "auto")].url) == set(counts[("narrow", "partitioned")].url)
 
 
 class TestPyramid:

@@ -383,6 +383,30 @@ class TestFormatAdapters:
         assert all(t == "m" for t in cat.tile_name)
         assert cat.iloc[0]["bands"][0]["description"].startswith(cat.iloc[0]["subdataset"] + ":")
 
+    def test_parquet_dir_adapter_recursive_nested(self, ray_session, tree, tmp_path_factory):
+        """Recursive subdataset walk (reference utilities/geo.py:136-157):
+        a nested catalog dir expands depth-first with ':'-joined names."""
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from edkray.sources.formats import get_adapter
+
+        root = str(tmp_path_factory.mktemp("nested"))
+        t = pa.table({"a": pa.array([1, 2]), "b": pa.array([0.5, 1.5])})
+        pq.write_table(t, os.path.join(root, "top.parquet"))
+        os.makedirs(os.path.join(root, "grp", "sub"))
+        pq.write_table(t, os.path.join(root, "grp", "inner.parquet"))
+        pq.write_table(t, os.path.join(root, "grp", "sub", "deep.parquet"))
+        scan = ray.data.from_items([{"path": root, "tile_name": "n"}])
+        cat = get_adapter("parquet_dir").create_tiles(scan).to_pandas()
+        assert sorted(cat.subdataset) == ["grp:inner", "grp:sub:deep", "top"]
+        # non-recursive keeps round-2 behavior: top level only
+        flat = get_adapter("parquet_dir", recursive=False).create_tiles(scan).to_pandas()
+        assert sorted(flat.subdataset) == ["top"]
+        # max_depth bounds the walk
+        shallow = get_adapter("parquet_dir", max_depth=1).create_tiles(scan).to_pandas()
+        assert sorted(shallow.subdataset) == ["grp:inner", "top"]
+
     def test_stac_asset_adapter(self, ray_session, tree):
         import json
 
@@ -435,6 +459,50 @@ class TestWindowedRead:
         got = read_window(big_tile, 450, 10, columns=["i"])
         assert got["i"].to_pylist() == list(range(450, 460))
         assert got.schema.names == ["i"]
+
+    def test_read_stack_time_band_window(self, ray_session, tmp_path_factory):
+        """4-D stack read (reference xarray_boosted/entrypoint.py:280-304):
+        one call selects by (time range, band membership, row window)
+        across many tiles; catalog-only pruning; rows carry their
+        coordinate tags."""
+        import ray.data
+
+        from edkray.sources.formats import get_adapter
+        from edkray.sources.window import read_stack
+
+        root = tmp_path_factory.mktemp("stack")
+        paths = []
+        for d in range(4):  # four daily tiles
+            p = str(root / f"day{d}.parquet")
+            pq.write_table(
+                pa.table({"temp": pa.array(np.arange(100) + 1000 * d, type=pa.int64()),
+                          "wind": pa.array(np.arange(100) * 0.5)}),
+                p, row_group_size=20,
+            )
+            paths.append(p)
+        scan = ray.data.from_items(
+            [{"path": p, "tile_name": f"t{d}",
+              "date": dt.datetime(2017, 1, 1) + dt.timedelta(days=d)}
+             for d, p in enumerate(paths)]
+        )
+        catalog = get_adapter("parquet").create_tiles(scan)
+        # days 1-2 only, temp band only, rows [20, 30)
+        out = read_stack(
+            catalog,
+            time_range=(dt.datetime(2017, 1, 2), dt.datetime(2017, 1, 4)),
+            bands=["temp"],
+            window=(20, 10),
+            columns=["temp"],
+        ).to_pandas()
+        assert len(out) == 20  # 2 tiles × 10-row window
+        assert sorted(out.tile_name.unique()) == ["t1", "t2"]
+        assert sorted(out.temp.tolist()) == (
+            [1020 + i for i in range(10)] + [2020 + i for i in range(10)]
+        )
+        assert set(out.columns) >= {"temp", "__tile_path", "tile_name", "date", "subdataset"}
+        # band pruning: a band name no tile has → zero rows
+        none = read_stack(catalog, bands=["missing_band"]).to_pandas()
+        assert len(none) == 0
 
     def test_tile_reader_stage_and_handle_pool(self, ray_session, big_tile):
         import ray.data
