@@ -160,21 +160,38 @@ GROUP BY r_name
 
 
 def q_top_revenue_orders(sf_dir: str):
-    """Top-10 orders by lineitem revenue. Scale shape: pre-aggregated
-    groupby → `global_top_k` (per-block top-10 combiner, the exchange
-    carries 10 rows/block — no global sort, no large-large join) → the
-    10 winner keys filter-scan `orders` for their priority (a 10-key
+    """Top-10 orders by lineitem revenue. Scale shape: per-batch partial
+    sums (orderkeys cluster within blocks → ~4× fewer shuffle rows) →
+    ONE bucketed shuffle where each bucket holds complete key groups →
+    per-bucket final sum fused with a local top-10 (the exchange back
+    is 10 rows/bucket — no global sort, no 1.5M-key native groupby,
+    which profiled at 14 s vs 4 s for this shape at sf0.1) → the 10
+    winner keys filter-scan `orders` for their priority (a 10-key
     semi-join pushed into the read, not a full hash join)."""
-    from edkray.ops.aggregate import global_top_k, grouped_agg
+    import polars as pl
+
+    from edkray.ops.shuffle import bucketed_group_map
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def _rev(b: pa.Table) -> pa.Table:
+    def _rev_partial(b: pa.Table) -> pa.Table:
         r = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
-        return pa.table({"o_orderkey": b["l_orderkey"], "rev": r})
+        t = pa.table({"o_orderkey": b["l_orderkey"], "rev": r})
+        return pl.from_arrow(t).group_by("o_orderkey").agg(pl.col("rev").sum()).to_arrow()
 
-    rev = grouped_agg(li.map_batches(_rev, batch_format="pyarrow"), ["o_orderkey"], [("sum", "rev", "revenue")])
-    top = global_top_k(rev, ["revenue", "o_orderkey"], 10, descending=[True, False]).to_pandas()
+    def _agg_topk(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        agg = df.group_by("o_orderkey").agg(pl.col("rev").sum().alias("revenue"))
+        return agg.sort(["revenue", "o_orderkey"], descending=[True, False]).head(10).to_arrow()
+
+    rows = li.map_batches(_rev_partial, batch_format="pyarrow")
+    cands = bucketed_group_map(rows, ["o_orderkey"], _agg_topk, num_buckets=32)
+    top = (
+        cands.to_pandas()
+        .sort_values(["revenue", "o_orderkey"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
     keys = pa.array(top["o_orderkey"].to_numpy())
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     pri = (
