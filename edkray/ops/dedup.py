@@ -167,11 +167,11 @@ def _minhash_candidates(
             pd.concat(outs, ignore_index=True) if outs else _empty
         )
 
-    pairs = bucketed_group_map(band_rows, ["band", "band_hash"], _bucket_pairs, num_buckets=32)
-    # same pair can surface from several bands → distinct on (id_a, id_b)
-    return bucketed_group_map(
-        pairs, ["id_a", "id_b"], dedup_in_bucket(["id_a", "id_b"], ["id_a"]), num_buckets=16
-    )
+    # same pair can surface from several bands; dups are NOT shuffled
+    # away here — the pair-bucket is a pure function of (id_a, id_b), so
+    # duplicates co-locate in the verify stage and dedup there for free
+    # (saves a whole groupby exchange vs a standalone distinct pass)
+    return bucketed_group_map(band_rows, ["band", "band_hash"], _bucket_pairs, num_buckets=32)
 
 
 # --- distributed LSH verification (VERDICT r2 "What's wrong" #1 fix) ------
@@ -359,6 +359,11 @@ def _bucketed_verify(
         ib = pairs["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
         if len(ia) == 0:
             return empty
+        # cross-band duplicate pairs co-locate here (pb is a function of
+        # the pair) — one local unique replaces a dedicated distinct
+        # shuffle upstream
+        up = np.unique(np.stack([ia, ib], axis=1), axis=0)
+        ia, ib = up[:, 0], up[:, 1]
         pids = pay["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         uniq, first = np.unique(pids, return_index=True)
         pay_vals = pay["payload"].combine_chunks().take(pa.array(first))
@@ -678,10 +683,9 @@ def embedding_dup_pairs(
         )
 
     cand = bucketed_group_map(rows, ["band", "bucket"], _bucket_pairs, num_buckets=32)
-    # a pair can surface from many bands → distinct on (id_a, id_b)
-    cand = bucketed_group_map(
-        cand, ["id_a", "id_b"], dedup_in_bucket(["id_a", "id_b"], ["id_a"]), num_buckets=16
-    )
+    # cross-band duplicate pairs co-locate in the verify stage (the
+    # pair-bucket is a function of the pair) and dedup there — no
+    # standalone distinct shuffle
 
     empty = pa.table(
         {
