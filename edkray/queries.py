@@ -19,6 +19,7 @@ Reference correspondence is noted per query (SURVEY.md §2 operator ids).
 
 from __future__ import annotations
 
+import datetime as dt
 import os
 
 import numpy as np
@@ -1210,6 +1211,41 @@ _SQL_CATALOG = "\nUNION ALL\n".join(
 
 
 # --------------------------------------------------------------------------
+# Q: stack_read — catalog-driven 4-D stack read (reference
+# xarray_boosted/entrypoint.py:280-304): scan rows → format-adapter
+# catalog → read_stack pruned by band membership at PLAN time; only
+# the selected tile's selected column leaves storage
+
+
+def q_stack_read(sf_dir: str):
+    import ray.data
+
+    from edkray.ops.aggregate import grouped_agg
+    from edkray.sources.formats import get_adapter
+    from edkray.sources.window import read_stack
+
+    scan = ray.data.from_items(
+        [
+            {"path": _p(sf_dir, "documents"), "tile_name": "documents",
+             "date": dt.datetime(2017, 1, 1)},
+            {"path": _p(sf_dir, "embeddings"), "tile_name": "embeddings",
+             "date": dt.datetime(2017, 1, 2)},
+        ]
+    )
+    catalog = get_adapter("parquet").create_tiles(scan)
+    # band pruning selects only the documents tile (embeddings has no
+    # doc_id band); whole-tile window, single-column projection
+    rows = read_stack(catalog, bands=["doc_id"], columns=["doc_id"])
+    out = grouped_agg(rows, ["tile_name"], [("count", None, "n_rows"), ("sum", "doc_id", "id_sum")])
+    return out
+
+
+_SQL_STACK = """
+SELECT 'documents' AS tile_name, count(*) AS n_rows, sum(doc_id) AS id_sum FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: users_per_type — exact per-group COUNT(DISTINCT) (two-phase)
 
 
@@ -1777,6 +1813,7 @@ def queries() -> dict:
         "asof_orders_large": q_asof_orders_large,
         "interp_orders": q_interp_orders,
         "interp_orders_large": q_interp_orders_large,
+        "stack_read": q_stack_read,
         "overview_pyramid": q_overview_pyramid,
         "tile_overlay": q_tile_overlay,
         "cells_histogram": q_cells_histogram,
@@ -1827,6 +1864,7 @@ def oracle_sql() -> dict:
         "asof_orders": _SQL_ASOF,
         "interp_orders": _SQL_INTERP,
         "interp_orders_large": _SQL_INTERP,
+        "stack_read": _SQL_STACK,
         # large-large path, same semantics → same oracle
         "asof_orders_large": _SQL_ASOF,
         # each level recomputed from base in SQL (sum associative)
