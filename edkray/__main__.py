@@ -36,6 +36,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--num-partitions", type=int, default=16, help="output partitions (default 16)")
     p.add_argument("--dedup-mode", choices=["wide", "narrow"], default="wide",
                    help="'narrow' = decision-shuffle dedup (scale path)")
+    p.add_argument("--wk-mode", choices=["auto", "broadcast", "partitioned"],
+                   default="auto",
+                   help="narrow dedup winner-key filter: broadcast the sorted "
+                        "key array, co-shuffle on url-hash (10^12-url path), "
+                        "or pick by winner count (auto)")
     p.add_argument("--no-resume", action="store_true", help="start fresh (purge out dir)")
     p.add_argument("--bbox", type=float, nargs=4, metavar=("W", "S", "E", "N"),
                    help="optional query bbox filter (lon/lat)")
@@ -62,6 +67,7 @@ def main(argv: list[str] | None = None) -> int:
         k=args.k,
         num_partitions=args.num_partitions,
         dedup_mode=args.dedup_mode,
+        wk_mode=args.wk_mode,
         resume=not args.no_resume,
         query_bbox=tuple(args.bbox) if args.bbox else None,
     )
