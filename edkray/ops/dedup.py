@@ -384,6 +384,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     concurrency: int | tuple[int, int] = (1, 4),
     batch_size: int = 8192,
+    verify_buckets: int = 32,
 ) -> ray.data.Dataset:
     """Near-duplicate pairs with estimated Jaccard ≥ threshold.
 
@@ -433,7 +434,8 @@ def minhash_lsh_pairs(
         )
 
     return _bucketed_verify(
-        ds, cand, id_col, pa.large_string(), _extract, _kernel, empty, batch_size=batch_size
+        ds, cand, id_col, pa.large_string(), _extract, _kernel, empty,
+        pair_buckets=verify_buckets, route_buckets=verify_buckets, batch_size=batch_size
     )
 
 
@@ -447,6 +449,7 @@ def minhash_jaccard_pairs(
     threshold: float = 0.5,
     concurrency: int | tuple[int, int] = (1, 4),
     batch_size: int = 8192,
+    verify_buckets: int = 32,
 ) -> ray.data.Dataset:
     """MinHash-LSH candidates verified by EXACT char-k-gram Jaccard ≥
     threshold — SQL-checkable near-dup dedup (the DuckDB n-gram Jaccard
@@ -498,7 +501,8 @@ def minhash_jaccard_pairs(
         )
 
     return _bucketed_verify(
-        ds, cand, id_col, pa.large_string(), _extract, _kernel, empty, batch_size=batch_size
+        ds, cand, id_col, pa.large_string(), _extract, _kernel, empty,
+        pair_buckets=verify_buckets, route_buckets=verify_buckets, batch_size=batch_size
     )
 
 
@@ -619,6 +623,7 @@ def embedding_dup_pairs(
     threshold: float = 0.95,
     seed: int = 11,
     batch_size: int = 16384,
+    verify_buckets: int = 32,
 ) -> ray.data.Dataset:
     """Embedding-cosine near-dup via BANDED random-hyperplane LSH +
     exact cosine verification. Output (id_a, id_b, cosine), id_a < id_b.
@@ -727,5 +732,6 @@ def embedding_dup_pairs(
         )
 
     return _bucketed_verify(
-        ds, cand, id_col, unit_type, _extract, _kernel, empty, batch_size=batch_size
+        ds, cand, id_col, unit_type, _extract, _kernel, empty,
+        pair_buckets=verify_buckets, route_buckets=verify_buckets, batch_size=batch_size
     )
