@@ -322,6 +322,36 @@ class TestPyramid:
         for r in (7, 6, 5):
             assert levels3[r].to_pandas()["n"].sum() == 4000
 
+    def test_count_job_falls_back_to_distributed_agg(
+        self, ray_session, fixture_dir, tmp_path_factory, monkeypatch
+    ):
+        """Round-3 regression: at 38M docs the count job's driver-side
+        partial bound tripped and crashed the run. The flagship must
+        fall back to the distributed grouped_agg and produce identical
+        output."""
+        import edkray.ops.aggregate as agg
+        from edkray.pipelines.spatial import run_spatial_pipeline
+
+        real = agg.grouped_agg_small
+
+        def _tiny_bound(ds, keys, aggs, **kw):
+            kw["max_partial_rows"] = 1  # force the ValueError path
+            return real(ds, keys, aggs, **kw)
+
+        monkeypatch.setattr(agg, "grouped_agg_small", _tiny_bound)
+        pages = os.path.join(fixture_dir, "pages.parquet")
+        out = str(tmp_path_factory.mktemp("fallback"))
+        m = run_spatial_pipeline(pages, admin=make_admin(), out_dir=out,
+                                 num_partitions=4, resume=False)
+        ref_out = str(tmp_path_factory.mktemp("ref"))
+        monkeypatch.setattr(agg, "grouped_agg_small", real)
+        m2 = run_spatial_pipeline(pages, admin=make_admin(), out_dir=ref_out,
+                                  num_partitions=4, resume=False)
+        a = pq.read_table(os.path.join(out, "assignments")).to_pandas().sort_values("url")
+        b = pq.read_table(os.path.join(ref_out, "assignments")).to_pandas().sort_values("url")
+        assert a["rank"].tolist() == b["rank"].tolist()
+        assert a["tile_id"].tolist() == b["tile_id"].tolist()
+
     def test_crashed_level_purged_on_rerun(self, ray_session, tmp_path_factory):
         """A partial level dir (no _DONE — simulated crash mid-write) must
         be cleared before recompute, not appended to (ADVICE r2 high)."""
