@@ -233,6 +233,81 @@ class StacAssetAdapter:
         return scan.map_batches(_tiles, batch_format="pyarrow", batch_size=64)
 
 
+class ParquetMultivarAdapter:
+    """Single-FILE multi-variable container — the NetCDF shape proper
+    (reference formats/netcdf.py:18-91: one file holds many named
+    variables; ``create_tiles`` emits one row per variable with band
+    description := varname). Here a variable is a column-name prefix
+    before ``sep`` (``temp:v``, ``wind:v`` → subdatasets ``temp``,
+    ``wind``); unprefixed columns are shared coordinates and attach to
+    every variable's band list (the NetCDF dimension-variable
+    analogue). Metadata-only: reads each file's FOOTER, never data."""
+
+    def __init__(self, sep: str = ":"):
+        self.sep = sep
+
+    def create_tiles(self, scan: ray.data.Dataset) -> ray.data.Dataset:
+        sep = self.sep
+
+        def _tiles(batch: pa.Table) -> pa.Table:
+            out = {"path": [], "tile_name": [], "date": [], "subdataset": [],
+                   "n_rows": [], "bands": []}
+            names = batch.schema.names
+            for i in range(len(batch)):
+                path = batch["path"][i].as_py()
+                tname = (batch["tile_name"][i].as_py() if "tile_name" in names
+                         else os.path.basename(path))
+                date = batch["date"][i].as_py() if "date" in names else None
+                f = pq.ParquetFile(path)
+                sch = f.schema_arrow
+                variables: dict[str, list] = {}
+                shared: list[pa.Field] = []
+                for field in sch:
+                    if field.name in _KEY_COLS:
+                        continue
+                    if sep in field.name:
+                        var, _ = field.name.split(sep, 1)
+                        variables.setdefault(var, []).append(field)
+                    else:
+                        shared.append(field)
+                if not variables:  # no prefixed columns → one subdataset
+                    variables = {"": shared}
+                    shared = []
+                for var in sorted(variables):
+                    bands, idx = [], 1
+                    for field in variables[var] + shared:
+                        bands.append(
+                            {
+                                "source_idx": idx,
+                                # own fields keep their var-qualified name;
+                                # shared coordinates keep their bare name
+                                "description": field.name,
+                                "dtype": str(field.type),
+                                "nodataval": None,
+                            }
+                        )
+                        idx += 1
+                    out["path"].append(path)
+                    out["tile_name"].append(tname)
+                    out["date"].append(date)
+                    out["subdataset"].append(var or None)
+                    out["n_rows"].append(f.metadata.num_rows)
+                    out["bands"].append(bands)
+            return pa.table(
+                {
+                    "path": pa.array(out["path"], type=pa.string()),
+                    "tile_name": pa.array(out["tile_name"], type=pa.string()),
+                    "date": pa.array(out["date"], type=pa.timestamp("us")),
+                    "subdataset": pa.array(out["subdataset"], type=pa.string()),
+                    "n_rows": pa.array(out["n_rows"], type=pa.int64()),
+                    "bands": pa.array(out["bands"], type=BAND_TYPE),
+                }
+            )
+
+        return scan.map_batches(_tiles, batch_format="pyarrow", batch_size=64)
+
+
 register_adapter("parquet", ParquetAdapter)
 register_adapter("parquet_dir", ParquetDirAdapter)
+register_adapter("parquet_multivar", ParquetMultivarAdapter)
 register_adapter("stac_asset", StacAssetAdapter)

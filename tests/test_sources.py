@@ -407,6 +407,40 @@ class TestFormatAdapters:
         shallow = get_adapter("parquet_dir", max_depth=1).create_tiles(scan).to_pandas()
         assert sorted(shallow.subdataset) == ["grp:inner", "top"]
 
+    def test_parquet_multivar_adapter(self, ray_session, tmp_path_factory):
+        """Single-file multi-variable container (NetCDF shape,
+        reference formats/netcdf.py:18-91): one row per column-prefix
+        variable; unprefixed columns attach as shared coordinates."""
+        import ray.data
+
+        from edkray.sources.formats import get_adapter
+
+        p = str(tmp_path_factory.mktemp("mv") / "scene.parquet")
+        pq.write_table(
+            pa.table({
+                "temp:v": pa.array([1.0, 2.0]),
+                "temp:q": pa.array([9, 8]),
+                "wind:v": pa.array([0.1, 0.2]),
+                "x": pa.array([10, 20]),  # shared coordinate
+            }),
+            p,
+        )
+        scan = ray.data.from_items([{"path": p, "tile_name": "s"}])
+        cat = get_adapter("parquet_multivar").create_tiles(scan).to_pandas()
+        assert sorted(cat.subdataset) == ["temp", "wind"]
+        temp = cat[cat.subdataset == "temp"].iloc[0]
+        descs = [b["description"] for b in temp["bands"]]
+        assert descs == ["temp:v", "temp:q", "x"]  # own vars then shared coords
+        wind = cat[cat.subdataset == "wind"].iloc[0]
+        assert [b["description"] for b in wind["bands"]] == ["wind:v", "x"]
+        # a file with no prefixed columns → single anonymous subdataset
+        p2 = str(tmp_path_factory.mktemp("mv2") / "flat.parquet")
+        pq.write_table(pa.table({"a": pa.array([1])}), p2)
+        flat = get_adapter("parquet_multivar").create_tiles(
+            ray.data.from_items([{"path": p2, "tile_name": "f"}])
+        ).to_pandas()
+        assert len(flat) == 1 and flat.iloc[0]["subdataset"] is None
+
     def test_stac_asset_adapter(self, ray_session, tree):
         import json
 
