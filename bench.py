@@ -214,6 +214,20 @@ for _ in range(400):
 """
 
 
+def provisioning_canary() -> float:
+    """Host memory-provisioning bandwidth (MB/s): first-touch of a
+    fresh 512 MB numpy buffer. ~110 MB/s in a healthy window; observed
+    down to 5 MB/s in degraded ones (BASELINE.md round-3) — at that
+    point end-to-end pipeline walls measure this number, not CPUs."""
+    import numpy as _np
+
+    t0 = time.time()
+    _a = _np.ones(1 << 26, dtype=_np.float64)
+    dt = time.time() - t0
+    del _a
+    return round(512 / dt, 1)
+
+
 def machine_ceiling(lo: int = 8, hi: int = 32) -> dict:
     """The HOST's own 8→32 strong-scaling ceiling, measured with
     independent pure-CPU processes (no Ray, no I/O, no shared state).
@@ -306,6 +320,7 @@ def main() -> None:
             f"scaling_efficiency_{lo}_to_{hi}": round(eff, 3),
             **ceiling,
             "normalized_efficiency": round(eff / ceiling["machine_ceiling_eff"], 3),
+            "host_provisioning_mb_s": provisioning_canary(),
             "n_docs": results[hi]["n_docs"],
         }))
         return
@@ -405,6 +420,7 @@ def main() -> None:
             # nodes don't share a socket/bus) is expected to track
             **ceiling,
             "normalized_efficiency": round(eff / ceiling["machine_ceiling_eff"], 3),
+            "host_provisioning_mb_s": provisioning_canary(),
             "n_docs": docs,
         }))
         return
