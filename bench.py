@@ -19,6 +19,14 @@ evidence for the north_rule's N→4N cluster criterion (BASELINE.md).
 4× cluster is given 4× the data and should finish in the same wall
 time. This is the deployment-relevant number for a 100 TB corpus
 sharded across nodes.
+
+``--compute-scaling`` measures the N→4N pair over the enrich core
+(geocode + cells + PIP + kNN through real engine stages) with no
+write/shuffle — the component a single sandbox VM can meaningfully
+scale; end-to-end pairs at ≥10M docs measure the host's
+memory-provisioning bandwidth instead (BASELINE.md round-3). All
+scaling modes report the host's own pure-CPU ceiling and provisioning
+canary alongside the raw efficiency.
 """
 
 from __future__ import annotations
