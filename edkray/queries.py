@@ -1224,13 +1224,17 @@ def q_stack_read(sf_dir: str):
     from edkray.sources.formats import get_adapter
     from edkray.sources.window import read_stack
 
-    scan = ray.data.from_items(
-        [
-            {"path": _p(sf_dir, "documents"), "tile_name": "documents",
-             "date": dt.datetime(2017, 1, 1)},
-            {"path": _p(sf_dir, "embeddings"), "tile_name": "embeddings",
-             "date": dt.datetime(2017, 1, 2)},
-        ]
+    scan = ray.data.from_arrow(
+        pa.table(
+            {
+                "path": pa.array([_p(sf_dir, "documents"), _p(sf_dir, "embeddings")]),
+                "tile_name": pa.array(["documents", "embeddings"]),
+                "date": pa.array(
+                    [dt.datetime(2017, 1, 1), dt.datetime(2017, 1, 2)],
+                    type=pa.timestamp("us"),
+                ),
+            }
+        )
     )
     catalog = get_adapter("parquet").create_tiles(scan)
     # band pruning selects only the documents tile (embeddings has no
