@@ -1245,7 +1245,7 @@ def q_stack_read(sf_dir: str):
 
 
 _SQL_STACK = """
-SELECT 'documents' AS tile_name, count(*) AS n_rows, sum(doc_id) AS id_sum FROM documents
+SELECT 'documents' AS tile_name, count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS id_sum FROM documents
 """
 
 
