@@ -833,3 +833,134 @@ class TestRound3Fixes:
         assert (got == exp).all()
         assert sum(x is not None for x in got) > 100  # non-trivial hit rate
         assert t_buc < t_lin  # sub-linear scan actually pays off
+
+
+class TestRound4Fixes:
+    def test_batched_signature_kernels_match_per_doc(self):
+        """VERDICT r3 item 4: the cross-document MinHash/SimHash batch
+        kernels (one rolling-hash pass over a concatenated buffer +
+        segmented reduce) must reproduce the per-doc originals bit for
+        bit, including the short-doc (len<=k) and empty-doc edges and
+        the oversized-doc chunked path."""
+        import random
+        import string
+
+        import edkray.ops.dedup as dd
+        from edkray.ops.dedup import (
+            _batch_signatures,
+            _perm_params,
+            minhash_signature,
+            simhash64,
+            simhash_column,
+        )
+        from edkray.ops.text import batch_kgram_hashes, kgram_hashes
+
+        rng = random.Random(3)
+        docs = []
+        for _ in range(200):
+            n = rng.choice([0, 1, 3, 7, 8, 9, 20, 150, 1200])
+            docs.append("".join(rng.choice(string.ascii_letters + " àé中") for _ in range(n)))
+        docs += ["", None, "abc"]
+
+        datas = [(t or "").encode("utf-8", "ignore") for t in docs]
+        grams, counts = batch_kgram_hashes(datas, 8)
+        off = np.concatenate([[0], np.cumsum(counts)])
+        for i, d in enumerate(datas):
+            assert np.array_equal(kgram_hashes(d, 8), grams[off[i]:off[i + 1]]), i
+
+        a, b = _perm_params(64)
+        sigs = _batch_signatures(docs, 64, 8, a, b)
+        for i, t in enumerate(docs):
+            assert np.array_equal(sigs[i], minhash_signature(t or "", 64, 8, a, b)), i
+
+        # oversized-doc accumulate path: force a tiny chunk budget
+        old = dd._SIG_CHUNK_GRAMS
+        try:
+            dd._SIG_CHUNK_GRAMS = 300
+            assert np.array_equal(sigs, dd._batch_signatures(docs, 64, 8, a, b))
+        finally:
+            dd._SIG_CHUNK_GRAMS = old
+
+        out = simhash_column(
+            pa.table({"text": pa.array(docs, type=pa.large_string())})
+        )["simhash"].to_numpy(zero_copy_only=False)
+        for i, t in enumerate(docs):
+            assert out[i] == simhash64(t or "", 4), i
+
+    def test_id_partitioned_mode_matches_broadcast_no_driver_ids(
+        self, ray_session, monkeypatch
+    ):
+        """VERDICT r3 item 3: id_mode="partitioned" must produce the
+        broadcast path's exact output while never materializing the
+        candidate-id array on the driver (_collect_ids is forbidden)."""
+        import ray
+        import ray.data
+
+        import edkray.ops.dedup as dd
+        from edkray.ops.dedup import embedding_dup_pairs, minhash_lsh_pairs
+
+        def _gather(out):
+            tabs = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+            if not tabs:
+                return set()
+            d = pa.concat_tables(tabs).to_pydict()
+            return set(zip(d["id_a"], d["id_b"]))
+
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        texts = [base, base + "tail", "totally different words here " * 6] + [
+            f"unique filler document number {i} with its own content" for i in range(30)
+        ]
+        tbl = pa.table({"doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                        "text": pa.array(texts)})
+        rng = np.random.default_rng(23)
+        emb = rng.normal(size=(40, 16))
+        emb[1] = emb[0] + rng.normal(scale=1e-4, size=16)
+        etbl = pa.table({"vec_id": pa.array(np.arange(40, dtype=np.int64)),
+                         "embedding": pa.array(list(emb), type=pa.list_(pa.float64()))})
+
+        exp_mh = _gather(minhash_lsh_pairs(
+            ray.data.from_arrow(tbl), threshold=0.5, id_mode="broadcast"))
+        exp_emb = _gather(embedding_dup_pairs(
+            ray.data.from_arrow(etbl), threshold=0.999, id_mode="broadcast"))
+        assert (0, 1) in exp_mh and (0, 1) in exp_emb
+
+        def _boom(uniq):
+            raise AssertionError("driver-side candidate-id materialization in partitioned mode")
+
+        monkeypatch.setattr(dd, "_collect_ids", _boom)
+        got_mh = _gather(minhash_lsh_pairs(
+            ray.data.from_arrow(tbl), threshold=0.5, id_mode="partitioned"))
+        got_emb = _gather(embedding_dup_pairs(
+            ray.data.from_arrow(etbl), threshold=0.999, id_mode="partitioned"))
+        assert got_mh == exp_mh
+        assert got_emb == exp_emb
+
+    def test_absent_candidate_doc_pairs_dropped(self, ray_session, monkeypatch):
+        """ADVICE r3: a candidate pair whose ids vanished from the corpus
+        must be dropped, not emitted as a perfect duplicate (two absent
+        docs used to verify as jaccard/est=1.0 via the ''-sentinel)."""
+        import ray.data
+
+        import edkray.ops.dedup as dd
+        from edkray.ops.dedup import minhash_jaccard_pairs, minhash_lsh_pairs
+
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        tbl = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                        "text": pa.array([base, base + "tail"])})
+
+        real = dd._minhash_candidates
+
+        def _with_ghosts(*args, **kwargs):
+            cand = real(*args, **kwargs)
+            ghost = ray.data.from_arrow(pa.table(
+                {"id_a": pa.array([7777], type=pa.int64()),
+                 "id_b": pa.array([7778], type=pa.int64())}))
+            return cand.union(ghost)
+
+        monkeypatch.setattr(dd, "_minhash_candidates", _with_ghosts)
+        for fn, kw in ((minhash_jaccard_pairs, dict(threshold=0.5)),
+                       (minhash_lsh_pairs, dict(threshold=0.5))):
+            out = fn(ray.data.from_arrow(tbl), **kw).to_pandas()
+            got = set(zip(out.id_a, out.id_b))
+            assert (0, 1) in got, fn.__name__
+            assert (7777, 7778) not in got, fn.__name__
