@@ -385,6 +385,142 @@ def asof_join(
     )
 
 
+_ASOF_SIDE = "__asof_side"
+_RANGE_BUCKET = "__rb"
+
+
+def _keyless_range_asof(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    tagged: ray.data.Dataset,
+    align,
+    join_lr,
+    *,
+    lnames: list[str],
+    r_out: list[str],
+    left_ts: str,
+    r_ts: str,
+    interpolate: str | None,
+    vr: list[str],
+    num_buckets: int,
+    batch_size: int,
+) -> ray.data.Dataset:
+    """Keyless large-large as-of via TIME-RANGE partitioning with
+    boundary replication (see :func:`asof_join_large`). Partitioning
+    assumption: left rows only ever match right rows in their own time
+    range or across a range boundary; replicating each bucket's
+    prev/next boundary rows makes every bucket locally complete.
+    Exchanges: one narrow min/max pass over left (one row per block to
+    the driver), one per-bucket first/last reduce over right
+    (≤ 2·num_buckets rows to the driver), one range shuffle of both
+    sides. Nothing else materializes."""
+    import pyarrow.compute as pc
+
+    from edkray.ops.shuffle import bucketed_group_map
+
+    SIDE, RB = _ASOF_SIDE, _RANGE_BUCKET
+    out_names = lnames + (vr if interpolate else r_out)
+
+    # 1. range cutpoints from the left ts span
+    def _mm(batch: pa.Table) -> pa.Table:
+        mm = pc.min_max(batch[left_ts].cast(pa.int64()))
+        return pa.table({"mn": pa.array([mm["min"].as_py()], type=pa.int64()),
+                         "mx": pa.array([mm["max"].as_py()], type=pa.int64())})
+
+    parts = [r for r in left.map_batches(_mm, batch_format="pyarrow").take_all()
+             if r["mn"] is not None]
+    if not parts:  # empty left → typed empty result
+        sch = tagged.schema()
+        types = dict(zip(sch.names, sch.types))
+        if interpolate:
+            for c in vr:
+                types[c] = pa.float64()
+        return ray.data.from_arrow(
+            pa.table({n: pa.array([], type=types[n]) for n in out_names})
+        )
+    mn = min(r["mn"] for r in parts)
+    mx = max(r["mx"] for r in parts)
+    if mx == mn:
+        cuts = np.empty(0, dtype=np.int64)
+    else:
+        cuts = np.unique(
+            mn + (mx - mn) * np.arange(1, num_buckets, dtype=np.int64) // num_buckets
+        )
+    nb = len(cuts) + 1
+
+    def _rb_tagged(batch: pa.Table) -> pa.Table:
+        side = batch[SIDE].to_numpy(zero_copy_only=False)
+        lt = pc.fill_null(batch[left_ts].cast(pa.int64()), 0).to_numpy(zero_copy_only=False)
+        rt = pc.fill_null(batch[r_ts].cast(pa.int64()), 0).to_numpy(zero_copy_only=False)
+        ts = np.where(side == 0, lt, rt)
+        rb = np.searchsorted(cuts, ts, side="right").astype(np.int64)
+        return batch.append_column(RB, pa.array(rb))
+
+    # deterministic right ordering: ts, ties by the remaining columns
+    r_sort = [r_ts] + [c for c in r_out if c != r_ts]
+
+    # 2. per-range-bucket first/last right rows (combiner + exact reduce)
+    def _fl(table: pa.Table) -> pa.Table:
+        df = pl.from_arrow(table).sort(r_sort)
+        pos = pl.int_range(pl.len()).over(RB)
+        return df.filter((pos == 0) | (pos == pl.len().over(RB) - 1)).to_arrow()
+
+    r_rb = right.map_batches(
+        lambda b: align(b, 1), batch_format="pyarrow", batch_size=batch_size
+    ).map_batches(_rb_tagged, batch_format="pyarrow", batch_size=batch_size)
+    fl = bucketed_group_map(
+        r_rb.map_batches(_fl, batch_format="pyarrow", batch_size=batch_size),
+        [RB], _fl, num_buckets=min(num_buckets, 16), batch_size=batch_size,
+    )
+    tabs = [t for t in ray.get(fl.to_arrow_refs()) if t.num_rows]
+
+    # 3. carries: prev = globally latest right row before each bucket,
+    #    next = earliest after it (running scan over ≤2·nb driver rows)
+    prev_by_rb: dict[int, pl.DataFrame] = {}
+    next_by_rb: dict[int, pl.DataFrame] = {}
+    if tabs:
+        bdf = pl.from_arrow(pa.concat_tables(tabs)).sort(r_sort)
+        cur = None
+        for rb in range(nb):
+            if cur is not None:
+                prev_by_rb[rb] = cur
+            sub = bdf.filter(pl.col(RB) == rb)
+            if len(sub):
+                cur = sub.tail(1)
+        cur = None
+        for rb in range(nb - 1, -1, -1):
+            if cur is not None:
+                next_by_rb[rb] = cur
+            sub = bdf.filter(pl.col(RB) == rb)
+            if len(sub):
+                cur = sub.head(1)
+    carries: dict[int, pl.DataFrame] = {}
+    for rb in range(nb):
+        pieces = [d.select(r_out) for d in
+                  (prev_by_rb.get(rb), next_by_rb.get(rb)) if d is not None]
+        if pieces:
+            carries[rb] = pl.concat(pieces)
+
+    # 4. range shuffle of both sides; per-bucket local join with carries
+    tagged_rb = tagged.map_batches(_rb_tagged, batch_format="pyarrow",
+                                   batch_size=batch_size)
+
+    def _bucket(table: pa.Table) -> pa.Table:
+        df = pl.from_arrow(table)
+        outs = []
+        for rb in df[RB].unique().sort().to_list():
+            sub = df.filter(pl.col(RB) == rb)
+            l = sub.filter(pl.col(SIDE) == 0).select(lnames).sort(left_ts)
+            r = sub.filter(pl.col(SIDE) == 1).select(r_out)
+            if rb in carries:
+                r = pl.concat([r, carries[rb]])
+            outs.append(join_lr(l, r.sort(r_sort)).to_arrow())
+        return pa.concat_tables(outs)
+
+    return bucketed_group_map(tagged_rb, [RB], _bucket, num_buckets=num_buckets,
+                              batch_size=batch_size)
+
+
 def asof_join_large(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -405,10 +541,20 @@ def asof_join_large(
     ``polars.join_asof`` — the only exchange is one key-hash shuffle of
     each side; no side is ever materialized whole.
 
-    Requires non-empty ``on`` (a keyless large-large as-of needs
-    time-range partitioning with boundary replication — not needed by
-    any reference pipeline). Right columns clashing with left names get
-    ``suffix``. Output columns: left's, then right's minus the keys.
+    With EMPTY ``on`` (keyless — two unkeyed time series) the join
+    switches to TIME-RANGE partitioning with boundary replication:
+    left-ts min/max define ``num_buckets`` uniform ranges, both sides
+    route to their range bucket, and each bucket's right series is
+    augmented with two replicated boundary rows — the globally latest
+    right row before the bucket (prev-carry) and the earliest after it
+    (next-carry), computed by a narrow per-bucket first/last reduce
+    (≤ 2·num_buckets rows ever reach the driver). backward/forward/
+    linear-interp are then locally correct per bucket: a backward match
+    from an earlier bucket can only be that bucket's prev-carry. Right
+    ts ties are broken by the remaining right columns ascending (last
+    wins) — dedup the right side per ts for a fully specified result.
+    Right columns clashing with left names get ``suffix``. Output
+    columns: left's, then right's minus the keys.
 
     ``interpolate="linear"`` (reference J5 ``combine`` with
     method="linear", stitching/classes/dataset.py:922-965): each
@@ -417,15 +563,14 @@ def asof_join_large(
     left columns + interpolated value columns (float64, renamed with
     ``suffix`` on collision).
     """
-    if not on:
-        raise ValueError(
-            "asof_join_large needs key columns; use asof_join (broadcast) for keyless"
-        )
+    on = list(on or [])
+    if not on and direction not in ("backward", "forward"):
+        raise ValueError("keyless asof_join_large supports direction backward|forward")
     if interpolate not in (None, "linear"):
         raise ValueError(f"interpolate must be None or 'linear', got {interpolate!r}")
     if interpolate and not value_cols:
         raise ValueError("interpolate='linear' needs value_cols")
-    SIDE = "__asof_side"
+    SIDE = _ASOF_SIDE
     lnames = list(left.schema().names)
     rnames = list(right.schema().names)
     if interpolate:
@@ -479,24 +624,25 @@ def asof_join_large(
 
     vr = [rename.get(c, c) for c in (value_cols or [])]
 
-    def _bucket_asof(table: pa.Table) -> pa.Table:
-        df = pl.from_arrow(table)
-        l = df.filter(pl.col(SIDE) == 0).select(lnames).sort(left_ts)
-        r = df.filter(pl.col(SIDE) == 1).select(on + r_out).sort(r_ts)
+    def _join_lr(l: pl.DataFrame, r: pl.DataFrame) -> pl.DataFrame:
+        """The per-bucket join core: l sorted by left_ts, r sorted by
+        r_ts (+ deterministic tiebreak); shared by the keyed and the
+        keyless (range-partitioned) paths."""
+        by = on or None
         if r.schema[r_ts] != l.schema[left_ts]:
             r = r.with_columns(pl.col(r_ts).cast(l.schema[left_ts]))
         if interpolate is None:
             out = l.join_asof(
-                r, left_on=left_ts, right_on=r_ts, by=on, strategy=direction, coalesce=False
+                r, left_on=left_ts, right_on=r_ts, by=by, strategy=direction, coalesce=False
             )
-            return out.select(lnames + r_out).to_arrow()
+            return out.select(lnames + r_out)
         # linear interpolation between the bracketing right rows per key
         rp = r.rename({r_ts: "__t0", **{c: c + "__0" for c in vr}})
         rf = r.rename({r_ts: "__t1", **{c: c + "__1" for c in vr}})
         out = l.join_asof(
-            rp, left_on=left_ts, right_on="__t0", by=on, strategy="backward", coalesce=False
+            rp, left_on=left_ts, right_on="__t0", by=by, strategy="backward", coalesce=False
         ).join_asof(
-            rf, left_on=left_ts, right_on="__t1", by=on, strategy="forward", coalesce=False
+            rf, left_on=left_ts, right_on="__t1", by=by, strategy="forward", coalesce=False
         )
         t = pl.col(left_ts).cast(pl.Int64)
         t0, t1 = pl.col("__t0").cast(pl.Int64), pl.col("__t1").cast(pl.Int64)
@@ -519,10 +665,24 @@ def asof_join_large(
                 .otherwise(v0 + (v1 - v0) * w)
                 .alias(c)
             )
-        return out.with_columns(exprs).select(lnames + vr).to_arrow()
+        return out.with_columns(exprs).select(lnames + vr)
 
-    return bucketed_group_map(tagged, on, _bucket_asof, num_buckets=num_buckets,
-                              batch_size=batch_size)
+    if on:
+
+        def _bucket_asof(table: pa.Table) -> pa.Table:
+            df = pl.from_arrow(table)
+            l = df.filter(pl.col(SIDE) == 0).select(lnames).sort(left_ts)
+            r = df.filter(pl.col(SIDE) == 1).select(on + r_out).sort(r_ts)
+            return _join_lr(l, r).to_arrow()
+
+        return bucketed_group_map(tagged, on, _bucket_asof, num_buckets=num_buckets,
+                                  batch_size=batch_size)
+
+    return _keyless_range_asof(
+        left, right, tagged, _align, _join_lr,
+        lnames=lnames, r_out=r_out, left_ts=left_ts, r_ts=r_ts,
+        interpolate=interpolate, vr=vr, num_buckets=num_buckets, batch_size=batch_size,
+    )
 
 
 def hash_join(

@@ -410,6 +410,44 @@ def q_asof_orders_large(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Q: asof_keyless — KEYLESS large-large as-of (VERDICT r3 item 7): every
+# event gets the latest order-DATE stats ≤ its ts, with NO key columns —
+# the join runs on time-range partitions with boundary replication
+# (edkray.ops.joins._keyless_range_asof). Right side is pre-aggregated to
+# one row per o_orderdate, so the as-of pick is fully specified.
+
+
+def q_asof_keyless(sf_dir: str):
+    from edkray.ops.aggregate import grouped_agg
+    from edkray.ops.joins import asof_join_large
+
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_orderkey"])
+    right = grouped_agg(
+        orders, ["o_orderdate"],
+        [("max", "o_orderkey", "o_orderkey"), ("count", None, "n_orders")],
+    )
+    ev = _read(sf_dir, "events", ["event_id", "ts"])
+    out = asof_join_large(
+        ev, right, on=[], left_ts="ts", right_ts="o_orderdate", num_buckets=16
+    )
+    return out.map_batches(
+        lambda b: b.select(["event_id", "ts", "o_orderkey", "n_orders"]),
+        batch_format="pyarrow",
+    )
+
+
+_SQL_ASOF_KEYLESS = """
+WITH o AS (
+  SELECT o_orderdate, max(o_orderkey) AS o_orderkey,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_orderdate
+)
+SELECT e.event_id, e.ts, o.o_orderkey, o.n_orders
+FROM events e ASOF LEFT JOIN o ON e.ts >= o.o_orderdate
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: interp_orders — linear-interpolation combine (reference J5
 # ``combine`` with method="linear", stitching/classes/dataset.py:922-965):
 # each event's price is interpolated between the user's bracketing orders
@@ -1815,6 +1853,7 @@ def queries() -> dict:
         "distinct_flags": q_distinct_flags,
         "asof_orders": q_asof_orders,
         "asof_orders_large": q_asof_orders_large,
+        "asof_keyless": q_asof_keyless,
         "interp_orders": q_interp_orders,
         "interp_orders_large": q_interp_orders_large,
         "stack_read": q_stack_read,
@@ -1871,6 +1910,7 @@ def oracle_sql() -> dict:
         "stack_read": _SQL_STACK,
         # large-large path, same semantics → same oracle
         "asof_orders_large": _SQL_ASOF,
+        "asof_keyless": _SQL_ASOF_KEYLESS,
         # each level recomputed from base in SQL (sum associative)
         "overview_pyramid": _sql_pyramid(8, 5),
         "tile_overlay": _SQL_OVERLAY,
