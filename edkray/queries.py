@@ -246,6 +246,51 @@ FROM events GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# Q: pushdown_daily — same daily rollup routed through the THIRD registry
+# engine (pushdown_parquet): the time range is applied INSIDE the source
+# as a pyarrow dataset filter on read_parquet (the reference EE engine's
+# server-side attribute filter, engines/earth_engine.py:22-56), plus a
+# value-rect filter exercising the SetSpatialFilterRect analogue.
+
+_PD_T0, _PD_T1 = "2024-01-05", "2024-01-20"
+_PD_RECT = (2.0, 10.0, 300.0, 120.0)  # (value, user_id) rect
+
+
+def q_pushdown_daily(sf_dir: str):
+    from edkray.ops.aggregate import grouped_agg
+    from edkray.ops.stages import temporal_bucket
+    from edkray.sources.registry import get_source
+
+    eng = get_source("pushdown_parquet", ts_col="ts", x_col="value", y_col="user_id")
+    ds = eng.scan(
+        _p(sf_dir, "events"),
+        time_range=(dt.datetime.fromisoformat(_PD_T0), dt.datetime.fromisoformat(_PD_T1)),
+        query_bbox=_PD_RECT,
+        columns=["ts", "event_type", "value", "user_id"],
+    )
+    ds = ds.map_batches(
+        lambda b: temporal_bucket(b, "ts", "day"), batch_format="pyarrow"
+    ).drop_columns(["ts", "user_id"])
+    out = grouped_agg(
+        ds,
+        ["date_bucket", "event_type"],
+        [("count", None, "n_events"), ("sum", "value", "sum_value")],
+    )
+    return out.map_batches(lambda b: _round_cols(b, ["sum_value"]), batch_format="pyarrow")
+
+
+_SQL_PUSHDOWN_DAILY = f"""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS date_bucket, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events
+WHERE ts >= TIMESTAMP '{_PD_T0}' AND ts < TIMESTAMP '{_PD_T1}'
+  AND value >= {_PD_RECT[0]} AND value <= {_PD_RECT[2]}
+  AND user_id >= {_PD_RECT[1]} AND user_id <= {_PD_RECT[3]}
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: sessionize — session windows (gap split) via hash-bucket shuffle
 
 
@@ -1847,6 +1892,7 @@ def queries() -> dict:
         "region_rollup": q_region_rollup,
         "top_revenue_orders": q_top_revenue_orders,
         "daily_events": q_daily_events,
+        "pushdown_daily": q_pushdown_daily,
         "sessionize_events": q_sessionize,
         "sliding_windows": q_sliding_windows,
         "dedup_lineitem_first": q_dedup_lineitem_first,
@@ -1900,6 +1946,7 @@ def oracle_sql() -> dict:
         "region_rollup": _SQL_REGION,
         "top_revenue_orders": _SQL_TOP_REVENUE,
         "daily_events": _SQL_DAILY,
+        "pushdown_daily": _SQL_PUSHDOWN_DAILY,
         "sessionize_events": _SQL_SESSION,
         "sliding_windows": _SQL_SLIDING,
         "dedup_lineitem_first": _SQL_DEDUP_LI,

@@ -9,3 +9,6 @@ catalog is Parquet with typed nested columns instead of stringly CSV.
 
 # import for side-effect: registers the "stac_json" engine
 from edkray.sources import stac_json as _stac_json  # noqa: F401
+
+# import for side-effect: registers the "pushdown_parquet" engine
+from edkray.sources import pushdown as _pushdown  # noqa: F401

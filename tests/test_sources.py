@@ -555,3 +555,84 @@ class TestWindowedRead:
                           "num_rows": pa.array([50] * 5)})
         rd(batch)
         assert rd.handle_misses == 1 and rd.handle_hits == 4
+
+
+class TestPushdownSource:
+    """Third registry engine (VERDICT r3 item 5): server-side rect +
+    time filtering as true Parquet predicate pushdown — the reference
+    EE engine's SetSpatialFilterRect/attribute-filter semantics
+    (engines/earth_engine.py:22-56)."""
+
+    @pytest.fixture(scope="class")
+    def geo_parquet(self, tmp_path_factory):
+        import pyarrow.parquet as pq
+
+        rng = np.random.default_rng(13)
+        n = 5000
+        t0 = dt.datetime(2023, 6, 1)
+        tbl = pa.table({
+            "pid": pa.array(np.arange(n)),
+            "lon": pa.array(rng.uniform(-180, 180, n)),
+            "lat": pa.array(rng.uniform(-85, 85, n)),
+            "when": pa.array([t0 + dt.timedelta(minutes=int(m))
+                              for m in rng.integers(0, 60 * 24 * 90, n)],
+                             type=pa.timestamp("us")),
+            "val": pa.array(rng.normal(size=n)),
+        })
+        d = tmp_path_factory.mktemp("pushdown")
+        # two files so file/fragment-level pruning is in play
+        pq.write_table(tbl.slice(0, n // 2), str(d / "a.parquet"), row_group_size=256)
+        pq.write_table(tbl.slice(n // 2), str(d / "b.parquet"), row_group_size=256)
+        return str(d), tbl
+
+    def test_registered(self):
+        from edkray.sources.pushdown import PushdownParquetSource
+        from edkray.sources.registry import get_source
+
+        assert isinstance(get_source("pushdown_parquet"), PushdownParquetSource)
+
+    def test_rect_and_time_pushdown_match_pandas(self, ray_session, geo_parquet):
+        from edkray.sources.registry import get_source
+
+        d, tbl = geo_parquet
+        eng = get_source("pushdown_parquet", ts_col="when", x_col="lon", y_col="lat")
+        bbox = (-10.0, 35.0, 30.0, 70.0)
+        t0, t1 = dt.datetime(2023, 6, 10), dt.datetime(2023, 7, 20)
+        got = eng.scan(f"{d}/*.parquet", time_range=(t0, t1), query_bbox=bbox,
+                       columns=["pid", "lon", "lat", "when"]).to_pandas()
+        df = tbl.to_pandas()
+        exp = df[(df.when >= t0) & (df.when < t1)
+                 & (df.lon >= bbox[0]) & (df.lon <= bbox[2])
+                 & (df.lat >= bbox[1]) & (df.lat <= bbox[3])]
+        assert sorted(got.pid) == sorted(exp.pid)
+        assert list(got.columns) == ["pid", "lon", "lat", "when"]
+
+    def test_time_only_and_rect_only(self, ray_session, geo_parquet):
+        from edkray.sources.registry import get_source
+
+        d, tbl = geo_parquet
+        df = tbl.to_pandas()
+        eng = get_source("pushdown_parquet", ts_col="when", x_col="lon", y_col="lat")
+        t0, t1 = dt.datetime(2023, 7, 1), dt.datetime(2023, 7, 2)
+        got = eng.scan(f"{d}/*.parquet", time_range=(t0, t1)).to_pandas()
+        assert sorted(got.pid) == sorted(df[(df.when >= t0) & (df.when < t1)].pid)
+        bbox = (100.0, -20.0, 160.0, 20.0)
+        got2 = eng.scan(f"{d}/*.parquet", query_bbox=bbox).to_pandas()
+        exp2 = df[(df.lon >= bbox[0]) & (df.lon <= bbox[2])
+                  & (df.lat >= bbox[1]) & (df.lat <= bbox[3])]
+        assert sorted(got2.pid) == sorted(exp2.pid)
+
+    def test_bbox_without_xy_cols_raises(self, geo_parquet):
+        from edkray.sources.registry import get_source
+
+        d, _ = geo_parquet
+        eng = get_source("pushdown_parquet", ts_col="when")
+        with pytest.raises(ValueError, match="x_col"):
+            eng.scan(f"{d}/*.parquet", query_bbox=(0, 0, 1, 1))
+
+    def test_no_files_raises(self):
+        from edkray.sources.registry import get_source
+
+        eng = get_source("pushdown_parquet")
+        with pytest.raises(ValueError, match="no files"):
+            eng.scan("/tmp/definitely-missing-*.parquet")
