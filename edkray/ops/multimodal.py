@@ -1,17 +1,18 @@
 """Multimodal (image / audio / video) stages over opaque binary columns.
 
 Media travel as ``binary`` payload columns with typed metadata — the
-north-star treatment for image/audio/video at 100 TB. The real codec
-libraries (PIL / libav) are NOT in this container, so:
+north-star treatment for image/audio/video at 100 TB. Codec layers:
 
 - the Ray-side plumbing (schemas, actor-pool stages, chunked batch
   sizing, output layout) is REAL and tested;
-- decode runs against the deterministic EDK toy container format below
-  (a length-prefixed header + raw samples) which the fixture generator
-  emits — parsing it is real parsing, not a mock;
-- when a payload is NOT in toy format, the stage raises
-  ``NotImplementedError`` unless PIL/soundfile happen to be importable
-  (clearly-marked stub boundary per the build spec).
+- REAL formats decode with no external dependency: baseline 8-bit PNG
+  (stdlib zlib decoder) and RIFF PCM-16 WAV (stdlib ``wave``) via
+  :mod:`edkray.ops.codecs` — payloads produced by any standard tool;
+- the deterministic EDK toy container below (length-prefixed header +
+  raw samples) remains the fixture format and the video container;
+- everything else (JPEG/WebP/compressed audio/real video) raises
+  ``NotImplementedError`` unless PIL happens to be importable — the
+  remaining clearly-marked stub boundary per the build spec.
 
 Toy container layouts (little-endian):
   image: b"EDKI" u16 width u16 height u8 channels  then w*h*c bytes
@@ -53,17 +54,24 @@ def encode_image(arr: np.ndarray) -> bytes:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """EDKI payload → (h, w, c) uint8 array; PIL fallback for real
-    formats when available; else NotImplementedError (stub boundary)."""
+    """Payload → (h, w, c) uint8 array. Codec dispatch by magic:
+    EDKI toy container → REAL baseline PNG (stdlib zlib decoder,
+    edkray.ops.codecs — any standard tool's 8-bit PNG decodes here) →
+    PIL when importable → NotImplementedError for everything else
+    (JPEG/WebP/...: the remaining clearly-marked stub boundary)."""
     if payload[:4] == IMAGE_MAGIC:
         w, h, c = struct.unpack_from("<HHB", payload, 4)
         return np.frombuffer(payload, dtype=np.uint8, count=w * h * c, offset=9).reshape(h, w, c)
+    from edkray.ops.codecs import PNG_SIG, decode_png
+
+    if payload[:8] == PNG_SIG:
+        return decode_png(payload)
     if _PIL_Image is not None:  # pragma: no cover
         import io
 
         return np.asarray(_PIL_Image.open(io.BytesIO(payload)).convert("RGB"))
     raise NotImplementedError(
-        "real image codecs unavailable in this environment; payload is not EDKI toy format"
+        "no codec for this image format (not EDKI toy, not baseline PNG; PIL absent)"
     )
 
 
@@ -74,11 +82,18 @@ def encode_audio(samples: np.ndarray, sample_rate: int) -> bytes:
 
 
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Payload → (int16 samples, rate). EDKA toy container → REAL RIFF
+    PCM-16 WAV (stdlib ``wave`` decoder, edkray.ops.codecs) →
+    NotImplementedError (compressed formats: the stub boundary)."""
     if payload[:4] == AUDIO_MAGIC:
         rate, n = struct.unpack_from("<II", payload, 4)
         return np.frombuffer(payload, dtype=np.int16, count=n, offset=12), rate
+    if payload[:4] == b"RIFF":
+        from edkray.ops.codecs import decode_wav
+
+        return decode_wav(payload)
     raise NotImplementedError(
-        "real audio codecs unavailable in this environment; payload is not EDKA toy format"
+        "no codec for this audio format (not EDKA toy, not RIFF PCM WAV)"
     )
 
 

@@ -39,10 +39,124 @@ class TestCodecs:
         assert decode_video_header(encode_video(frames)) == (6, 4, 5)
 
     def test_unknown_format_raises_stub(self):
+        # JPEG / Ogg magics: formats still behind the stub boundary
         with pytest.raises(NotImplementedError):
-            decode_image(b"\x89PNG\r\n....")
+            decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
         with pytest.raises(NotImplementedError):
-            decode_audio(b"RIFF....")
+            decode_audio(b"OggS" + b"\x00" * 16)
+
+
+class TestRealCodecs:
+    """VERDICT r3 missing #2: REAL-format payloads (baseline PNG via the
+    stdlib zlib decoder, RIFF PCM WAV via stdlib wave) must decode
+    through the same stages — no PIL/soundfile needed."""
+
+    def test_png_roundtrip_all_filters_and_colortypes(self):
+        from edkray.ops.codecs import decode_png, encode_png
+
+        rng = np.random.default_rng(3)
+        for c in (1, 2, 3, 4):  # gray, gray+alpha, RGB, RGBA
+            arr = rng.integers(0, 256, size=(17, 11, c), dtype=np.uint8)
+            for f in range(5):  # every scanline filter
+                payload = encode_png(arr, filter_type=f)
+                assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+                got = decode_png(payload)
+                assert got.shape == arr.shape, (c, f)
+                assert (got == arr).all(), (c, f)
+
+    def test_png_through_decode_image_dispatch(self):
+        from edkray.ops.codecs import encode_png
+
+        arr = np.arange(60, dtype=np.uint8).reshape(5, 4, 3)
+        assert (decode_image(encode_png(arr, filter_type=4)) == arr).all()
+
+    def test_png_unsupported_variants_raise(self):
+        import struct
+        import zlib
+
+        from edkray.ops.codecs import PNG_SIG, decode_png
+
+        def chunk(ctype, data):
+            return (struct.pack(">I", len(data)) + ctype + data
+                    + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+        # palette color type (3)
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+        with pytest.raises(NotImplementedError, match="color type"):
+            decode_png(PNG_SIG + chunk(b"IHDR", ihdr))
+        # 16-bit depth
+        ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+        with pytest.raises(NotImplementedError, match="8-bit"):
+            decode_png(PNG_SIG + chunk(b"IHDR", ihdr16))
+
+    def test_wav_roundtrip_and_dispatch(self):
+        from edkray.ops.codecs import decode_wav, encode_wav
+
+        rng = np.random.default_rng(5)
+        samples = rng.integers(-30000, 30000, 500).astype(np.int16)
+        payload = encode_wav(samples, 16000)
+        assert payload[:4] == b"RIFF"
+        got, rate = decode_wav(payload)
+        assert rate == 16000 and (got == samples).all()
+        # through the stage-level dispatch
+        got2, rate2 = decode_audio(payload)
+        assert rate2 == 16000 and (got2 == samples).all()
+
+    def test_wav_stereo_returns_channel0(self):
+        import io
+        import wave
+
+        from edkray.ops.codecs import decode_wav
+
+        rng = np.random.default_rng(7)
+        st = rng.integers(-100, 100, (50, 2)).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wv:
+            wv.setnchannels(2)
+            wv.setsampwidth(2)
+            wv.setframerate(8000)
+            wv.writeframes(st.tobytes())
+        got, rate = decode_wav(buf.getvalue())
+        assert rate == 8000 and (got == st[:, 0]).all()
+
+    def test_real_payloads_through_stages(self, ray_session):
+        """Real PNG + WAV payloads flow through the actor-pool stages
+        end-to-end (ImageStats / ImageResize / AudioFeatures)."""
+        import pyarrow as pa
+        import ray.data
+
+        from edkray.ops.codecs import encode_png, encode_wav
+        from edkray.ops.multimodal import audio_features, image_resize, image_stats
+
+        rng = np.random.default_rng(11)
+        imgs = [rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                for h, w in [(9, 13), (20, 8), (5, 5)]]
+        itbl = pa.table({
+            "media_id": pa.array([0, 1, 2], type=pa.int64()),
+            "payload": pa.array([encode_png(a, filter_type=i % 5) for i, a in enumerate(imgs)],
+                                type=pa.binary()),
+        })
+        stats = image_stats(ray.data.from_arrow(itbl)).to_pandas().sort_values("media_id")
+        for i, a in enumerate(imgs):
+            row = stats.iloc[i]
+            assert (row.width, row.height, row.channels) == (a.shape[1], a.shape[0], 3)
+            assert abs(row.pix_mean - a.mean()) < 1e-9
+
+        resized = image_resize(ray.data.from_arrow(itbl), 4, 4).to_pandas()
+        for p in resized.payload:
+            assert decode_image(p).shape == (4, 4, 3)
+
+        auds = [rng.integers(-2000, 2000, n).astype(np.int16) for n in (100, 700)]
+        atbl = pa.table({
+            "media_id": pa.array([0, 1], type=pa.int64()),
+            "payload": pa.array([encode_wav(a, 8000) for a in auds], type=pa.binary()),
+        })
+        feats = audio_features(ray.data.from_arrow(atbl)).to_pandas().sort_values("media_id")
+        for i, a in enumerate(auds):
+            row = feats.iloc[i]
+            assert row.sample_rate == 8000
+            assert abs(row.duration_s - len(a) / 8000) < 1e-9
+            assert abs(row.rms - np.sqrt(np.mean(a.astype(np.float64) ** 2))) < 1e-6
 
 
 class TestStages:
