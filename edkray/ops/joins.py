@@ -283,10 +283,13 @@ class _AsofJoiner:
 
     With ``interpolate="linear"`` the reference J5 ``combine`` semantics
     (da.interp(..., method="linear"), reference stitching/classes/
-    dataset.py:922-965) apply along the time axis: each left row gets
-    the bracketing right rows per key and each ``value_cols`` column is
-    linearly interpolated between them (held flat beyond the ends,
-    exactly like xarray's fill behavior for method="nearest" edges)."""
+    dataset.py:922-965) are re-targeted to the time axis: each left row
+    gets the bracketing right rows per key and each ``value_cols``
+    column is linearly interpolated between them. Edge rule: values are
+    HELD FLAT beyond the series ends — an intentional deviation from
+    xarray's interp, which yields NaN outside the source range (and
+    interpolates along x/y, not time); the SQL oracle encodes the hold
+    semantics explicitly."""
 
     def __init__(self, right_ref, on, left_ts, right_ts, direction, suffix,
                  interpolate=None, value_cols=None):

@@ -79,8 +79,15 @@ def _salted_bucket(
     hot_kh: np.ndarray,
     hot_splits: np.ndarray,
 ) -> pa.Table:
-    """Bucket column with hot keys spread over ``split`` buckets each
-    (salt = row-position round-robin, deterministic within a batch)."""
+    """Bucket column with hot keys spread over ``split`` buckets each.
+
+    Salt = a SECONDARY all-column row hash mod split — a deterministic
+    per-row value, so a hot key's rows spread evenly regardless of how
+    they arrive in batches (the earlier batch-local round-robin
+    restarted at 0 per batch and concentrated small batches in low-salt
+    buckets — ADVICE r3). Rows identical in every column share a salt
+    by construction; only byte-identical duplicates can't be spread
+    deterministically."""
     h = _key_hash(batch, keys, seed)
     bucket = (h % np.uint64(num_buckets)).astype(np.int64)
     if len(hot_kh):
@@ -89,7 +96,9 @@ def _salted_bucket(
         is_hot = hot_kh[posc] == h
         if is_hot.any():
             idx = np.flatnonzero(is_hot)
-            salt = np.arange(len(idx), dtype=np.uint64) % hot_splits[posc[idx]].astype(np.uint64)
+            cols = [c for c in batch.schema.names if c != BUCKET_COL]
+            rh = _key_hash(batch, cols, seed ^ 0x5D)
+            salt = rh[idx] % hot_splits[posc[idx]].astype(np.uint64)
             bucket[idx] = ((h[idx] + salt * np.uint64(0x9E3779B97F4A7C15))
                            % np.uint64(num_buckets)).astype(np.int64)
     return batch.append_column(BUCKET_COL, pa.array(bucket))
@@ -153,6 +162,16 @@ def bucketed_group_map(
     # hot keys' outputs are partial (their groups were split): route just
     # those rows through one more complete-group pass under the merge fn
     first = first.materialize()
+    out_names = first.schema().names if first.count() else []
+    missing = [k for k in keys if out_names and k not in out_names]
+    if missing:
+        # enforce the documented contract instead of silently emitting
+        # unmerged partial groups (ADVICE r3): _pick re-hashes fn's
+        # OUTPUT rows, so the key columns must survive fn
+        raise ValueError(
+            f"hot-key salting requires fn's output to retain key columns "
+            f"{keys}; missing {missing} — drop hot_key_merge or keep the keys"
+        )
 
     def _pick(batch: pa.Table, want_hot: bool) -> pa.Table:
         h = _key_hash(batch, keys, seed)

@@ -94,11 +94,16 @@ class TileReader:
             t = read_window(path, off, n, columns=self.columns, _pf=self._handle(path))
             t = t.append_column("__tile_path", pa.array([path] * len(t), type=pa.string()))
             # window-row metadata (tile_name/date/band…) fans out onto
-            # every data row — the stack read's coordinate tags
+            # every data row — the stack read's coordinate tags. A tag
+            # whose name already exists in the tile's own data gets a
+            # "_meta" suffix instead of producing a duplicate column
+            # name (ambiguous select/to_pandas — ADVICE r3), mirroring
+            # the joins' collision-suffix rule.
             for c in self.passthrough:
                 val = batch[c][i].as_py()
+                name = c if c not in t.schema.names else c + "_meta"
                 t = t.append_column(
-                    c, pa.array([val] * len(t), type=batch.schema.field(c).type)
+                    name, pa.array([val] * len(t), type=batch.schema.field(c).type)
                 )
             parts.append(t)
         if not parts:

@@ -1048,3 +1048,72 @@ class TestRound4Fixes:
         # np.interp holds flat beyond the ends — the engine's edge rule
         expi = np.interp(t, rt[order], right["val"].to_numpy()[order])
         assert np.allclose(goti, expi, atol=1e-9)
+
+    def test_salted_bucket_per_row_deterministic(self):
+        """ADVICE r3: hot-key salt must be a per-row value, not a
+        batch-local position — the same rows must land in the same
+        buckets no matter how the input is split into batches, and a
+        hot key's rows must actually spread across > 1 bucket even when
+        fed one row at a time (the old round-robin restarted at 0 per
+        batch, concentrating small batches in low-salt buckets)."""
+        from edkray.ops.shuffle import BUCKET_COL, _key_hash, _salted_bucket
+
+        n = 512
+        tbl = pa.table({"k": pa.array(np.zeros(n, dtype=np.int64)),
+                        "v": pa.array(np.arange(n, dtype=np.int64))})
+        kh = np.sort(np.unique(_key_hash(tbl, ["k"], 11)))
+        splits = np.array([8], dtype=np.int64)
+        whole = _salted_bucket(tbl, ["k"], 64, 11, kh, splits)[BUCKET_COL].to_numpy(
+            zero_copy_only=False)
+        # one row per batch — the worst case for position-based salts
+        single = np.concatenate([
+            _salted_bucket(tbl.slice(i, 1), ["k"], 64, 11, kh, splits)[
+                BUCKET_COL].to_numpy(zero_copy_only=False)
+            for i in range(n)
+        ])
+        assert (whole == single).all()
+        assert len(np.unique(single)) > 1  # actually spread, not all salt 0
+
+    def test_hot_key_merge_requires_keys_in_output(self, ray_session):
+        """ADVICE r3: fn dropping the key columns under hot_key_merge
+        must raise instead of silently emitting unmerged partials."""
+        import polars as pl
+        import ray.data
+
+        from edkray.ops.shuffle import bucketed_group_map
+
+        rng = np.random.default_rng(3)
+        tbl = pa.table({"k": pa.array(np.zeros(5000, dtype=np.int64)),
+                        "v": pa.array(rng.integers(0, 10, 5000))})
+
+        def drops_key(t: pa.Table) -> pa.Table:
+            return pl.from_arrow(t).group_by("k").agg(
+                pl.col("v").sum().alias("sv")).drop("k").to_arrow()
+
+        with pytest.raises(ValueError, match="retain key columns"):
+            bucketed_group_map(
+                ray.data.from_arrow(tbl), ["k"], drops_key,
+                hot_key_merge=drops_key, hot_key_budget=100,
+            ).materialize()
+
+    def test_tilereader_passthrough_collision_suffixed(self, ray_session, tmp_path):
+        """ADVICE r3: a passthrough tag whose name already exists in the
+        tile's data must be suffixed, not emitted as a duplicate column."""
+        import pyarrow.parquet as pq_
+
+        from edkray.sources.window import TileReader
+
+        p = str(tmp_path / "tile.parquet")
+        pq_.write_table(pa.table({"doc_id": pa.array([1, 2, 3]),
+                                  "date": pa.array(["inner"] * 3)}), p)
+        rd = TileReader(passthrough=["tile_name", "date"])
+        out = rd(pa.table({"path": pa.array([p]),
+                           "row_offset": pa.array([0]),
+                           "num_rows": pa.array([3]),
+                           "tile_name": pa.array(["t0"]),
+                           "date": pa.array(["2024-01-01"])}))
+        names = out.schema.names
+        assert len(names) == len(set(names))  # no duplicate column names
+        assert "date_meta" in names and out["date_meta"].to_pylist() == ["2024-01-01"] * 3
+        assert out["date"].to_pylist() == ["inner"] * 3
+        assert out["tile_name"].to_pylist() == ["t0"] * 3
