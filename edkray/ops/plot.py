@@ -206,3 +206,129 @@ def plot_overlay(
     colored = colorize(ds, value_col, vmin=vmin, vmax=vmax, colors=colors)
     tbl = pa.concat_tables(ray.get(colored.to_arrow_refs()))
     return to_geojson(tbl, cell_col, path=path)
+
+
+def rasterize_cells(
+    table: pa.Table,
+    value_col: str,
+    cell_col: str,
+    vmin: float | None = None,
+    vmax: float | None = None,
+    colors: np.ndarray | None = None,
+    max_dim: int = 1024,
+) -> tuple[np.ndarray, tuple[float, float, float, float]]:
+    """Aggregated cell table → (RGBA image, EPSG:4326 bbox).
+
+    The raster the reference hands to folium's ImageOverlay
+    (``xarray_boosted/plotters/folium.py:30-62``: colormapped array +
+    transformed bounds). Cells paint their pixel rectangle with their
+    colormap RGBA; uncovered pixels stay fully transparent, exactly
+    like the reference's NaN→alpha-0 ``get_color``. Mixed-resolution
+    cells are fine — each paints the rect its bounds cover. Driver-side
+    sink over an AGGREGATED table (≤ MAX_FEATURES), like
+    :func:`to_geojson`; pixel-rect coords are vectorized, the paint is
+    one slice-assign per cell.
+    """
+    if hasattr(table, "to_arrow"):  # polars
+        table = table.to_arrow()
+    if table.num_rows == 0:
+        raise ValueError("rasterize_cells: empty table")
+    if table.num_rows > MAX_FEATURES:
+        raise ValueError(
+            f"{table.num_rows} rows > MAX_FEATURES={MAX_FEATURES}: "
+            "aggregate before plotting (this is a driver-side sink)"
+        )
+    vals = table[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    lo = float(np.nanmin(vals)) if vmin is None else vmin
+    hi = float(np.nanmax(vals)) if vmax is None else vmax
+    rgba = linear_colormap(vals, lo, hi, colors)
+    cells = table[cell_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    xmin, ymin, xmax, ymax = _cell_bounds_vec(cells)
+    bx0, by0 = float(xmin.min()), float(ymin.min())
+    bx1, by1 = float(xmax.max()), float(ymax.max())
+    # pixel grid: the finest cell edge (per axis — quadcells are
+    # 360/n × 180/n) sets the native resolution, capped at max_dim
+    step_x = float((xmax - xmin).min())
+    step_y = float((ymax - ymin).min())
+    w = max(1, min(max_dim, int(round((bx1 - bx0) / step_x))))
+    h = max(1, min(max_dim, int(round((by1 - by0) / step_y))))
+    img = np.zeros((h, w, 4), dtype=np.uint8)  # alpha 0 = uncovered
+    px0 = np.clip(np.floor((xmin - bx0) / (bx1 - bx0) * w), 0, w - 1).astype(np.int64)
+    px1 = np.clip(np.ceil((xmax - bx0) / (bx1 - bx0) * w), 1, w).astype(np.int64)
+    # row 0 = top of image = max latitude (PNG scanline order)
+    py0 = np.clip(np.floor((by1 - ymax) / (by1 - by0) * h), 0, h - 1).astype(np.int64)
+    py1 = np.clip(np.ceil((by1 - ymin) / (by1 - by0) * h), 1, h).astype(np.int64)
+    for i in range(len(cells)):
+        img[py0[i]:py1[i], px0[i]:px1[i]] = rgba[i]
+    return img, (bx0, by0, bx1, by1)
+
+
+_MAP_HTML = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>edkray overlay</title>
+<link rel="stylesheet" href="https://unpkg.com/leaflet@1.9.4/dist/leaflet.css"/>
+<script src="https://unpkg.com/leaflet@1.9.4/dist/leaflet.js"></script>
+<style>html,body,#map{{height:100%;margin:0}}</style></head>
+<body><div id="map"></div>
+<script>
+var bounds = [[{y0}, {x0}], [{y1}, {x1}]];
+var img = "data:image/png;base64,{b64}";
+if (typeof L !== "undefined") {{
+  var map = L.map("map");
+  L.tileLayer("https://tile.openstreetmap.org/{{z}}/{{x}}/{{y}}.png",
+              {{maxZoom: 19, attribution: "&copy; OpenStreetMap"}}).addTo(map);
+  L.imageOverlay(img, bounds, {{opacity: {opacity}}}).addTo(map);
+  map.fitBounds(bounds);
+}} else {{
+  // offline fallback: show the raster itself (bounds in the title)
+  document.getElementById("map").innerHTML =
+    '<img src="' + img + '" title="' + JSON.stringify(bounds) +
+    '" style="width:100%;image-rendering:pixelated">';
+}}
+</script></body></html>
+"""
+
+
+def write_map_html(
+    ds: ray.data.Dataset,
+    value_col: str,
+    cell_col: str,
+    path: str | None = None,
+    vmin: float | None = None,
+    vmax: float | None = None,
+    colors: np.ndarray | None = None,
+    max_dim: int = 1024,
+    opacity: float = 0.7,
+) -> str:
+    """The actual map artifact — S17 parity with the reference's
+    ``ds.plot()`` (``edk_accessor.py:395-420`` → folium ImageOverlay).
+
+    Distributed min/max → vectorized colorize → driver-side rasterize
+    of the (small, aggregated) cell table → stdlib PNG encode
+    (:func:`edkray.ops.codecs.encode_png`) → one self-contained HTML
+    file: a Leaflet map (CDN, like folium's own output) with the PNG
+    inlined as a base64 ImageOverlay at the EPSG:4326 bounds, plus a
+    no-network fallback that renders the raster directly. Returns the
+    HTML string; writes it to ``path`` when given.
+    """
+    import base64
+
+    import ray
+
+    from edkray.ops.codecs import encode_png
+
+    if vmin is None or vmax is None:
+        from edkray.sources.catalog import global_min_max
+
+        lo, hi = global_min_max(ds, value_col)
+        vmin = lo if vmin is None else vmin
+        vmax = hi if vmax is None else vmax
+    tbl = pa.concat_tables(ray.get(ds.to_arrow_refs()))
+    img, (x0, y0, x1, y1) = rasterize_cells(
+        tbl, value_col, cell_col, vmin=vmin, vmax=vmax, colors=colors, max_dim=max_dim
+    )
+    b64 = base64.b64encode(encode_png(img)).decode("ascii")
+    html = _MAP_HTML.format(x0=x0, y0=y0, x1=x1, y1=y1, b64=b64, opacity=opacity)
+    if path is not None:
+        with open(path, "w") as f:
+            f.write(html)
+    return html

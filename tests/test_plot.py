@@ -89,3 +89,77 @@ class TestOverlay:
         assert f0["fill_opacity"] == 1.0
         # file written identically
         assert json.loads(out.read_text()) == doc
+
+
+class TestMapHtml:
+    def test_rasterize_pixels_match_colormap(self):
+        import pyarrow as pa
+
+        from edkray.geo.cells import quadcell
+        from edkray.ops.plot import linear_colormap, rasterize_cells
+
+        # four adjacent res-2 cells covering one res-1 quadrant
+        lon = np.array([-170.0, -50.0, -170.0, -50.0])
+        lat = np.array([-80.0, -80.0, -10.0, -10.0])
+        cells = quadcell(lon, lat, 2)
+        assert len(set(cells.tolist())) == 4
+        vals = np.array([0.0, 1.0, 2.0, np.nan])
+        tbl = pa.table({"tile": cells, "v": vals})
+        img, (x0, y0, x1, y1) = rasterize_cells(tbl, "v", "tile", max_dim=8)
+        assert img.shape == (2, 2, 4) and img.dtype == np.uint8
+        assert (x0, y0, x1, y1) == (-180.0, -90.0, 0.0, 0.0)
+        exp = linear_colormap(vals, 0.0, 2.0)
+        # row 0 = top (max lat): cells 2,3; row 1 = bottom: cells 0,1
+        assert tuple(img[1, 0]) == tuple(exp[0])
+        assert tuple(img[1, 1]) == tuple(exp[1])
+        assert tuple(img[0, 0]) == tuple(exp[2])
+        assert img[0, 1, 3] == 0  # NaN cell transparent
+
+    def test_rasterize_mixed_resolution(self):
+        import pyarrow as pa
+
+        from edkray.geo.cells import quadcell
+        from edkray.ops.plot import rasterize_cells
+
+        # one coarse res-1 cell + one fine res-3 cell inside another quadrant
+        coarse = quadcell(np.array([-90.0]), np.array([-45.0]), 1)
+        fine = quadcell(np.array([100.0]), np.array([40.0]), 3)
+        tbl = pa.table(
+            {"tile": np.concatenate([coarse, fine]), "v": [1.0, 2.0]}
+        )
+        img, _ = rasterize_cells(tbl, "v", "tile", max_dim=64)
+        # coarse cell paints a rect of >1 pixel; both colors present
+        opaque = img[..., 3] == 255
+        assert opaque.sum() > 2
+        colors = {tuple(px) for px in img[opaque]}
+        assert len(colors) == 2
+
+    def test_write_map_html_roundtrip(self, ray_session, tmp_path):
+        import base64
+        import re
+
+        import ray.data
+
+        from edkray.geo.cells import quadcell
+        from edkray.ops.codecs import decode_png
+        from edkray.ops.plot import write_map_html
+
+        rng = np.random.default_rng(3)
+        lon, lat = rng.uniform(-170, 170, 50), rng.uniform(-80, 80, 50)
+        ds = ray.data.from_items(
+            [
+                {"tile": int(c), "mean_val": float(v)}
+                for c, v in zip(quadcell(lon, lat, 3), rng.uniform(0, 9, 50))
+            ]
+        )
+        out = tmp_path / "map.html"
+        html = write_map_html(ds, "mean_val", "tile", path=str(out), max_dim=64)
+        assert out.read_text() == html
+        assert "L.imageOverlay" in html and "fitBounds" in html
+        m = re.search(r'base64,([A-Za-z0-9+/=]+)"', html)
+        assert m, "no embedded PNG"
+        img = decode_png(base64.b64decode(m.group(1)))
+        assert img.ndim == 3 and img.shape[2] == 4
+        assert (img[..., 3] == 255).any()  # some covered pixels
+        # bounds appear in the JS
+        assert "var bounds = [[" in html

@@ -636,3 +636,58 @@ class TestPushdownSource:
         eng = get_source("pushdown_parquet")
         with pytest.raises(ValueError, match="no files"):
             eng.scan("/tmp/definitely-missing-*.parquet")
+
+
+class TestFetchThrottleProgress:
+    """S10-S12 sync surface: per-download progress callback + aggregate
+    bandwidth throttle (reference ThreadPool+GDAL-callback analogue,
+    engines/earth_engine.py:58-119)."""
+
+    def _mkfiles(self, tmp_path, n=3, kb=64):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        paths = []
+        for i in range(n):
+            p = tmp_path / f"asset_{i}.parquet"
+            pq.write_table(pa.table({"x": np.arange(kb * 16) + i}), p)
+            paths.append(str(p))
+        return paths
+
+    def test_progress_callback_and_resume_zero_bytes(self, ray_session, tmp_path):
+        from edkray.sources.cache import fetch_all
+
+        hrefs = self._mkfiles(tmp_path)
+        cache = str(tmp_path / "cache")
+        events = []
+        out = fetch_all(hrefs, cache, progress=lambda d, t, p, n: events.append((d, t, p, n)))
+        assert len(out) == len(hrefs) and all(out)
+        assert [e[0] for e in events] == [1, 2, 3] and all(e[1] == 3 for e in events)
+        assert all(e[3] > 0 for e in events)  # real bytes moved
+        # second run: everything probe-skips → nbytes 0
+        events2 = []
+        out2 = fetch_all(hrefs, cache, progress=lambda d, t, p, n: events2.append(n))
+        assert out2 == out and events2 == [0, 0, 0]
+
+    def test_throttle_caps_bandwidth(self, ray_session, tmp_path):
+        import os
+        import time
+
+        from edkray.sources.cache import fetch_all
+
+        hrefs = self._mkfiles(tmp_path, n=2, kb=256)
+        total = sum(os.path.getsize(h) for h in hrefs)
+        cache = str(tmp_path / "cache")
+        rate = total / 1.5  # budget forces ≥ ~1.5 s wall
+        t0 = time.monotonic()
+        fetch_all(hrefs, cache, max_in_flight=2, max_bytes_per_sec=rate)
+        wall = time.monotonic() - t0
+        assert wall >= 1.0, f"throttle ignored: {wall:.2f}s for {total}B at {rate:.0f}B/s"
+        # and an unthrottled re-fetch of a fresh cache is much faster
+        import shutil
+
+        shutil.rmtree(cache)
+        t0 = time.monotonic()
+        fetch_all(hrefs, cache)
+        assert time.monotonic() - t0 < wall
