@@ -496,6 +496,10 @@ def main() -> None:
         "num_cpus": NUM_CPUS,
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / fl_sec, 1),
+        # host-health stamp: walls on this sandbox track the VM's
+        # memory-provisioning bandwidth (healthy ≥ ~100 MB/s; degraded
+        # windows measured < 10). Read suite regressions against this.
+        "host_provisioning_mb_s": provisioning_canary(),
     }))
     ray.shutdown()
 

@@ -141,3 +141,26 @@ class JsonCatalogSource:
 
 
 register_source("stac_json", JsonCatalogSource)
+
+
+class PlanetaryJsonSource:
+    """Fourth registry engine — signing-always-on catalog scan.
+
+    The reference's PlanetaryComputer engine (engines/
+    planetary_computer.py:8-39) is composition over its STAC engine
+    with URL signing enabled on every scan; this is the same shape over
+    :class:`JsonCatalogSource`. The token defaults to the anonymous
+    credential (Planetary Computer signs anonymously too); pass
+    ``token=""`` to prove the hook rejects unsigned access."""
+
+    def __init__(self, token: str | None = None, cache_dir: str | None = None):
+        self._stac = JsonCatalogSource(
+            signer=make_prefix_signer("anon" if token is None else token),
+            cache_dir=cache_dir,
+        )
+
+    def scan(self, *args, **kwargs) -> ray.data.Dataset:
+        return self._stac.scan(*args, **kwargs)
+
+
+register_source("pc_json", PlanetaryJsonSource)

@@ -691,3 +691,36 @@ class TestFetchThrottleProgress:
         t0 = time.monotonic()
         fetch_all(hrefs, cache)
         assert time.monotonic() - t0 < wall
+
+
+class TestPlanetaryEngine:
+    """Fourth registry engine (reference planetary_computer.py:8-39):
+    composition over the stac_json engine with signing always on."""
+
+    def test_signing_default_and_denial(self, ray_session, tmp_path):
+        import datetime as dt
+        import json
+
+        from edkray.sources.registry import get_source
+
+        path = str(tmp_path / "a.parquet")
+        pq.write_table(pa.table({"x": pa.array([1, 2, 3], type=pa.int64())}), path)
+        cat = tmp_path / "catalog.json"
+        cat.write_text(json.dumps({"items": [{
+            "id": "itemA", "datetime": "2017-01-01T00:00:00",
+            "assets": {"data": {"href": "signed+" + path,
+                                "media_type": "application/x-parquet",
+                                "roles": ["data"]}},
+        }]}))
+        # no signer passed: the engine signs anonymously by default
+        df = get_source("pc_json").scan(str(cat)).to_pandas()
+        assert sorted(df.x.tolist()) == [1, 2, 3]
+        assert df.tile_name.unique().tolist() == ["itemA"]
+        # empty token → signing hook rejects, same contract as stac_json
+        with pytest.raises(PermissionError):
+            get_source("pc_json", token="").scan(str(cat))
+
+    def test_four_engines_registered(self):
+        from edkray.sources.registry import _REGISTRY
+
+        assert {"parquet", "stac_json", "pushdown_parquet", "pc_json"} <= set(_REGISTRY)
