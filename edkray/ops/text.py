@@ -264,3 +264,82 @@ def fingerprint(batch: pa.Table, text_col: str = "text", k: int = 8, w: int = 16
     return batch.append_column("fingerprint", pa.array(fps)).append_column(
         "doc_hash", pa.array(doch)
     )
+
+
+def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1) over a
+    token-stream corpus: ``dup_token_frac`` (1 − unique/total tokens —
+    the duplicate-*line* fraction collapses to this for single-line
+    docs) and ``top_bigram_frac`` (occurrences of the most frequent
+    2-gram ÷ bigram count). Fully vectorized polars plan: extract_all →
+    list stats; bigrams via explode + shift-within-doc + group count —
+    no per-row Python. Mirrored exactly by the ``repetition_stats`` SQL
+    oracle (list comprehension over regexp_extract_all)."""
+    df = pl.from_arrow(batch.select([text_col]))
+    toks = df.select(pl.col(text_col).str.extract_all(r"\S+").alias("l")).with_row_index("__i")
+    base = toks.select(
+        "__i",
+        pl.col("l").list.len().cast(pl.Int64).alias("n_tokens"),
+        pl.col("l").list.n_unique().cast(pl.Int64).alias("__u"),
+    )
+    ex = toks.explode("l")
+    ex = ex.with_columns(pl.col("l").shift(-1).over("__i").alias("__nxt"))
+    top = (
+        ex.drop_nulls(["l", "__nxt"])
+        .with_columns((pl.col("l") + " " + pl.col("__nxt")).alias("__b"))
+        .group_by("__i", "__b")
+        .len()
+        .group_by("__i")
+        .agg(pl.col("len").max().cast(pl.Int64).alias("__topn"))
+    )
+    out = (
+        base.join(top, on="__i", how="left")
+        .with_columns(pl.col("__topn").fill_null(0))
+        .with_columns(
+            pl.when(pl.col("n_tokens") == 0)
+            .then(0.0)
+            .otherwise(1.0 - pl.col("__u") / pl.col("n_tokens"))
+            .alias("dup_token_frac"),
+            (
+                pl.col("__topn")
+                / pl.max_horizontal(pl.col("n_tokens") - 1, pl.lit(1, dtype=pl.Int64))
+            ).alias("top_bigram_frac"),
+        )
+        .sort("__i")
+    )
+    arrow = out.to_arrow()
+    for name in ("n_tokens", "dup_token_frac", "top_bigram_frac"):
+        batch = upsert_column(batch, name, arrow[name])
+    return batch
+
+
+class Contaminator:
+    """Benchmark-contamination scan: flag documents containing any
+    needle from a (small, broadcast) benchmark set.
+
+    The standard training-data hygiene pass: the needle list is
+    ``ray.put`` once and handed to every actor (zero-copy read, never
+    re-shipped per batch); each ``__call__`` runs one vectorized
+    ``pc.match_substring`` pass per needle over the whole batch.
+    Per-needle cost is O(batch bytes) — fine for benchmark sets up to
+    ~10^3 needles; beyond that swap the inner loop for an Aho-Corasick
+    automaton built once in ``__init__`` (same actor shape, same
+    output)."""
+
+    def __init__(self, needles_ref, text_col: str = "text"):
+        import ray
+
+        self.needles = (
+            ray.get(needles_ref) if not isinstance(needles_ref, list) else needles_ref
+        )
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        text = batch[self.text_col]
+        n_hits = np.zeros(batch.num_rows, dtype=np.int64)
+        for needle in self.needles:
+            n_hits += pc.match_substring(text, needle).to_numpy(zero_copy_only=False)
+        batch = upsert_column(batch, "n_hits", pa.array(n_hits, type=pa.int64()))
+        return upsert_column(batch, "contaminated", pa.array(n_hits > 0))

@@ -1076,6 +1076,102 @@ FROM r GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# Q: repetition_stats — Gopher-style repetition filters (Rae et al. 2021
+# §A1.1): duplicate-token fraction + top-2-gram fraction per document.
+# Vectorized polars plan (ops/text.py:repetition_stats), mirrored by a
+# DuckDB list-comprehension oracle.
+
+
+def q_repetition_stats(sf_dir: str):
+    from edkray.ops.text import repetition_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(repetition_stats, batch_format="pyarrow")
+    return ds.map_batches(
+        lambda b: b.select(["doc_id", "n_tokens", "dup_token_frac", "top_bigram_frac"]),
+        batch_format="pyarrow",
+    )
+
+
+_SQL_REPETITION = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS l FROM documents
+), stats AS (
+  SELECT doc_id, len(l) AS nt, len(list_distinct(l)) AS nu,
+         [l[i] || ' ' || l[i+1] FOR i IN range(1, len(l))] AS bigrams
+  FROM toks
+), bg AS (
+  SELECT doc_id, unnest(bigrams) AS b FROM stats
+), top AS (
+  SELECT doc_id, max(c) AS topn FROM (
+    SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b
+  ) GROUP BY doc_id
+)
+SELECT s.doc_id, CAST(s.nt AS BIGINT) AS n_tokens,
+       CASE WHEN s.nt = 0 THEN 0.0
+            ELSE 1.0 - CAST(s.nu AS DOUBLE) / s.nt END AS dup_token_frac,
+       CAST(coalesce(t.topn, 0) AS DOUBLE) / greatest(s.nt - 1, 1) AS top_bigram_frac
+FROM stats s LEFT JOIN top t USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: contamination — benchmark-contamination scan: flag documents
+# containing any needle from a small benchmark set (here derived
+# deterministically from the corpus itself: chars 11-40 of every 97th
+# doc). Needle list is a driver-side collect of a ~n/97-row projection
+# (bounded, the broadcast-small-side pattern), ray.put once, scanned
+# per batch with vectorized pc.match_substring in an actor pool.
+
+
+def q_contamination(sf_dir: str):
+    import ray
+
+    from edkray.ops.text import Contaminator
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _pick(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        nch = pc.utf8_length(b["text"]).to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array((ids % 97 == 0) & (nch >= 40)))
+        return b.set_column(
+            b.schema.get_field_index("text"), "text", pc.utf8_slice_codeunits(b["text"], 10, 40)
+        ).select(["text"])
+
+    needles_tbl = pa.concat_tables(
+        ray.get(ds.map_batches(_pick, batch_format="pyarrow").to_arrow_refs())
+    )
+    ref = ray.put(needles_tbl["text"].to_pylist())
+    out = ds.map_batches(
+        Contaminator,
+        fn_constructor_kwargs={"needles_ref": ref},
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "n_hits", "contaminated"]), batch_format="pyarrow"
+    )
+
+
+_SQL_CONTAMINATION = """
+WITH needles AS (
+  SELECT substring(text, 11, 30) AS s FROM documents
+  WHERE doc_id % 97 = 0 AND length(text) >= 40
+), hits AS (
+  SELECT d.doc_id, count(*) AS n_hits
+  FROM documents d JOIN needles n ON position(n.s IN d.text) > 0
+  GROUP BY d.doc_id
+)
+SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: ngram_jaccard_pairs — exact char-8-gram Jaccard over all doc pairs
 # (the dedup-verification oracle path; broadcast gram sets, id_a < id_b)
 
@@ -1914,6 +2010,8 @@ def queries() -> dict:
         "token_stats": q_token_stats,
         "quality_by_source": q_quality_by_source,
         "langid": q_langid,
+        "repetition_stats": q_repetition_stats,
+        "contamination": q_contamination,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_topk": q_embedding_topk,
         "cosine_dup_pairs": q_cosine_dup_pairs,
@@ -1970,6 +2068,8 @@ def oracle_sql() -> dict:
         "token_stats": _SQL_TOKENS,
         "quality_by_source": _SQL_QUALITY,
         "langid": _sql_langid(),
+        "repetition_stats": _SQL_REPETITION,
+        "contamination": _SQL_CONTAMINATION,
         "ngram_jaccard_pairs": _SQL_JACCARD,
         "embedding_topk": _SQL_EMB_TOPK,
         "cosine_dup_pairs": _SQL_COS_DUP,

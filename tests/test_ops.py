@@ -1117,3 +1117,58 @@ class TestRound4Fixes:
         assert "date_meta" in names and out["date_meta"].to_pylist() == ["2024-01-01"] * 3
         assert out["date"].to_pylist() == ["inner"] * 3
         assert out["tile_name"].to_pylist() == ["t0"] * 3
+
+
+class TestRepetitionAndContamination:
+    def test_repetition_stats_known_values(self):
+        from edkray.ops.text import repetition_stats
+
+        tbl = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": pa.array(["a b a b a", "", "x", "p q r s"]),
+        })
+        out = repetition_stats(tbl).to_pydict()
+        assert out["n_tokens"] == [5, 0, 1, 4]
+        # doc0: tokens {a×3, b×2} → 1 - 2/5; bigrams: "a b"×2,"b a"×2 → 2/4
+        assert out["dup_token_frac"][0] == pytest.approx(1 - 2 / 5)
+        assert out["top_bigram_frac"][0] == pytest.approx(0.5)
+        # empty and single-token docs: both fracs 0
+        assert out["dup_token_frac"][1:3] == [0.0, 0.0]
+        assert out["top_bigram_frac"][1:3] == [0.0, 0.0]
+        # all-unique doc: dup 0, every bigram unique → 1/3
+        assert out["dup_token_frac"][3] == 0.0
+        assert out["top_bigram_frac"][3] == pytest.approx(1 / 3)
+
+    def test_repetition_upserts_existing_column(self):
+        from edkray.ops.text import repetition_stats
+
+        tbl = pa.table({"text": pa.array(["a a"]), "n_tokens": pa.array([99], type=pa.int64())})
+        out = repetition_stats(tbl)
+        assert out.column("n_tokens").to_pylist() == [2]
+        assert out.schema.names.count("n_tokens") == 1
+
+    def test_contaminator_actor_pool(self, ray_session):
+        import ray
+        import ray.data
+
+        from edkray.ops.text import Contaminator
+
+        docs = [
+            {"doc_id": 0, "text": "clean document nothing here"},
+            {"doc_id": 1, "text": "prefix SECRET BENCHMARK STRING suffix"},
+            {"doc_id": 2, "text": "has OTHER NEEDLE and SECRET BENCHMARK STRING"},
+        ]
+        ref = ray.put(["SECRET BENCHMARK STRING", "OTHER NEEDLE"])
+        out = (
+            ray.data.from_items(docs)
+            .map_batches(
+                Contaminator,
+                fn_constructor_kwargs={"needles_ref": ref},
+                batch_format="pyarrow",
+                concurrency=(1, 2),
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert out.n_hits.tolist() == [0, 1, 2]
+        assert out.contaminated.tolist() == [False, True, True]
