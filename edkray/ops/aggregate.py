@@ -14,6 +14,7 @@ sum+count partials and a finalize division.
 
 from __future__ import annotations
 
+import numpy as np
 import polars as pl
 import pyarrow as pa
 import ray.data
@@ -366,3 +367,49 @@ def distinct(ds: ray.data.Dataset, cols: list[str], batch_size: int = 65536) -> 
     from ray.data.aggregate import Count
 
     return pre.groupby(cols).aggregate(Count(alias_name="__n")).drop_columns(["__n"])
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    n_per_key: int,
+    id_col: str,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Deterministic stratified sample: the ``n_per_key`` rows of each
+    key-group with the smallest Knuth multiplicative hash of ``id_col``
+    (ties broken by the id itself) — the training-data balancing op
+    (cap documents per language / per domain) with a rank that any SQL
+    engine reproduces exactly: ``row_number() OVER (PARTITION BY keys
+    ORDER BY (id * 2654435761) % 4294967296, id) <= n``.
+
+    Distribution: one hash-bucket shuffle on ``keys``
+    (:func:`~edkray.ops.shuffle.bucketed_group_map` — complete groups
+    per bucket, many keys per bucket task, no per-key map_groups), then
+    a vectorized polars sort + window-rank inside each bucket. Nothing
+    materializes on the driver; the sample streams out. Non-negative
+    integer ids required (same contract as ``deterministic_sample``,
+    stages.py — numpy's uint64 wrap equals SQL mod because 2^32 | 2^64).
+    """
+    import polars as pl
+
+    from edkray.ops.shuffle import bucketed_group_map
+
+    knuth = np.uint64(2654435761)
+
+    def _sample(tbl: pa.Table) -> pa.Table:
+        ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if (ids < 0).any():
+            raise ValueError(f"stratified_sample: negative ids in {id_col!r}")
+        with np.errstate(over="ignore"):
+            h = (ids.astype(np.uint64) * knuth) % np.uint64(1 << 32)
+        df = pl.from_arrow(tbl).with_columns(pl.Series("__h", h.astype(np.int64)))
+        out = (
+            df.sort([*keys, "__h", id_col])
+            .with_columns(pl.int_range(1, pl.len() + 1).over(keys).alias("__rk"))
+            .filter(pl.col("__rk") <= n_per_key)
+            .drop(["__h", "__rk"])
+        )
+        return out.to_arrow()
+
+    return bucketed_group_map(ds, keys, _sample, num_buckets=num_buckets)

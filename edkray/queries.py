@@ -1172,6 +1172,31 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
 
 
 # --------------------------------------------------------------------------
+# Q: stratified_sample — deterministic per-group sampling (cap docs per
+# language): smallest-Knuth-hash-of-id rank within key, one bucketed
+# group shuffle, rank mirrored exactly by a SQL window function.
+
+
+def q_stratified_sample(sf_dir: str):
+    from edkray.ops.aggregate import stratified_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return stratified_sample(ds, ["lang"], 20, "doc_id")
+
+
+_SQL_STRATIFIED = """
+WITH h AS (
+  SELECT doc_id, lang, (doc_id * 2654435761) % 4294967296 AS hh FROM documents
+), r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rk
+  FROM h
+)
+SELECT doc_id, lang FROM r WHERE rk <= 20
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: ngram_jaccard_pairs — exact char-8-gram Jaccard over all doc pairs
 # (the dedup-verification oracle path; broadcast gram sets, id_a < id_b)
 
@@ -2012,6 +2037,7 @@ def queries() -> dict:
         "langid": q_langid,
         "repetition_stats": q_repetition_stats,
         "contamination": q_contamination,
+        "stratified_sample": q_stratified_sample,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_topk": q_embedding_topk,
         "cosine_dup_pairs": q_cosine_dup_pairs,
@@ -2070,6 +2096,7 @@ def oracle_sql() -> dict:
         "langid": _sql_langid(),
         "repetition_stats": _SQL_REPETITION,
         "contamination": _SQL_CONTAMINATION,
+        "stratified_sample": _SQL_STRATIFIED,
         "ngram_jaccard_pairs": _SQL_JACCARD,
         "embedding_topk": _SQL_EMB_TOPK,
         "cosine_dup_pairs": _SQL_COS_DUP,

@@ -1172,3 +1172,59 @@ class TestRepetitionAndContamination:
         )
         assert out.n_hits.tolist() == [0, 1, 2]
         assert out.contaminated.tolist() == [False, True, True]
+
+
+class TestStratifiedSample:
+    def test_exact_rank_semantics_and_determinism(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from edkray.ops.aggregate import stratified_sample
+
+        rng = np.random.default_rng(5)
+        langs = rng.choice(["en", "de", "fr"], 300)
+        items = [{"doc_id": int(i), "lang": str(l)} for i, l in enumerate(langs)]
+        ds = ray.data.from_items(items)
+        got = stratified_sample(ds, ["lang"], 7, "doc_id").to_pandas()
+        got = got.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+        # reference: per-lang 7 smallest knuth hashes
+        import pandas as pd
+
+        df = pd.DataFrame(items)
+        h = (df.doc_id.to_numpy().astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+        df["h"] = h.astype(np.int64)
+        exp = (
+            df.sort_values(["lang", "h", "doc_id"])
+            .groupby("lang")
+            .head(7)[["doc_id", "lang"]]
+            .sort_values(["lang", "doc_id"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[["doc_id", "lang"]], exp)
+        # second run identical (no randomness)
+        got2 = stratified_sample(ds, ["lang"], 7, "doc_id").to_pandas()
+        got2 = got2.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[["doc_id", "lang"]], got2[["doc_id", "lang"]])
+
+    def test_small_groups_kept_whole(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import stratified_sample
+
+        ds = ray.data.from_items(
+            [{"doc_id": i, "lang": "solo" if i == 0 else "big"} for i in range(50)]
+        )
+        out = stratified_sample(ds, ["lang"], 10, "doc_id").to_pandas()
+        sizes = out.groupby("lang").size()
+        assert sizes["solo"] == 1 and sizes["big"] == 10
+
+    def test_negative_ids_rejected(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import stratified_sample
+
+        ds = ray.data.from_items([{"doc_id": -1, "lang": "en"}])
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="negative"):
+            stratified_sample(ds, ["lang"], 1, "doc_id").materialize()
