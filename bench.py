@@ -388,7 +388,10 @@ def main() -> None:
         lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
         ratio = hi / lo
         results: dict[int, dict] = {}
-        for cpus in (lo, hi, lo, hi):
+        # GRAFT_SCALING_ROUNDS=1 halves the attempt so it fits inside
+        # this host's short healthy windows (they close in <10 min)
+        rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "2"))
+        for cpus in (lo, hi) * rounds:
             env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR,
                        GRAFT_BENCH_MULT=os.environ.get("GRAFT_BENCH_MULT", "4"),
                        GRAFT_DEDUP_MODE=os.environ.get("GRAFT_DEDUP_MODE", "narrow"))

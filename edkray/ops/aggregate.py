@@ -413,3 +413,59 @@ def stratified_sample(
         return out.to_arrow()
 
     return bucketed_group_map(ds, keys, _sample, num_buckets=num_buckets)
+
+
+def grouped_quantile_disc(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    col: str,
+    ps: list[float],
+    aliases: list[str],
+    count_alias: str | None = None,
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Exact discrete quantiles per group over a bounded-domain column
+    (the length-filter threshold computation: q50/q90 of doc length per
+    language) — WITHOUT shuffling values.
+
+    Phase 1 shuffles one ``(keys, col, count)`` row per distinct value
+    per batch (:func:`grouped_agg` partial+final — at 100 TB the wire
+    carries the value HISTOGRAM, bounded by the column's domain size,
+    not the corpus). Phase 2 is a bucketed per-key finalize over that
+    small table: sort by value, cumulative counts, pick the smallest
+    value whose cumulative count ≥ ceil(p·n) — exactly DuckDB's
+    ``quantile_disc`` (type-1) rule, verified index-by-index, so the
+    SQL oracle reproduces it bit-for-bit. Only suitable for columns
+    whose distinct-value count is manageable (ints, bucketed floats);
+    for unbounded domains use a sketch instead.
+    """
+    import polars as pl
+
+    from edkray.ops.shuffle import bucketed_group_map
+
+    counts = grouped_agg(ds, [*keys, col], [("count", None, "__cnt")])
+
+    def _finalize(tbl: pa.Table) -> pa.Table:
+        df = pl.from_arrow(tbl).sort([*keys, col])
+        df = df.with_columns(
+            pl.col("__cnt").cum_sum().over(keys).alias("__cum"),
+            pl.col("__cnt").sum().over(keys).alias("__tot"),
+        )
+        out = df.group_by(keys, maintain_order=True).agg(
+            pl.col("__tot").first().alias("__n")
+        )
+        for p, alias in zip(ps, aliases):
+            tgt = (pl.col("__tot") * p).ceil().clip(lower_bound=1)
+            qp = (
+                df.filter(pl.col("__cum") >= tgt)
+                .group_by(keys, maintain_order=True)
+                .agg(pl.col(col).first().alias(alias))
+            )
+            out = out.join(qp, on=keys, how="left")
+        if count_alias is not None:
+            out = out.rename({"__n": count_alias})
+        else:
+            out = out.drop("__n")
+        return out.to_arrow()
+
+    return bucketed_group_map(counts, keys, _finalize, num_buckets=num_buckets)

@@ -1197,6 +1197,31 @@ SELECT doc_id, lang FROM r WHERE rk <= 20
 
 
 # --------------------------------------------------------------------------
+# Q: length_quantiles — exact per-language discrete quantiles of doc
+# length (the corpus length-filter thresholds) via the histogram
+# shuffle (ops/aggregate.py:grouped_quantile_disc): the wire carries
+# per-batch (lang, n_chars, count) partials, never document rows.
+
+
+def q_length_quantiles(sf_dir: str):
+    from edkray.ops.aggregate import grouped_quantile_disc
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return grouped_quantile_disc(
+        ds, ["lang"], "n_chars", [0.5, 0.9], ["q50", "q90"], count_alias="n_docs"
+    )
+
+
+_SQL_LENGTH_QUANTILES = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS q50,
+       CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS q90
+FROM documents GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: ngram_jaccard_pairs — exact char-8-gram Jaccard over all doc pairs
 # (the dedup-verification oracle path; broadcast gram sets, id_a < id_b)
 
@@ -2038,6 +2063,7 @@ def queries() -> dict:
         "repetition_stats": q_repetition_stats,
         "contamination": q_contamination,
         "stratified_sample": q_stratified_sample,
+        "length_quantiles": q_length_quantiles,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_topk": q_embedding_topk,
         "cosine_dup_pairs": q_cosine_dup_pairs,
@@ -2097,6 +2123,7 @@ def oracle_sql() -> dict:
         "repetition_stats": _SQL_REPETITION,
         "contamination": _SQL_CONTAMINATION,
         "stratified_sample": _SQL_STRATIFIED,
+        "length_quantiles": _SQL_LENGTH_QUANTILES,
         "ngram_jaccard_pairs": _SQL_JACCARD,
         "embedding_topk": _SQL_EMB_TOPK,
         "cosine_dup_pairs": _SQL_COS_DUP,

@@ -1228,3 +1228,43 @@ class TestStratifiedSample:
 
         with _pytest.raises(Exception, match="negative"):
             stratified_sample(ds, ["lang"], 1, "doc_id").materialize()
+
+
+class TestGroupedQuantile:
+    def test_matches_duckdb_quantile_disc(self, ray_session):
+        import duckdb
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from edkray.ops.aggregate import grouped_quantile_disc
+
+        rng = np.random.default_rng(11)
+        df = pd.DataFrame({
+            "k": rng.choice(["a", "b", "c"], 500),
+            "v": rng.integers(0, 40, 500),
+        })
+        got = (
+            grouped_quantile_disc(
+                ray.data.from_pandas(df), ["k"], "v",
+                [0.0, 0.25, 0.5, 0.9, 1.0], ["q0", "q25", "q50", "q90", "q100"],
+            )
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            """SELECT k, quantile_disc(v, 0.0) q0, quantile_disc(v, 0.25) q25,
+                      quantile_disc(v, 0.5) q50, quantile_disc(v, 0.9) q90,
+                      quantile_disc(v, 1.0) q100
+               FROM df GROUP BY k ORDER BY k"""
+        ).df()
+        for c in ["q0", "q25", "q50", "q90", "q100"]:
+            assert got[c].tolist() == exp[c].tolist(), c
+
+    def test_single_value_groups(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import grouped_quantile_disc
+
+        ds = ray.data.from_items([{"k": "x", "v": 7}])
+        out = grouped_quantile_disc(ds, ["k"], "v", [0.5], ["q50"], count_alias="n").to_pandas()
+        assert out.q50.tolist() == [7] and out.n.tolist() == [1]
