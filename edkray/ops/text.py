@@ -343,3 +343,38 @@ class Contaminator:
             n_hits += pc.match_substring(text, needle).to_numpy(zero_copy_only=False)
         batch = upsert_column(batch, "n_hits", pa.array(n_hits, type=pa.int64()))
         return upsert_column(batch, "contaminated", pa.array(n_hits > 0))
+
+
+# PII patterns shared by the engine stage and the SQL oracle — written
+# in the common subset of Rust-regex (polars) and RE2 (DuckDB): no
+# lookaround, no backrefs, so both engines match identically (pinned by
+# the pii_scrub oracle query).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[-. ]?\d{3}[-. ]?\d{4}\b", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_scrub(batch: pa.Table, text_col: str = "text", out_col: str | None = None) -> pa.Table:
+    """Redact emails / phone numbers / IPv4 addresses (the standard
+    training-data hygiene pass) — vectorized ``str.replace_all`` per
+    pattern, with per-kind match counts (``n_email``/``n_phone``/
+    ``n_ip``) so a filter threshold can act on them. Patterns apply in
+    ``PII_PATTERNS`` order (phone before IP: both claim digit runs).
+    ``out_col`` defaults to replacing ``text_col`` in place."""
+    out_col = out_col or text_col
+    df = pl.from_arrow(batch.select([text_col]))
+    t = pl.col(text_col)
+    counts = df.select(
+        *[t.str.count_matches(pat).cast(pl.Int64).alias(f"n_{kind}")
+          for kind, pat, _ in PII_PATTERNS]
+    )
+    red = pl.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        red = red.str.replace_all(pat, repl)
+    redacted = df.select(red.alias(out_col))
+    arrow_c, arrow_r = counts.to_arrow(), redacted.to_arrow()
+    for kind, _, _ in PII_PATTERNS:
+        batch = upsert_column(batch, f"n_{kind}", arrow_c[f"n_{kind}"])
+    return upsert_column(batch, out_col, arrow_r[out_col])

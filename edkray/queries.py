@@ -1222,6 +1222,76 @@ FROM documents GROUP BY lang
 
 
 # --------------------------------------------------------------------------
+# Q: pii_scrub — PII redaction (emails/phones/IPv4) with per-kind match
+# counts. The corpus carries no PII, so the query plants a deterministic
+# email+phone on every third doc (both sides construct the identical
+# enriched text), then scrubs — proving the patterns, counts and
+# replacement order on non-trivial input. Engine regex is Rust (polars),
+# oracle regex is RE2 (DuckDB); PII_PATTERNS stays in their common
+# subset and this oracle is the pin.
+
+
+def q_pii_scrub(sf_dir: str):
+    from edkray.ops.text import pii_scrub
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _plant(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        suffix = pa.array(
+            np.where(
+                ids % 3 == 0,
+                np.char.add(
+                    np.char.add(" contact user", ids.astype("U20")),
+                    "@example.com or 415-555-1234",
+                ),
+                "",
+            )
+        )
+        return b.set_column(
+            b.schema.get_field_index("text"), "text",
+            pc.binary_join_element_wise(b["text"], suffix, ""),
+        )
+
+    ds = ds.map_batches(_plant, batch_format="pyarrow")
+    ds = ds.map_batches(lambda b: pii_scrub(b), batch_format="pyarrow")
+
+    def _proj(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.append_column("red_len", pc.utf8_length(b["text"]).cast(pa.int64()))
+        return b.select(["doc_id", "n_email", "n_phone", "n_ip", "red_len"])
+
+    return ds.map_batches(_proj, batch_format="pyarrow")
+
+
+def _sql_pii() -> str:
+    from edkray.ops.text import PII_PATTERNS
+
+    em, ph, ip = (p for _, p, _ in PII_PATTERNS)
+    red = "t"
+    for _, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0
+                      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 415-555-1234'
+                      ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{em}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t, '{ph}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(t, '{ip}')) AS BIGINT) AS n_ip,
+       CAST(length({red}) AS BIGINT) AS red_len
+FROM planted
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: ngram_jaccard_pairs — exact char-8-gram Jaccard over all doc pairs
 # (the dedup-verification oracle path; broadcast gram sets, id_a < id_b)
 
@@ -2064,6 +2134,7 @@ def queries() -> dict:
         "contamination": q_contamination,
         "stratified_sample": q_stratified_sample,
         "length_quantiles": q_length_quantiles,
+        "pii_scrub": q_pii_scrub,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_topk": q_embedding_topk,
         "cosine_dup_pairs": q_cosine_dup_pairs,
@@ -2124,6 +2195,7 @@ def oracle_sql() -> dict:
         "contamination": _SQL_CONTAMINATION,
         "stratified_sample": _SQL_STRATIFIED,
         "length_quantiles": _SQL_LENGTH_QUANTILES,
+        "pii_scrub": _sql_pii(),
         "ngram_jaccard_pairs": _SQL_JACCARD,
         "embedding_topk": _SQL_EMB_TOPK,
         "cosine_dup_pairs": _SQL_COS_DUP,

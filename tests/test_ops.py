@@ -1268,3 +1268,34 @@ class TestGroupedQuantile:
         ds = ray.data.from_items([{"k": "x", "v": 7}])
         out = grouped_quantile_disc(ds, ["k"], "v", [0.5], ["q50"], count_alias="n").to_pandas()
         assert out.q50.tolist() == [7] and out.n.tolist() == [1]
+
+
+class TestPiiScrub:
+    def test_counts_and_redaction(self):
+        from edkray.ops.text import pii_scrub
+
+        tbl = pa.table({
+            "text": pa.array([
+                "mail a.b+x@foo-bar.co.uk or c@d.org now",
+                "call 415-555-1234 or 4155551234",
+                "srv at 10.0.0.255:8080",
+                "clean text",
+            ])
+        })
+        out = pii_scrub(tbl).to_pydict()
+        assert out["n_email"] == [2, 0, 0, 0]
+        assert out["n_phone"] == [0, 2, 0, 0]
+        assert out["n_ip"] == [0, 0, 1, 0]
+        assert out["text"] == [
+            "mail <EMAIL> or <EMAIL> now",
+            "call <PHONE> or <PHONE>",
+            "srv at <IP>:8080",
+            "clean text",
+        ]
+
+    def test_out_col_preserves_original(self):
+        from edkray.ops.text import pii_scrub
+
+        tbl = pa.table({"text": pa.array(["x@y.io"])})
+        out = pii_scrub(tbl, out_col="clean_text").to_pydict()
+        assert out["text"] == ["x@y.io"] and out["clean_text"] == ["<EMAIL>"]
