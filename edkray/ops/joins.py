@@ -424,9 +424,20 @@ def _keyless_range_asof(
     SIDE, RB = _ASOF_SIDE, _RANGE_BUCKET
     out_names = lnames + (vr if interpolate else r_out)
 
+    def _ts_int64(arr):
+        """Canonical comparable int64 for a ts column: ANY timestamp/
+        date type normalizes through timestamp[us] first, so a
+        timestamp[ns] left and a timestamp[us]/date32 right land on the
+        same scale (the keyed path gets this for free from _join_lr's
+        in-bucket cast; range-bucket assignment must match it)."""
+        t = arr.type
+        if pa.types.is_timestamp(t) or pa.types.is_date(t):
+            arr = arr.cast(pa.timestamp("us"))
+        return arr.cast(pa.int64())
+
     # 1. range cutpoints from the left ts span
     def _mm(batch: pa.Table) -> pa.Table:
-        mm = pc.min_max(batch[left_ts].cast(pa.int64()))
+        mm = pc.min_max(_ts_int64(batch[left_ts]))
         return pa.table({"mn": pa.array([mm["min"].as_py()], type=pa.int64()),
                          "mx": pa.array([mm["max"].as_py()], type=pa.int64())})
 
@@ -453,8 +464,8 @@ def _keyless_range_asof(
 
     def _rb_tagged(batch: pa.Table) -> pa.Table:
         side = batch[SIDE].to_numpy(zero_copy_only=False)
-        lt = pc.fill_null(batch[left_ts].cast(pa.int64()), 0).to_numpy(zero_copy_only=False)
-        rt = pc.fill_null(batch[r_ts].cast(pa.int64()), 0).to_numpy(zero_copy_only=False)
+        lt = pc.fill_null(_ts_int64(batch[left_ts]), 0).to_numpy(zero_copy_only=False)
+        rt = pc.fill_null(_ts_int64(batch[r_ts]), 0).to_numpy(zero_copy_only=False)
         ts = np.where(side == 0, lt, rt)
         rb = np.searchsorted(cuts, ts, side="right").astype(np.int64)
         return batch.append_column(RB, pa.array(rb))

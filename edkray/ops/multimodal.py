@@ -88,7 +88,10 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     if payload[:4] == AUDIO_MAGIC:
         rate, n = struct.unpack_from("<II", payload, 4)
         return np.frombuffer(payload, dtype=np.int16, count=n, offset=12), rate
-    if payload[:4] == b"RIFF":
+    # RIFF is a container family (WAVE audio, but also WEBP/AVI): only
+    # RIFF....WAVE routes to the WAV decoder; other RIFF payloads fall
+    # through to the documented stub boundary instead of a wave.Error
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         from edkray.ops.codecs import decode_wav
 
         return decode_wav(payload)

@@ -97,8 +97,10 @@ def _salted_bucket(
         if is_hot.any():
             idx = np.flatnonzero(is_hot)
             cols = [c for c in batch.schema.names if c != BUCKET_COL]
-            rh = _key_hash(batch, cols, seed ^ 0x5D)
-            salt = rh[idx] % hot_splits[posc[idx]].astype(np.uint64)
+            # hash ONLY the hot rows: the secondary all-column hash is
+            # O(row bytes) and hot rows are usually a small slice
+            rh = _key_hash(batch.take(pa.array(idx)), cols, seed ^ 0x5D)
+            salt = rh % hot_splits[posc[idx]].astype(np.uint64)
             bucket[idx] = ((h[idx] + salt * np.uint64(0x9E3779B97F4A7C15))
                            % np.uint64(num_buckets)).astype(np.int64)
     return batch.append_column(BUCKET_COL, pa.array(bucket))

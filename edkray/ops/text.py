@@ -337,7 +337,9 @@ class Contaminator:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        text = batch[self.text_col]
+        # null text → "" (match_substring propagates nulls, which would
+        # poison the int accumulator), same defense as the other stages
+        text = pc.fill_null(batch[self.text_col], "")
         n_hits = np.zeros(batch.num_rows, dtype=np.int64)
         for needle in self.needles:
             n_hits += pc.match_substring(text, needle).to_numpy(zero_copy_only=False)

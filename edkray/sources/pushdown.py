@@ -73,11 +73,26 @@ class PushdownParquetSource:
             expr = rect if expr is None else expr & rect
         from edkray.utils import scrubbed_schema
 
-        # metadata-free schema so read blocks hash cleanly in Ray's
-        # schema dedup (see utils.scrubbed_schema)
-        return ray.data.read_parquet(
-            paths, columns=columns, filter=expr, schema=scrubbed_schema(paths[0], columns)
+        # The pushdown expression's fields (ts/x/y) must resolve in the
+        # read schema whether or not the caller projects them: read the
+        # union of the projection and the filter columns (the filter
+        # columns' row groups are decoded for the predicate anyway),
+        # then drop the extras after the scan. Schema is metadata-free
+        # so read blocks hash cleanly in Ray's schema dedup.
+        filter_cols = [c for c in (self.ts_col, self.x_col, self.y_col) if c]
+        read_cols = columns
+        extra: list[str] = []
+        if columns is not None and expr is not None:
+            extra = [c for c in filter_cols if c not in columns]
+            read_cols = columns + extra
+        ds = ray.data.read_parquet(
+            paths, columns=read_cols, filter=expr,
+            schema=scrubbed_schema(paths[0], read_cols),
         )
+        if extra:
+            keep = list(columns)
+            ds = ds.map_batches(lambda b: b.select(keep), batch_format="pyarrow")
+        return ds
 
 
 register_source("pushdown_parquet", PushdownParquetSource)

@@ -1299,3 +1299,110 @@ class TestPiiScrub:
         tbl = pa.table({"text": pa.array(["x@y.io"])})
         out = pii_scrub(tbl, out_col="clean_text").to_pydict()
         assert out["text"] == ["x@y.io"] and out["clean_text"] == ["<EMAIL>"]
+
+
+class TestReviewRegressions:
+    """Round-4 code-review fixes: mixed ts dtypes in the keyless as-of,
+    null text in Contaminator, RIFF non-WAVE payloads, pushdown scan
+    with the filter column not projected."""
+
+    def test_keyless_asof_mixed_ts_units(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from edkray.ops.joins import asof_join_large
+
+        rng = np.random.default_rng(23)
+        lt = pd.DataFrame({
+            "ts": pd.to_datetime("2020-01-01")
+            + pd.to_timedelta(np.sort(rng.integers(0, 10**6, 400)), unit="s"),
+            "lv": np.arange(400),
+        })  # from_pandas → timestamp[ns]
+        rt = pd.DataFrame({
+            "ts": pd.to_datetime("2020-01-01")
+            + pd.to_timedelta(np.sort(rng.integers(0, 10**6, 150)), unit="s"),
+            "rv": np.arange(150) * 10,
+        })
+        rt_us = rt.copy()
+        rt_us["ts"] = rt_us["ts"].astype("datetime64[us]")  # right in us, left in ns
+        got = (
+            asof_join_large(
+                ray.data.from_pandas(lt), ray.data.from_pandas(rt_us),
+                on=[], left_ts="ts", right_ts="ts", num_buckets=8,
+            )
+            .to_pandas().sort_values(["ts", "lv"]).reset_index(drop=True)
+        )
+        exp = pd.merge_asof(
+            lt.sort_values("ts"), rt.sort_values("ts"), on="ts", suffixes=("", "_r")
+        ).sort_values(["ts", "lv"]).reset_index(drop=True)
+        assert got.rv.fillna(-1).tolist() == exp.rv.fillna(-1).tolist()
+
+    def test_keyless_asof_date32_right(self, ray_session):
+        import datetime as dt
+
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data
+
+        from edkray.ops.joins import asof_join_large
+
+        lt = pd.DataFrame({
+            "ts": pd.to_datetime(["2020-01-02 12:00", "2020-01-05 01:00", "2020-01-09 00:00"]),
+            "lv": [1, 2, 3],
+        })
+        right = pa.table({
+            "ts": pa.array([dt.date(2020, 1, 1), dt.date(2020, 1, 4), dt.date(2020, 1, 8)],
+                           type=pa.date32()),
+            "rv": pa.array([10, 20, 30], type=pa.int64()),
+        })
+        got = (
+            asof_join_large(
+                ray.data.from_pandas(lt), ray.data.from_arrow(right),
+                on=[], left_ts="ts", right_ts="ts", num_buckets=4,
+            )
+            .to_pandas().sort_values("lv")
+        )
+        assert got.rv.tolist() == [10, 20, 30]
+
+    def test_contaminator_null_text(self, ray_session):
+        import ray
+
+        from edkray.ops.text import Contaminator
+
+        c = Contaminator(["NEEDLE"])
+        out = c(pa.table({"text": pa.array(["has NEEDLE", None, "clean"])})).to_pydict()
+        assert out["n_hits"] == [1, 0, 0]
+        assert out["contaminated"] == [True, False, False]
+
+    def test_decode_audio_riff_non_wave(self):
+        from edkray.ops.multimodal import decode_audio
+
+        webp_ish = b"RIFF" + b"\x00\x00\x00\x00" + b"WEBP" + b"\x00" * 16
+        with pytest.raises(NotImplementedError):
+            decode_audio(webp_ish)
+
+    def test_pushdown_scan_filter_col_not_projected(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from edkray.sources.registry import get_source
+
+        ts = pa.array(
+            [dt.datetime(2020, 1, 1) + dt.timedelta(hours=i) for i in range(48)],
+            type=pa.timestamp("us"),
+        )
+        tbl = pa.table({"ts": ts, "pid": pa.array(np.arange(48), type=pa.int64()),
+                        "val": pa.array(np.arange(48.0))})
+        p = str(tmp_path / "x.parquet")
+        pq.write_table(tbl, p)
+        eng = get_source("pushdown_parquet", ts_col="ts")
+        out = eng.scan(
+            p,
+            time_range=(dt.datetime(2020, 1, 1), dt.datetime(2020, 1, 2)),
+            columns=["pid", "val"],  # ts filtered but NOT projected
+        ).to_pandas()
+        assert sorted(out.pid.tolist()) == list(range(24))
+        assert list(out.columns) == ["pid", "val"]
