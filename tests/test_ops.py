@@ -1406,3 +1406,32 @@ class TestReviewRegressions:
         ).to_pandas()
         assert sorted(out.pid.tolist()) == list(range(24))
         assert list(out.columns) == ["pid", "val"]
+
+
+class TestFingerprintVectorized:
+    def test_matches_per_doc_definition(self):
+        import numpy as np
+
+        from edkray.ops.text import fingerprint, kgram_hashes, polyhash
+
+        rng = np.random.default_rng(7)
+        words = ["alpha", "beta", "gamma", "x", "the", "data"]
+        texts = [" ".join(rng.choice(words, int(rng.integers(0, 60)))) for _ in range(200)]
+        texts += ["", "ab", "abcdefgh", "abcdefghi", None, "a" * 7, "b" * 8, "c" * 24]
+        out = fingerprint(pa.table({"text": pa.array(texts, type=pa.string())}))
+        f_new = np.array(out["fingerprint"].to_pylist(), dtype=np.uint64)
+        d_new = np.array(out["doc_hash"].to_pylist(), dtype=np.uint64)
+        for i, text in enumerate(texts):  # the per-doc reference definition
+            data = (text or "").encode("utf-8", "ignore")
+            h = kgram_hashes(data, 8)
+            if len(h) == 0:
+                assert f_new[i] == 0 and d_new[i] == 0
+                continue
+            assert d_new[i] == polyhash(data)
+            nwin = max(len(h) - 16 + 1, 1)
+            mins = np.lib.stride_tricks.sliding_window_view(
+                h, min(16, len(h))).min(axis=1)[:nwin]
+            acc = np.uint64(0)
+            for m in np.unique(mins):
+                acc ^= m
+            assert f_new[i] == acc, i
