@@ -142,7 +142,8 @@ def run_flagship(sf_dir: str, out_root: str, mult: int = 1) -> tuple[float, int]
                          knn_refs=make_knn_refs(5000),
                          num_partitions=16, resume=False,
                          dedup_mode=os.environ.get("GRAFT_DEDUP_MODE", "wide"),
-                         wk_mode=os.environ.get("GRAFT_WK_MODE", "broadcast"))
+                         wk_mode=os.environ.get("GRAFT_WK_MODE", "broadcast"),
+                         read_cache=os.environ.get("GRAFT_READ_CACHE", "materialize"))
     return time.time() - t0, n_docs
 
 

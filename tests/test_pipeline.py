@@ -208,16 +208,19 @@ class TestNarrowDedup:
         pages = os.path.join(fixture_dir, "pages.parquet")
         admin = make_admin()
         outs = {}
-        # partitioned = the no-broadcast winner-key fallback forced on
-        variants = [("wide", "auto"), ("narrow", "broadcast"), ("narrow", "partitioned")]
-        for mode, wk in variants:
-            out = str(tmp_path_factory.mktemp(f"dedup_{mode}_{wk}"))
+        # partitioned = the no-broadcast winner-key fallback forced on;
+        # materialize = the single-decode read cache (r4) forced on
+        variants = [("wide", "auto", "reread"), ("narrow", "broadcast", "reread"),
+                    ("narrow", "partitioned", "reread"),
+                    ("narrow", "broadcast", "materialize")]
+        for mode, wk, rc in variants:
+            out = str(tmp_path_factory.mktemp(f"dedup_{mode}_{wk}_{rc}"))
             run_spatial_pipeline(pages, admin=admin, out_dir=out,
                                  num_partitions=4, resume=False, dedup_mode=mode,
-                                 wk_mode=wk)
+                                 wk_mode=wk, read_cache=rc)
             df = pq.read_table(os.path.join(out, "assignments")).to_pandas()
-            outs[(mode, wk)] = df.sort_values("url").reset_index(drop=True)
-        a = outs[("wide", "auto")]
+            outs[(mode, wk, rc)] = df.sort_values("url").reset_index(drop=True)
+        a = outs[("wide", "auto", "reread")]
         for key in variants[1:]:
             b = outs[key]
             assert len(a) == len(b), key
