@@ -81,7 +81,9 @@ def minhash_signature(text: str, num_perm: int, k: int, a: np.ndarray, b: np.nda
     return hm.min(axis=1)
 
 
-_SIG_CHUNK_GRAMS = 1 << 18  # (num_perm, chunk) working set ≈ 128 MB at 64 perms
+_SIG_CHUNK_GRAMS = 1 << 14  # (num_perm, chunk) ≈ 8 MB at 64 perms — cache-resident
+# (swept 2^18→2^13 on the bench corpus: 1.46 s / 0.62 / 0.53 / 0.74; the
+# 128 MB buffer thrashed LLC and fresh pages, 8 MB stays hot)
 
 
 def _batch_signatures(
@@ -106,6 +108,24 @@ def _batch_signatures(
     off = np.concatenate([[0], np.cumsum(counts)])
     nz = np.flatnonzero(counts > 0)
     M = np.uint64(_MERSENNE)
+    # ONE preallocated work buffer reused across chunks, with out=
+    # ufuncs: the broadcast expression `(a[:,None]*sub+b[:,None]) % M`
+    # materializes three (num_perm, chunk) intermediates per chunk —
+    # ~2.3 GB of FRESH pages for a 5k-doc batch, which on a lazily
+    # provisioned host costs 10× the arithmetic (measured 9.3 s vs
+    # 0.8 s for the whole rolling-hash pass). Buffer reuse pays the
+    # page fault once.
+    buf = np.empty((num_perm, min(_SIG_CHUNK_GRAMS, len(grams))), dtype=np.uint64)
+
+    def _perm_min(sub: np.ndarray) -> np.ndarray:
+        """(num_perm, len(sub)) hashed view in the shared buffer."""
+        w = buf[:, : len(sub)]
+        with np.errstate(over="ignore"):
+            np.multiply(a[:, None], sub[None, :], out=w)
+            np.add(w, b[:, None], out=w)
+            np.mod(w, M, out=w)
+        return w
+
     i = 0
     while i < len(nz):
         d0 = nz[i]
@@ -114,9 +134,7 @@ def _batch_signatures(
             acc = np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
             for p in range(int(off[d0]), int(off[d0] + counts[d0]), _SIG_CHUNK_GRAMS):
                 sub = grams[p : min(p + _SIG_CHUNK_GRAMS, int(off[d0] + counts[d0]))]
-                with np.errstate(over="ignore"):
-                    hm = (a[:, None] * sub[None, :] + b[:, None]) % M
-                acc = np.minimum(acc, hm.min(axis=1))
+                acc = np.minimum(acc, _perm_min(sub).min(axis=1))
             sigs[d0] = acc
             i += 1
             continue
@@ -125,11 +143,8 @@ def _batch_signatures(
         while j < len(nz) and int(off[nz[j]] + counts[nz[j]]) - g0 <= _SIG_CHUNK_GRAMS:
             j += 1
         g1 = int(off[nz[j - 1]] + counts[nz[j - 1]])
-        sub = grams[g0:g1]
-        with np.errstate(over="ignore"):
-            hm = (a[:, None] * sub[None, :] + b[:, None]) % M
         starts = (off[nz[i:j]] - g0).astype(np.int64)
-        sigs[nz[i:j]] = np.minimum.reduceat(hm, starts, axis=1).T
+        sigs[nz[i:j]] = np.minimum.reduceat(_perm_min(grams[g0:g1]), starts, axis=1).T
         i = j
     return sigs
 
@@ -183,6 +198,15 @@ def _minhash_candidates(
     DATASET — the shuffle carries only (doc_id, band, band_hash) and the
     pair set never lands on the driver (it can exceed driver memory on
     a skewed corpus: one boilerplate bucket of n docs yields n²/2 pairs)."""
+    if concurrency is None:
+        # autoscale to the cluster: a small fixed cap starves the
+        # signature stage on a big machine (measured 2x wall at 32 CPUs)
+        concurrency = (1, max(4, int(ray.cluster_resources().get("CPU", 8))))
+    # batch_size bounds DOCS per signature task: the kernel is
+    # vectorized across the batch, but a batch the size of the input
+    # collapses the stage to ONE task (measured 7 s for 5k docs at
+    # 32 idle CPUs with the old 8192 default) — small batches keep the
+    # actor pool fed; the band-row output stays narrow either way
     band_rows = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs=dict(
@@ -474,8 +498,8 @@ def minhash_lsh_pairs(
     bands: int = 16,
     k: int = 8,
     threshold: float = 0.7,
-    concurrency: int | tuple[int, int] = (1, 4),
-    batch_size: int = 8192,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 512,
     verify_buckets: int = 32,
     id_mode: str = "auto",
 ) -> ray.data.Dataset:
@@ -528,7 +552,7 @@ def minhash_lsh_pairs(
 
     return _bucketed_verify(
         ds, cand, id_col, pa.large_string(), _extract, _kernel, empty,
-        pair_buckets=verify_buckets, route_buckets=verify_buckets, batch_size=batch_size,
+        pair_buckets=verify_buckets, route_buckets=verify_buckets, batch_size=8192,
         id_mode=id_mode,
     )
 
@@ -541,8 +565,8 @@ def minhash_jaccard_pairs(
     bands: int = 16,
     k: int = 8,
     threshold: float = 0.5,
-    concurrency: int | tuple[int, int] = (1, 4),
-    batch_size: int = 8192,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 512,
     verify_buckets: int = 32,
     id_mode: str = "auto",
 ) -> ray.data.Dataset:
@@ -598,7 +622,7 @@ def minhash_jaccard_pairs(
 
     return _bucketed_verify(
         ds, cand, id_col, pa.large_string(), _extract, _kernel, empty,
-        pair_buckets=verify_buckets, route_buckets=verify_buckets, batch_size=batch_size,
+        pair_buckets=verify_buckets, route_buckets=verify_buckets, batch_size=8192,
         id_mode=id_mode,
     )
 
@@ -655,7 +679,7 @@ def simhash_pairs(
     text_col: str = "text",
     k: int = 4,
     max_hamming: int = 3,
-    batch_size: int = 8192,
+    batch_size: int = 512,
 ) -> ray.data.Dataset:
     """Candidate near-dup pairs with Hamming(simhash) ≤ max_hamming.
 

@@ -40,6 +40,14 @@ def _p(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
 
 
+def _pool() -> tuple[int, int]:
+    """Actor-pool bounds sized to the cluster (autoscaling 1..CPUs).
+    A fixed (1, 2) cap measured 2× wall on the 32-CPU bench for the
+    signature-heavy stages; pools should scale with the machine."""
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return (1, max(2, cpus))
+
+
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
     # the test parquet carries a `pandas` schema-metadata dict that makes
     # hash(schema) raise inside Ray's schema dedup ("Failed to hash the
@@ -833,7 +841,7 @@ def q_pip_admin(sf_dir: str):
     ref = ray.put(admin)
     ds = ds.map_batches(
         PipJoin, fn_constructor_kwargs=dict(polygons_ref=ref),
-        batch_format="pyarrow", concurrency=(1, 2),
+        batch_format="pyarrow", concurrency=_pool(),
     )
 
     def _fill(b: pa.Table) -> pa.Table:
@@ -885,7 +893,7 @@ def q_spatial_flagship(sf_dir: str):
     ref = ray.put(make_admin())
     ds = ds.map_batches(
         PipJoin, fn_constructor_kwargs=dict(polygons_ref=ref),
-        batch_format="pyarrow", concurrency=(1, 2),
+        batch_format="pyarrow", concurrency=_pool(),
     )
 
     def _fill(b: pa.Table) -> pa.Table:
@@ -936,7 +944,7 @@ def q_knn_parts(sf_dir: str):
     ref = ray.put(refs)
     ds = ds.map_batches(
         KnnJoin, fn_constructor_kwargs=dict(refs_ref=ref, k=3),
-        batch_format="pyarrow", concurrency=(1, 2),
+        batch_format="pyarrow", concurrency=_pool(),
     )
 
     def _explode(b: pa.Table) -> pa.Table:
@@ -1039,7 +1047,7 @@ def q_langid(sf_dir: str):
     from edkray.ops.text import LangId
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
-    ds = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 2))
+    ds = ds.map_batches(LangId, batch_format="pyarrow", concurrency=_pool())
     return grouped_agg(ds, ["lang", "lang_pred"], [("count", None, "n_docs")])
 
 
@@ -1149,7 +1157,7 @@ def q_contamination(sf_dir: str):
         Contaminator,
         fn_constructor_kwargs={"needles_ref": ref},
         batch_format="pyarrow",
-        concurrency=(1, 2),
+        concurrency=_pool(),
     )
     return out.map_batches(
         lambda b: b.select(["doc_id", "n_hits", "contaminated"]), batch_format="pyarrow"
@@ -1338,7 +1346,7 @@ def q_ngram_jaccard_pairs(sf_dir: str, k: int = 8, threshold: float = 0.1):
             )
 
     ds = _read(sf_dir, "documents", ["doc_id"])
-    return ds.map_batches(_PairGen, batch_format="pyarrow", concurrency=(1, 2), batch_size=256)
+    return ds.map_batches(_PairGen, batch_format="pyarrow", concurrency=_pool(), batch_size=256)
 
 
 def _sql_jaccard(threshold: float) -> str:
@@ -1436,7 +1444,7 @@ def q_cosine_dup_pairs(sf_dir: str, threshold: float = 0.4):
             )
 
     ds = _read(sf_dir, "embeddings", ["vec_id"])
-    return ds.map_batches(_Dup, batch_format="pyarrow", concurrency=(1, 2), batch_size=512)
+    return ds.map_batches(_Dup, batch_format="pyarrow", concurrency=_pool(), batch_size=512)
 
 
 _SQL_COS_DUP = """
@@ -1760,7 +1768,7 @@ def q_minhash_pairs(sf_dir: str):
     from edkray.ops.dedup import minhash_lsh_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = minhash_lsh_pairs(ds, threshold=0.5, concurrency=(1, 2))
+    out = minhash_lsh_pairs(ds, threshold=0.5, concurrency=_pool())
     return out.map_batches(lambda b: b.select(["id_a", "id_b"]), batch_format="pyarrow")
 
 
@@ -1772,7 +1780,7 @@ def q_minhash_jaccard_pairs(sf_dir: str):
     from edkray.ops.dedup import minhash_jaccard_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return minhash_jaccard_pairs(ds, threshold=0.5, concurrency=(1, 2))
+    return minhash_jaccard_pairs(ds, threshold=0.5, concurrency=_pool())
 
 
 def q_simhash_pairs(sf_dir: str):
