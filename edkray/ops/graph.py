@@ -1,0 +1,207 @@
+"""Distributed connected components over duplicate-pair edge lists.
+
+The training-pipeline step AFTER near-dup pair mining: the pairs
+emitted by ``minhash_lsh_pairs`` / ``simhash_pairs`` /
+``embedding_dup_pairs`` are edges of a duplicate graph, and the actual
+keep/drop decision needs that graph's connected components (cluster id
+= min doc id in the component; keep exactly the representative). The
+reference engine has no graph step — its BuildVRT last-wins ordering
+(stitching/classes.py) resolves overlaps pairwise — but at corpus scale
+near-dup sets are transitive chains (A~B, B~C with A!~C), so pairwise
+drop rules either over- or under-delete; components are the standard
+fix (the SlimPajama / BigCode dedup pipelines do exactly this).
+
+Algorithm: hash-to-min (Rastogi et al., "Finding Connected Components
+in Map-Reduce in Logarithmic Rounds", ICDE 2013) over an EXPLODED
+state relation of (node, member) pairs meaning ``member ∈ C(node)``:
+
+    init:  C(v) = {v} ∪ N(v)
+    round: every node v with m = min C(v) sends C(v) to m and {m}
+           to every u ∈ C(v); new C(v) = union of received sets
+    fixed point: C(min) = its whole component, C(v≠min) = {min}
+
+Each round is ONE bucketed shuffle (``hash(node) % num_buckets`` via
+:func:`edkray.ops.shuffle.bucketed_group_map`) whose per-bucket kernel
+is fully vectorized: ``np.lexsort`` + boundary flags dedupe the pair
+relation, per-node mins fall out of the sort order, and both message
+families are emitted with ``np.repeat`` — no per-node Python loop.
+
+Convergence is detected EXACTLY (whp): the state is a *set* of pairs,
+so each bucket kernel folds an order-independent signature — XOR of
+``splitmix64(node) ^ splitmix64(member)`` plus a row count — emitted as
+two sentinel rows (node = -1 / -2). The driver XORs/sums the bucket
+sentinels per round; two identical consecutive (signature, count)
+pairs mean the round operator hit a fixed point, and hash-to-min's
+fixed points are exactly the converged form above. Rounds are
+O(log diameter) — 2-3 for the near-clique components LSH produces.
+
+Scale: only doc ids ever shuffle (16 B/pair); documents never move.
+The state relation is O(Σ component size) at the fixed point (the min
+node of each component holds the full member set) — i.e. proportional
+to the number of DUPLICATED docs, a small fraction of a 10^12-doc
+corpus, and each round's message volume is ≤ 2× state. One driver-side
+scalar (signature, count) per round is the only materialization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from .shuffle import bucketed_group_map
+
+NODE = "node"
+MEMBER = "member"
+_SIG_NODE = -1  # sentinel row carrying the bucket's state signature
+_CNT_NODE = -2  # sentinel row carrying the bucket's deduped row count
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer over an int64/uint64 array (specified mix,
+    same constants as utils.fnv1a64_int)."""
+    x = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
+def _dedup_sorted(n: np.ndarray, m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Sort (node, member) pairs by node then member and drop exact
+    duplicates. Returns the deduped sorted columns."""
+    order = np.lexsort((m, n))
+    n, m = n[order], m[order]
+    if len(n):
+        keep = np.empty(len(n), dtype=bool)
+        keep[0] = True
+        np.not_equal(n[1:], n[:-1], out=keep[1:])
+        keep[1:] |= m[1:] != m[:-1]
+        n, m = n[keep], m[keep]
+    return n, m
+
+
+def _round_kernel(table: pa.Table) -> pa.Table:
+    """One hash-to-min round for one bucket: merge incoming messages
+    into the bucket's state C(v), then emit next-round messages plus
+    the bucket's state-signature sentinels."""
+    n = table[NODE].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = table[MEMBER].to_numpy(zero_copy_only=False).astype(np.int64)
+    real = n >= 0  # drop sentinel rows from the previous round
+    n, m = _dedup_sorted(n[real], m[real])
+    if not len(n):
+        return pa.table({NODE: pa.array([], type=pa.int64()),
+                         MEMBER: pa.array([], type=pa.int64())})
+
+    # state signature (order-independent): xor-fold + count
+    sig = np.bitwise_xor.reduce(_mix64(n) ^ _mix64(~m))
+    starts = np.empty(len(n), dtype=bool)
+    starts[0] = True
+    np.not_equal(n[1:], n[:-1], out=starts[1:])
+    # sorted by member within node → per-node min is the group head
+    minv = np.repeat(m[starts], np.diff(np.flatnonzero(np.append(starts, True))))
+
+    # messages: C(v) → min  and  {min} → every u ∈ C(v)
+    out_n = np.concatenate([minv, m, [np.int64(_SIG_NODE)], [np.int64(_CNT_NODE)]])
+    out_m = np.concatenate([m, minv, [sig.astype(np.int64)], [np.int64(len(n))]])
+    return pa.table({NODE: pa.array(out_n), MEMBER: pa.array(out_m)})
+
+
+def _label_kernel(table: pa.Table) -> pa.Table:
+    """Final pass: per-node min member = the component id."""
+    n = table[NODE].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = table[MEMBER].to_numpy(zero_copy_only=False).astype(np.int64)
+    real = n >= 0
+    n, m = _dedup_sorted(n[real], m[real])
+    if not len(n):
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "cluster_id": pa.array([], type=pa.int64())})
+    starts = np.empty(len(n), dtype=bool)
+    starts[0] = True
+    np.not_equal(n[1:], n[:-1], out=starts[1:])
+    return pa.table({"doc_id": pa.array(n[starts]), "cluster_id": pa.array(m[starts])})
+
+
+def _round_signature(msgs: ray.data.Dataset) -> tuple[int, int]:
+    """Fold the per-bucket sentinel rows into one (xor-signature, count)
+    scalar pair — the only driver-side materialization per round."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        n = batch[NODE].to_numpy(zero_copy_only=False)
+        m = batch[MEMBER].to_numpy(zero_copy_only=False)
+        sigs = m[n == _SIG_NODE].astype(np.int64)
+        cnts = m[n == _CNT_NODE].astype(np.int64)
+        sig = np.bitwise_xor.reduce(sigs) if len(sigs) else np.int64(0)
+        return pa.table({"sig": pa.array([sig]), "cnt": pa.array([int(cnts.sum())])})
+
+    parts = msgs.map_batches(_partial, batch_format="pyarrow").take_all()
+    sig, cnt = 0, 0
+    for row in parts:
+        sig ^= int(row["sig"])
+        cnt += int(row["cnt"])
+    return sig, cnt
+
+
+def connected_components(
+    pairs: ray.data.Dataset,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    num_buckets: int = 32,
+    max_iter: int = 32,
+) -> ray.data.Dataset:
+    """Connected components of the undirected graph given by an edge
+    list. Returns a Dataset of (doc_id, cluster_id) covering every node
+    that appears in an edge, with cluster_id = min doc id reachable.
+
+    ``num_buckets`` bounds per-task memory exactly as in
+    :func:`bucketed_group_map`; at corpus scale size it to
+    Σ component sizes / target rows per task.
+    """
+
+    def _init(batch: pa.Table) -> pa.Table:
+        a = batch[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # C(v) = {v} ∪ N(v), exploded
+        return pa.table({
+            NODE: pa.array(np.concatenate([a, a, b, b])),
+            MEMBER: pa.array(np.concatenate([a, b, b, a])),
+        })
+
+    msgs = pairs.map_batches(_init, batch_format="pyarrow")
+    prev: tuple[int, int] | None = None
+    for _ in range(max_iter):
+        msgs = bucketed_group_map(msgs, [NODE], _round_kernel,
+                                  num_buckets=num_buckets).materialize()
+        cur = _round_signature(msgs)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(diameter > 2^{max_iter} is impossible — raise max_iter only "
+            f"if the input graph is adversarial)"
+        )
+    return bucketed_group_map(msgs, [NODE], _label_kernel, num_buckets=num_buckets)
+
+
+def dedup_decisions(
+    pairs: ray.data.Dataset,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Cluster near-dup pairs and emit the keep/drop decision: one row
+    per clustered doc with its cluster id and ``keep`` = true iff the
+    doc is the cluster representative (min id). Docs in no pair are
+    implicitly kept and not emitted (filter-join the decision table
+    against the corpus as a broadcast or bucketed semi-join)."""
+    labels = connected_components(pairs, a_col=a_col, b_col=b_col,
+                                  num_buckets=num_buckets)
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        c = batch["cluster_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column("keep", pa.array(d == c))
+
+    return labels.map_batches(_keep, batch_format="pyarrow")

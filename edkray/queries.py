@@ -1783,6 +1783,40 @@ def q_minhash_jaccard_pairs(sf_dir: str):
     return minhash_jaccard_pairs(ds, threshold=0.5, concurrency=_pool())
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup CLUSTER resolution — the keep/drop step after pair
+    mining: MinHash-LSH pairs (exact at J ≥ 0.5 on this corpus, same
+    argument as q_minhash_pairs) → distributed connected components
+    (hash-to-min, ops/graph.py) → one row per clustered doc with its
+    component id (min doc id reachable) and keep = is-representative.
+    Oracle: DuckDB recursive-CTE transitive closure over the exact
+    Jaccard ≥ 0.5 pair set."""
+    from edkray.ops.dedup import minhash_lsh_pairs
+    from edkray.ops.graph import dedup_decisions
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(ds, threshold=0.5, concurrency=_pool())
+    return dedup_decisions(pairs, num_buckets=16)
+
+
+_SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_sql_jaccard(0.5)})
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+  UNION SELECT id_a, id_a FROM pairs
+  UNION SELECT id_b, id_b FROM pairs
+), reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, min(v) AS cluster_id, (u = min(v)) AS keep
+FROM reach GROUP BY u
+"""
+
+
 def q_simhash_pairs(sf_dir: str):
     """Near-dup pairs with Hamming(simhash64) ≤ 3 via 4×16-bit chunk
     banding (pigeonhole-EXACT: any such pair agrees on ≥1 chunk, so the
@@ -2156,6 +2190,7 @@ def queries() -> dict:
         "scaled_quantity": q_scaled_quantity,
         "sample_orders": q_sample_orders,
         "minhash_jaccard_pairs": q_minhash_jaccard_pairs,
+        "dedup_clusters": q_dedup_clusters,
         # rows-only (approximate / hash-based; no SQL oracle)
         "approx_users_per_type": q_approx_users_per_type,
         "minhash_pairs": q_minhash_pairs,
@@ -2224,6 +2259,9 @@ def oracle_sql() -> dict:
         # LSH candidates + exact-Jaccard verification: equals the full
         # exact pair set at threshold 0.5 (recall test asserts)
         "minhash_jaccard_pairs": _sql_jaccard(0.5),
+        # recursive-CTE transitive closure over the exact J≥0.5 pairs;
+        # the engine's LSH pair set equals it (q_minhash_pairs argument)
+        "dedup_clusters": _SQL_DEDUP_CLUSTERS,
         # expression-by-expression DuckDB mirror of the aperture-7 lattice
         "hex_cells": _sql_hex_cells(),
         # exhaustive-probe IVF is exact → same oracle as embedding_topk

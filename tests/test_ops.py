@@ -1435,3 +1435,80 @@ class TestFingerprintVectorized:
             for m in np.unique(mins):
                 acc ^= m
             assert f_new[i] == acc, i
+
+
+class TestConnectedComponents:
+    """ops/graph.py — hash-to-min components over dup-pair edge lists."""
+
+    @staticmethod
+    def _expected(edges):
+        # tiny driver-side union-find as the reference implementation
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {v: find(v) for v in parent}
+
+    @staticmethod
+    def _pairs_ds(edges):
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([a for a, _ in edges], type=pa.int64()),
+                    "id_b": pa.array([b for _, b in edges], type=pa.int64()),
+                }
+            )
+        ).repartition(4)
+
+    def test_chain_needs_multiple_rounds(self, ray_session):
+        from edkray.ops.graph import connected_components
+
+        edges = [(i, i + 1) for i in range(20)]  # diameter 20
+        out = connected_components(self._pairs_ds(edges), num_buckets=4).to_pandas()
+        got = dict(zip(out.doc_id, out.cluster_id))
+        assert got == {i: 0 for i in range(21)}
+
+    def test_random_graph_matches_union_find(self, ray_session):
+        from edkray.ops.graph import connected_components
+
+        rng = np.random.default_rng(7)
+        # sparse random graph over a sparse id space (forces many
+        # non-trivial components and exercises bucket boundaries)
+        ids = rng.choice(100_000, size=400, replace=False)
+        edges = [
+            (int(ids[i]), int(ids[j]))
+            for i, j in rng.integers(0, len(ids), size=(300, 2))
+            if i != j
+        ]
+        out = connected_components(self._pairs_ds(edges), num_buckets=8).to_pandas()
+        got = dict(zip(out.doc_id, out.cluster_id))
+        assert got == self._expected(edges)
+
+    def test_self_loops_and_duplicate_edges(self, ray_session):
+        from edkray.ops.graph import connected_components
+
+        edges = [(5, 5), (1, 2), (2, 1), (1, 2), (8, 9)]
+        out = connected_components(self._pairs_ds(edges), num_buckets=4).to_pandas()
+        got = dict(zip(out.doc_id, out.cluster_id))
+        assert got == {5: 5, 1: 1, 2: 1, 8: 8, 9: 8}
+
+    def test_dedup_decisions_keep_flags(self, ray_session):
+        from edkray.ops.graph import dedup_decisions
+
+        edges = [(3, 1), (1, 7), (10, 11)]
+        out = dedup_decisions(self._pairs_ds(edges), num_buckets=4).to_pandas()
+        out = out.sort_values("doc_id")
+        assert list(out.doc_id) == [1, 3, 7, 10, 11]
+        assert list(out.cluster_id) == [1, 1, 1, 10, 10]
+        assert list(out.keep) == [True, False, False, True, False]
