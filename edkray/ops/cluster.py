@@ -1,0 +1,165 @@
+"""Distributed k-means over an embedding column (``list<float>``).
+
+Training-data curation clusters corpora by embedding (topic balancing,
+domain mixing, per-cluster sampling). :class:`IvfIndex`
+(ops/search.py) fits centroids on a DRIVER-SIDE SAMPLE — right for a
+coarse ANN quantizer, wrong when the clustering itself is the product.
+This module runs Lloyd's algorithm over the FULL dataset:
+
+- init: the embeddings of the ``k`` smallest ids (deterministic and
+  SQL-reproducible — no RNG to mirror in the oracle);
+- each iteration: one ``map_batches`` pass assigns every row to its
+  nearest centroid (vectorized ||x-c||² argmin via the expansion
+  x·x - 2x·C + c·c) and emits ≤ k PARTIAL rows per batch (cluster,
+  count, component-sum vector); a bucketed tree-reduce
+  (:func:`bucketed_group_map` on cluster) folds partials so exactly
+  ``k`` rows reach the driver per iteration — the data never leaves
+  its blocks, and the k×d centroid matrix is re-broadcast via
+  ``ray.put``;
+- empty clusters keep their previous centroid (mirrored in the oracle
+  with a LEFT JOIN + coalesce);
+- :func:`kmeans_assign` appends the final ``cluster`` column in one
+  more broadcast pass.
+
+At 100 TB: per-iteration shuffle volume is k rows × num batches of
+(8 + 8 + 8d) bytes — independent of corpus size; driver state is k×d
+floats. Ties (a row equidistant to two centroids) break to the lowest
+cluster index on both the engine and SQL sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from edkray.ops.shuffle import bucketed_group_map
+from edkray.utils import list_to_matrix, matrix_to_list_array
+
+
+def _nearest(emb: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """Index of the nearest centroid per row (squared euclidean,
+    ties → lowest index, which is exactly what argmin returns)."""
+    # ||x||² is constant per row w.r.t. the argmin — skip it
+    d2 = -2.0 * (emb @ cent.T) + (cent * cent).sum(axis=1)[None, :]
+    return np.argmin(d2, axis=1)
+
+
+def _init_centroids(
+    ds: ray.data.Dataset, k: int, id_col: str, vec_col: str
+) -> np.ndarray:
+    """Embeddings of the k smallest ids: per-batch local k-smallest
+    combiner, tiny driver merge (k rows per block, never the dataset)."""
+
+    def _local(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if len(ids) > k:
+            part = np.argpartition(ids, k - 1)[:k]
+            batch = batch.take(pa.array(part))
+        return batch.select([id_col, vec_col])
+
+    head = pa.concat_tables(
+        [t for t in ray.get(ds.map_batches(
+            _local, batch_format="pyarrow").to_arrow_refs()) if t.num_rows]
+    )
+    ids = head[id_col].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids, kind="stable")[:k]
+    return list_to_matrix(head[vec_col].take(pa.array(order)), dtype=np.float64)
+
+
+def kmeans_fit(
+    ds: ray.data.Dataset,
+    k: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_size: int = 16384,
+    max_partial_rows: int = 500_000,
+) -> np.ndarray:
+    """Fit k-means centroids over the full dataset. Returns (k, d)
+    float64 centroids after ``iters`` Lloyd updates.
+
+    The per-iteration combine is the A5 pattern (grouped_agg_small):
+    partials are ≤ k rows per block, so when k × blocks ≤
+    ``max_partial_rows`` they fold on the driver (skipping a whole Ray
+    shuffle per iteration); above the bound the fold runs as a bucketed
+    tree-reduce instead — same kernel, no driver materialization."""
+    cent = _init_centroids(ds, k, id_col, vec_col)
+    d = cent.shape[1]
+
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+
+        def _partial(batch: pa.Table, _ref=cent_ref) -> pa.Table:
+            c = ray.get(_ref)
+            emb = list_to_matrix(batch[vec_col], dtype=np.float64)
+            assign = _nearest(emb, c)
+            uniq, inv, cnt = np.unique(assign, return_inverse=True,
+                                       return_counts=True)
+            sums = np.zeros((len(uniq), emb.shape[1]))
+            np.add.at(sums, inv, emb)
+            return pa.table({
+                "cluster": pa.array(uniq.astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+                "s": matrix_to_list_array(sums),
+            })
+
+        partials = ds.map_batches(_partial, batch_format="pyarrow",
+                                  batch_size=batch_size)
+
+        def _fold(table: pa.Table) -> pa.Table:
+            cl = table["cluster"].to_numpy(zero_copy_only=False)
+            n = table["n"].to_numpy(zero_copy_only=False)
+            s = list_to_matrix(table["s"], dtype=np.float64)
+            uniq, inv = np.unique(cl, return_inverse=True)
+            nn = np.zeros(len(uniq), dtype=np.int64)
+            ss = np.zeros((len(uniq), s.shape[1]))
+            np.add.at(nn, inv, n)
+            np.add.at(ss, inv, s)
+            return pa.table({
+                "cluster": pa.array(uniq.astype(np.int64)),
+                "n": pa.array(nn),
+                "s": matrix_to_list_array(ss),
+            })
+
+        partials = partials.materialize()
+        if partials.count() <= max_partial_rows:
+            tabs = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
+            rows = _fold(pa.concat_tables(tabs))
+        else:
+            folded = bucketed_group_map(partials, ["cluster"], _fold,
+                                        num_buckets=min(k, 16))
+            rows = pa.concat_tables(
+                [t for t in ray.get(folded.to_arrow_refs()) if t.num_rows])
+        new = cent.copy()  # empty clusters keep their previous centroid
+        cl = rows["cluster"].to_numpy(zero_copy_only=False)
+        n = rows["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = list_to_matrix(rows["s"], dtype=np.float64)
+        new[cl] = s / n[:, None]
+        cent = new
+        assert cent.shape == (k, d)
+    return cent
+
+
+def kmeans_assign(
+    ds: ray.data.Dataset,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+    batch_size: int = 16384,
+) -> ray.data.Dataset:
+    """Append the nearest-centroid index as ``out_col`` (broadcast
+    centroids, one vectorized pass; upserts if the column exists)."""
+    cent_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        emb = list_to_matrix(batch[vec_col], dtype=np.float64)
+        a = pa.array(_nearest(emb, c).astype(np.int64))
+        if out_col in batch.schema.names:
+            return batch.set_column(
+                batch.schema.get_field_index(out_col), out_col, a)
+        return batch.append_column(out_col, a)
+
+    return ds.map_batches(_assign, batch_format="pyarrow", batch_size=batch_size)

@@ -1373,6 +1373,71 @@ _SQL_JACCARD = _sql_jaccard(0.1)
 
 
 # --------------------------------------------------------------------------
+# Q: kmeans_clusters — distributed Lloyd k-means over the embeddings
+
+
+def q_kmeans_clusters(sf_dir: str, k: int = 4, iters: int = 2):
+    """Full-dataset distributed k-means (ops/cluster.py): deterministic
+    init (embeddings of the k smallest vec_ids), per-batch partial-sum
+    assignment passes with a bucketed tree-reduce (k rows to the driver
+    per iteration), final broadcast assignment. Oracle: the same Lloyd
+    iterations replayed in DuckDB (cross-join argmin with
+    lowest-cluster tie-break, unnest-zip per-dim means, empty clusters
+    hold the previous centroid)."""
+    from edkray.ops.cluster import kmeans_assign, kmeans_fit
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent = kmeans_fit(ds, k=k, iters=iters)
+    out = kmeans_assign(ds, cent)
+    return out.map_batches(lambda b: b.select(["vec_id", "cluster"]),
+                           batch_format="pyarrow")
+
+
+def _sql_kmeans(k: int = 4, iters: int = 2, d: int = 64) -> str:
+    """DuckDB mirror of kmeans_fit + kmeans_assign: chained CTEs, one
+    (assign, means, centroids) block per Lloyd iteration."""
+
+    def dist(e: str, c: str) -> str:
+        return (f"list_sum(list_transform(range(1, {d + 1}), "
+                f"i -> power(CAST({e}[i] AS DOUBLE) - {c}[i], 2)))")
+
+    def assign_block(name: str, cents: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, t.cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist('e.embedding', 't.c')}, t.cluster) AS rn
+    FROM embeddings e CROSS JOIN {cents} t)
+  WHERE rn = 1
+)"""
+
+    parts = [f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k})
+)"""]
+    for it in range(iters):
+        parts.append(assign_block(f"a{it}", f"c{it}"))
+        parts.append(f"""m{it} AS (
+  SELECT cluster, dim, avg(v) AS avg_v FROM (
+    SELECT a.cluster,
+           unnest(range(1, {d + 1})) AS dim,
+           unnest(list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS v
+    FROM a{it} a JOIN embeddings e USING (vec_id))
+  GROUP BY cluster, dim
+)""")
+        parts.append(f"""c{it + 1} AS (
+  SELECT p.cluster, coalesce(mm.c, p.c) AS c
+  FROM c{it} p LEFT JOIN (
+    SELECT cluster, list(avg_v ORDER BY dim) AS c FROM m{it} GROUP BY cluster
+  ) mm USING (cluster)
+)""")
+    parts.append(assign_block("af", f"c{iters}"))
+    return ("WITH " + ",\n".join(parts)
+            + "\nSELECT vec_id, cluster FROM af")
+
+
+# --------------------------------------------------------------------------
 # Q: embedding_topk — brute-force cosine top-k similarity search
 
 
@@ -2179,6 +2244,7 @@ def queries() -> dict:
         "pii_scrub": q_pii_scrub,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_topk": q_embedding_topk,
+        "kmeans_clusters": q_kmeans_clusters,
         "cosine_dup_pairs": q_cosine_dup_pairs,
         "bbox_customers": q_bbox_customers,
         "catalog": q_catalog,
@@ -2241,6 +2307,8 @@ def oracle_sql() -> dict:
         "pii_scrub": _sql_pii(),
         "ngram_jaccard_pairs": _SQL_JACCARD,
         "embedding_topk": _SQL_EMB_TOPK,
+        # same Lloyd iterations replayed CTE-by-CTE in DuckDB
+        "kmeans_clusters": _sql_kmeans(4, 2),
         "cosine_dup_pairs": _SQL_COS_DUP,
         "bbox_customers": _SQL_BBOX,
         "catalog": _SQL_CATALOG,

@@ -1512,3 +1512,69 @@ class TestConnectedComponents:
         assert list(out.doc_id) == [1, 3, 7, 10, 11]
         assert list(out.cluster_id) == [1, 1, 1, 10, 10]
         assert list(out.keep) == [True, False, False, True, False]
+
+
+class TestKmeans:
+    """ops/cluster.py — full-dataset distributed Lloyd k-means."""
+
+    @staticmethod
+    def _ref_fit(x, k, iters):
+        # driver-side reference: same init (k smallest ids = first k
+        # rows here), same tie-break (argmin → lowest cluster)
+        cent = x[:k].copy()
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            new = cent.copy()
+            for j in range(k):
+                if (a == j).any():
+                    new[j] = x[a == j].mean(axis=0)
+            cent = new
+        return cent
+
+    @staticmethod
+    def _ds(x):
+        import ray.data
+
+        from edkray.utils import matrix_to_list_array
+
+        t = pa.table({
+            "vec_id": pa.array(np.arange(len(x), dtype=np.int64)),
+            "embedding": matrix_to_list_array(x),
+        })
+        return ray.data.from_arrow(t).repartition(6)
+
+    def test_matches_numpy_reference(self, ray_session):
+        from edkray.ops.cluster import kmeans_assign, kmeans_fit
+
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(300, 8))
+        ds = self._ds(x)
+        cent = kmeans_fit(ds, k=5, iters=3)
+        ref = self._ref_fit(x, 5, 3)
+        np.testing.assert_allclose(cent, ref, rtol=1e-12)
+        out = kmeans_assign(ds, cent).to_pandas().sort_values("vec_id")
+        d2 = ((x[:, None, :] - ref[None, :, :]) ** 2).sum(axis=2)
+        np.testing.assert_array_equal(out["cluster"].to_numpy(),
+                                      np.argmin(d2, axis=1))
+
+    def test_distributed_fold_matches_driver_fold(self, ray_session):
+        from edkray.ops.cluster import kmeans_fit
+
+        rng = np.random.default_rng(4)
+        x = rng.normal(size=(200, 6))
+        ds = self._ds(x)
+        driver = kmeans_fit(ds, k=4, iters=2, max_partial_rows=10**6)
+        forced = kmeans_fit(ds, k=4, iters=2, max_partial_rows=0)
+        np.testing.assert_allclose(forced, driver, rtol=1e-12)
+
+    def test_empty_cluster_keeps_centroid(self, ray_session):
+        from edkray.ops.cluster import kmeans_fit
+
+        # row 1 duplicates row 0 → ties break to cluster 0, cluster 1
+        # receives nothing and must hold its initial centroid
+        x = np.array([[0.0, 0.0], [0.0, 0.0], [0.1, 0.0], [0.2, 0.1]])
+        cent = kmeans_fit(self._ds(x), k=2, iters=2)
+        np.testing.assert_allclose(cent[1], [0.0, 0.0])
+        ref = self._ref_fit(x, 2, 2)
+        np.testing.assert_allclose(cent, ref, rtol=1e-12)
