@@ -1373,6 +1373,60 @@ _SQL_JACCARD = _sql_jaccard(0.1)
 
 
 # --------------------------------------------------------------------------
+# Q: lm_scores — CCNet-style bigram LM quality scoring
+
+
+def q_lm_scores(sf_dir: str, min_count: int = 30):
+    """Statistical-LM quality scoring (ops/lm.py): train a stupid-
+    backoff bigram model on the corpus in one distributed counting
+    pass (min_count prunes the tail → both the bigram and backoff
+    branches fire at sf0.01), broadcast it, score each doc's mean
+    token ln-prob in an actor-pool polars stage. Oracle: the same
+    counts, pruning and backoff formula in DuckDB."""
+    from edkray.ops.lm import fit_bigram_lm, score_bigram_lm
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    model = fit_bigram_lm(ds, min_count=min_count)
+    return score_bigram_lm(ds, model)
+
+
+def _sql_lm_scores(min_count: int = 30, backoff: float = 0.4) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents WHERE text IS NOT NULL
+), uni AS (
+  SELECT w, count(*) AS c FROM tok GROUP BY w
+), tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM tok
+), pr AS (
+  SELECT doc_id, w AS w2, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+  FROM tok
+), big AS (
+  SELECT w1, w2, count(*) AS c FROM pr WHERE w1 IS NOT NULL
+  GROUP BY w1, w2 HAVING count(*) >= {min_count}
+), scored AS (
+  SELECT p.doc_id,
+         CASE WHEN b.c IS NOT NULL
+              THEN ln(CAST(b.c AS DOUBLE) / u1.c)
+              ELSE ln({backoff} * coalesce(u2.c, 1) / (SELECT n FROM tot))
+         END AS lp
+  FROM pr p
+  LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+  LEFT JOIN uni u1 ON u1.w = p.w1
+  LEFT JOIN uni u2 ON u2.w = p.w2
+  WHERE p.w1 IS NOT NULL
+), ntok AS (
+  SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id
+)
+SELECT s.doc_id, n.n_tokens, avg(s.lp) AS lm_score
+FROM scored s JOIN ntok n USING (doc_id)
+GROUP BY s.doc_id, n.n_tokens
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: kmeans_clusters — distributed Lloyd k-means over the embeddings
 
 
@@ -2245,6 +2299,7 @@ def queries() -> dict:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_topk": q_embedding_topk,
         "kmeans_clusters": q_kmeans_clusters,
+        "lm_scores": q_lm_scores,
         "cosine_dup_pairs": q_cosine_dup_pairs,
         "bbox_customers": q_bbox_customers,
         "catalog": q_catalog,
@@ -2309,6 +2364,8 @@ def oracle_sql() -> dict:
         "embedding_topk": _SQL_EMB_TOPK,
         # same Lloyd iterations replayed CTE-by-CTE in DuckDB
         "kmeans_clusters": _sql_kmeans(4, 2),
+        # same counts, pruning and stupid-backoff formula in DuckDB
+        "lm_scores": _sql_lm_scores(30),
         "cosine_dup_pairs": _SQL_COS_DUP,
         "bbox_customers": _SQL_BBOX,
         "catalog": _SQL_CATALOG,

@@ -1578,3 +1578,62 @@ class TestKmeans:
         np.testing.assert_allclose(cent[1], [0.0, 0.0])
         ref = self._ref_fit(x, 2, 2)
         np.testing.assert_allclose(cent, ref, rtol=1e-12)
+
+
+class TestBigramLm:
+    """ops/lm.py — distributed stupid-backoff bigram LM scoring."""
+
+    @staticmethod
+    def _ds(texts, ids=None):
+        import ray.data
+
+        ids = ids or list(range(len(texts)))
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        })).repartition(3)
+
+    def test_hand_computed_scores(self, ray_session):
+        from edkray.ops.lm import fit_bigram_lm, score_bigram_lm
+
+        # corpus: "a b a b" and "a c"; unigrams a:3 b:2 c:1, N=6
+        # bigrams: (a,b):2 (b,a):1 (a,c):1
+        ds = self._ds(["a b a b", "a c"])
+        model = fit_bigram_lm(ds, min_count=1)
+        out = score_bigram_lm(ds, model).to_pandas().sort_values("doc_id")
+        # doc0: ln(2/3), ln(1/2), ln(2/3) → mean
+        exp0 = (2 * np.log(2 / 3) + np.log(1 / 2)) / 3
+        # doc1: ln(1/3)
+        np.testing.assert_allclose(out.lm_score.to_numpy(),
+                                   [exp0, np.log(1 / 3)], rtol=1e-12)
+        assert list(out.n_tokens) == [4, 2]
+
+    def test_min_count_pruning_backoff(self, ray_session):
+        from edkray.ops.lm import fit_bigram_lm, score_bigram_lm
+
+        # (a,b) seen twice survives min_count=2; (b,a),(a,c) pruned →
+        # backoff 0.4 * C(w2)/N
+        ds = self._ds(["a b a b", "a c"])
+        model = fit_bigram_lm(ds, min_count=2)
+        assert len(model.big) == 1
+        out = score_bigram_lm(ds, model).to_pandas().sort_values("doc_id")
+        exp0 = (2 * np.log(2 / 3) + np.log(0.4 * 3 / 6)) / 3
+        exp1 = np.log(0.4 * 1 / 6)
+        np.testing.assert_allclose(out.lm_score.to_numpy(), [exp0, exp1],
+                                   rtol=1e-12)
+
+    def test_null_and_short_docs_excluded(self, ray_session):
+        from edkray.ops.lm import fit_bigram_lm, score_bigram_lm
+
+        ds = self._ds(["a b", None, "x", ""], ids=[1, 2, 3, 4])
+        model = fit_bigram_lm(ds, min_count=1)
+        # null contributes no tokens; "" is one empty token; "x" one token
+        assert model.total == 4
+        out = score_bigram_lm(ds, model).to_pandas()
+        assert list(out.doc_id) == [1]  # only the doc with a bigram
+
+    def test_model_bound_enforced(self, ray_session):
+        from edkray.ops.lm import fit_bigram_lm
+
+        with pytest.raises(ValueError, match="max_model_rows"):
+            fit_bigram_lm(self._ds(["a b c d e f g h"]), max_model_rows=3)
