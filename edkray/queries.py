@@ -1373,6 +1373,131 @@ _SQL_JACCARD = _sql_jaccard(0.1)
 
 
 # --------------------------------------------------------------------------
+# Q: curation — end-to-end training-data curation flagship
+
+
+def q_curation(sf_dir: str, min_tokens: int = 20, max_dup_frac: float = 0.6):
+    """The composed curation pipeline a web-corpus user actually runs:
+    near-dup pair mining (MinHash-LSH) → connected-component keep/drop
+    → per-doc Gopher repetition stats → language ID → quality gate
+    (kept = not-a-dup-drop AND n_tokens ≥ 20 AND dup_token_frac ≤ 0.6)
+    → per-(source, lang_pred) retention stats. The drop set (cluster
+    non-representatives only — bounded by dup-doc count) broadcasts via
+    ``ray.put``; documents stream through one enrich pass; the final
+    aggregate is a partial-combined grouped_agg. Oracle: every stage's
+    existing SQL mirror composed into one DuckDB query."""
+    import pyarrow.compute as pc
+
+    from edkray.ops.aggregate import grouped_agg
+    from edkray.ops.dedup import minhash_lsh_pairs
+    from edkray.ops.graph import dedup_decisions
+    from edkray.ops.joins import broadcast_join
+    from edkray.ops.text import LangId, repetition_stats
+
+    pairs = minhash_lsh_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
+                              threshold=0.5, concurrency=_pool())
+    decisions = dedup_decisions(pairs, num_buckets=16)
+    def _drops(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["keep"], False)).select(["doc_id"])
+        return b.append_column("__dup_drop", pa.array(np.ones(len(b), dtype=bool)))
+
+    dropped = decisions.map_batches(_drops, batch_format="pyarrow")
+    drop_tab = pa.concat_tables(
+        [t for t in ray.get(dropped.to_arrow_refs()) if t.num_rows]
+        or [pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "__dup_drop": pa.array([], type=pa.bool_())})]
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    ds = ds.map_batches(repetition_stats, batch_format="pyarrow")
+    ds = ds.map_batches(LangId, batch_format="pyarrow", concurrency=_pool())
+    ds = ds.map_batches(
+        lambda b: b.select(["doc_id", "source", "lang_pred", "n_tokens",
+                            "dup_token_frac"]),
+        batch_format="pyarrow",
+    )
+    ds = broadcast_join(ds, drop_tab, on=["doc_id"], how="left")
+
+    def _gate(b: pa.Table) -> pa.Table:
+        nt = b["n_tokens"].to_numpy(zero_copy_only=False)
+        dup = b["dup_token_frac"].to_numpy(zero_copy_only=False)
+        is_drop = pc.fill_null(b["__dup_drop"], False).to_numpy(zero_copy_only=False)
+        kept = ~is_drop & (nt >= min_tokens) & (dup <= max_dup_frac)
+        return pa.table({
+            "source": b["source"],
+            "lang_pred": b["lang_pred"],
+            "kept_i": pa.array(kept.astype(np.int64)),
+            "kept_tok": pa.array(np.where(kept, nt, 0).astype(np.int64)),
+        })
+
+    ds = ds.map_batches(_gate, batch_format="pyarrow")
+    return grouped_agg(ds, ["source", "lang_pred"],
+                       [("count", None, "n_docs"),
+                        ("sum", "kept_i", "n_kept"),
+                        ("sum", "kept_tok", "kept_tokens")])
+
+
+def _sql_curation(min_tokens: int = 20, max_dup_frac: float = 0.6) -> str:
+    rates = []
+    for code, words in _STOP_SQL.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        rates.append(
+            f"CASE WHEN nw = 0 THEN 0.0 ELSE len(list_filter(words, "
+            f"x -> list_contains([{lst}], x))) / CAST(nw AS DOUBLE) END AS r_{code}"
+        )
+    rate_sql = ",\n         ".join(rates)
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_sql_jaccard(0.5)})
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+  UNION SELECT id_a, id_a FROM pairs
+  UNION SELECT id_b, id_b FROM pairs
+), reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), dropped AS (
+  SELECT u AS doc_id FROM reach GROUP BY u HAVING u <> min(v)
+), rep AS (
+  SELECT doc_id, len(l) AS nt, len(list_distinct(l)) AS nu
+  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS l FROM documents)
+), w AS (
+  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9_]+') AS words,
+         length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS ncjk,
+         length(text) AS nch
+  FROM documents
+), r AS (
+  SELECT doc_id, source, len(words) AS nw, ncjk, nch,
+         {rate_sql}
+  FROM w
+), lid AS (
+  SELECT doc_id, source,
+         CASE WHEN ncjk > 0.3 * greatest(nch, 1) THEN 'zh'
+              WHEN nw = 0 THEN 'und'
+              WHEN greatest(r_de, r_en, r_es, r_fr) <= 0 THEN 'und'
+              WHEN r_de >= r_en AND r_de >= r_es AND r_de >= r_fr THEN 'de'
+              WHEN r_en >= r_es AND r_en >= r_fr THEN 'en'
+              WHEN r_es >= r_fr THEN 'es'
+              ELSE 'fr' END AS lang_pred
+  FROM r
+), flags AS (
+  SELECT l.source, l.lang_pred, rep.nt,
+         (d.doc_id IS NULL AND rep.nt >= {min_tokens} AND
+          (CASE WHEN rep.nt = 0 THEN 0.0
+                ELSE 1.0 - CAST(rep.nu AS DOUBLE) / rep.nt END) <= {max_dup_frac}
+         ) AS kept
+  FROM lid l JOIN rep USING (doc_id) LEFT JOIN dropped d USING (doc_id)
+)
+SELECT source, lang_pred, count(*) AS n_docs,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN kept THEN nt ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM flags GROUP BY source, lang_pred
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: lm_scores — CCNet-style bigram LM quality scoring
 
 
@@ -2300,6 +2425,7 @@ def queries() -> dict:
         "embedding_topk": q_embedding_topk,
         "kmeans_clusters": q_kmeans_clusters,
         "lm_scores": q_lm_scores,
+        "curation": q_curation,
         "cosine_dup_pairs": q_cosine_dup_pairs,
         "bbox_customers": q_bbox_customers,
         "catalog": q_catalog,
@@ -2366,6 +2492,8 @@ def oracle_sql() -> dict:
         "kmeans_clusters": _sql_kmeans(4, 2),
         # same counts, pruning and stupid-backoff formula in DuckDB
         "lm_scores": _sql_lm_scores(30),
+        # every stage's existing SQL mirror composed into one query
+        "curation": _sql_curation(20, 0.6),
         "cosine_dup_pairs": _SQL_COS_DUP,
         "bbox_customers": _SQL_BBOX,
         "catalog": _SQL_CATALOG,
