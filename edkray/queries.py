@@ -1617,6 +1617,38 @@ def _sql_kmeans(k: int = 4, iters: int = 2, d: int = 64) -> str:
 
 
 # --------------------------------------------------------------------------
+# Q: cluster_sample — cluster-balanced corpus sampling (kmeans ∘
+# stratified_sample): the data-mixing op — cap docs per embedding
+# cluster with a deterministic SQL-reproducible rank.
+
+
+def q_cluster_sample(sf_dir: str, k: int = 4, iters: int = 2, n_per: int = 30):
+    from edkray.ops.aggregate import stratified_sample
+    from edkray.ops.cluster import kmeans_assign, kmeans_fit
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent = kmeans_fit(ds, k=k, iters=iters)
+    ds = kmeans_assign(ds, cent)
+    out = stratified_sample(ds, ["cluster"], n_per, "vec_id")
+    return out.map_batches(lambda b: b.select(["vec_id", "cluster"]),
+                           batch_format="pyarrow")
+
+
+def _sql_cluster_sample(k: int = 4, iters: int = 2, n_per: int = 30) -> str:
+    return f"""
+WITH af2 AS ({_sql_kmeans(k, iters)}),
+h AS (
+  SELECT vec_id, cluster, (vec_id * 2654435761) % 4294967296 AS hh FROM af2
+), r AS (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY cluster ORDER BY hh, vec_id) AS rk
+  FROM h
+)
+SELECT vec_id, cluster FROM r WHERE rk <= {n_per}
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: embedding_topk — brute-force cosine top-k similarity search
 
 
@@ -2424,6 +2456,7 @@ def queries() -> dict:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_topk": q_embedding_topk,
         "kmeans_clusters": q_kmeans_clusters,
+        "cluster_sample": q_cluster_sample,
         "lm_scores": q_lm_scores,
         "curation": q_curation,
         "cosine_dup_pairs": q_cosine_dup_pairs,
@@ -2490,6 +2523,8 @@ def oracle_sql() -> dict:
         "embedding_topk": _SQL_EMB_TOPK,
         # same Lloyd iterations replayed CTE-by-CTE in DuckDB
         "kmeans_clusters": _sql_kmeans(4, 2),
+        # kmeans oracle wrapped with the Knuth-hash stratified rank
+        "cluster_sample": _sql_cluster_sample(4, 2, 30),
         # same counts, pruning and stupid-backoff formula in DuckDB
         "lm_scores": _sql_lm_scores(30),
         # every stage's existing SQL mirror composed into one query
