@@ -49,22 +49,20 @@ def _nearest(emb: np.ndarray, cent: np.ndarray) -> np.ndarray:
 def _init_centroids(
     ds: ray.data.Dataset, k: int, id_col: str, vec_col: str
 ) -> np.ndarray:
-    """Embeddings of the k smallest ids: per-batch local k-smallest
-    combiner, tiny driver merge (k rows per block, never the dataset)."""
+    """Embeddings of the k smallest ids via the distributed top-k
+    combiner (global_top_k: per-block head, one-task merge — only the
+    final k rows reach the driver)."""
+    from edkray.ops.aggregate import global_top_k
 
-    def _local(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        if len(ids) > k:
-            part = np.argpartition(ids, k - 1)[:k]
-            batch = batch.take(pa.array(part))
+    def _proj(batch: pa.Table) -> pa.Table:
         return batch.select([id_col, vec_col])
 
+    head_ds = global_top_k(ds.map_batches(_proj, batch_format="pyarrow"),
+                           [id_col], k, descending=False)
     head = pa.concat_tables(
-        [t for t in ray.get(ds.map_batches(
-            _local, batch_format="pyarrow").to_arrow_refs()) if t.num_rows]
-    )
-    ids = head[id_col].to_numpy(zero_copy_only=False)
-    order = np.argsort(ids, kind="stable")[:k]
+        [t for t in ray.get(head_ds.to_arrow_refs()) if t.num_rows])
+    order = np.argsort(head[id_col].to_numpy(zero_copy_only=False),
+                       kind="stable")
     return list_to_matrix(head[vec_col].take(pa.array(order)), dtype=np.float64)
 
 
