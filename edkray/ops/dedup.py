@@ -885,3 +885,183 @@ def embedding_dup_pairs(
         pair_buckets=verify_buckets, route_buckets=verify_buckets, batch_size=batch_size,
         id_mode=id_mode,
     )
+
+
+# --- paragraph-level exact dedup (line dedup) -----------------------------
+#
+# The RefinedWeb/CCNet-style pass BELOW document granularity: a paragraph
+# (line) that appears anywhere earlier in the corpus is dropped from every
+# later document; documents are reassembled from their surviving
+# paragraphs. The reference's dedup analogue is whole-file
+# (engines/s3.py:305 list(set(...))); this is the webtext refinement of
+# the same first-wins rule at sub-document grain.
+
+_PD_SIDE = "__pd_side"
+
+
+def explode_paragraphs(
+    df: pl.DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    words_per_para: int | None = None,
+) -> pl.DataFrame:
+    """Vectorized doc → (id, pos, para) explosion (polars, no Python
+    loop). ``sep``-split by default; ``words_per_para`` instead chunks
+    the space-split word list into fixed-size pseudo-paragraphs — for
+    corpora without line structure (the synthetic tables). Deterministic
+    per doc, so both dedup passes can recompute it instead of shuffling
+    paragraph text."""
+    if words_per_para is None:
+        ex = (
+            df.select([id_col, text_col])
+            .with_columns(pl.col(text_col).str.split(sep).alias("para"))
+            .drop(text_col)
+            .explode("para")
+            .with_columns(
+                pl.col("para").fill_null(""),
+                pl.int_range(pl.len()).over(id_col).alias("pos"),
+            )
+        )
+        return ex.select([id_col, "pos", "para"])
+    ex = (
+        df.select([id_col, text_col])
+        .with_columns(pl.col(text_col).str.split(" ").alias("__w"))
+        .drop(text_col)
+        .explode("__w")
+        .with_columns(
+            pl.col("__w").fill_null(""),
+            pl.int_range(pl.len()).over(id_col).alias("__i"),
+        )
+    )
+    return (
+        ex.with_columns((pl.col("__i") // words_per_para).alias("pos"))
+        .group_by([id_col, "pos"], maintain_order=True)
+        .agg(pl.col("__w").str.join(" ").alias("para"))
+        .select([id_col, "pos", "para"])
+    )
+
+
+def paragraph_dedup(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    words_per_para: int | None = None,
+    joiner: str | None = None,
+    num_buckets: int = 64,
+    doc_buckets: int = 64,
+    batch_size: int = 8192,
+    hot_paragraph_budget: int | None = None,
+) -> ray.data.Dataset:
+    """Corpus-global paragraph dedup: each distinct paragraph survives
+    only at its FIRST occurrence (ascending ``(id, pos)``); every later
+    occurrence is dropped and documents are reassembled from their kept
+    paragraphs. Output: ``(id_col, text_dedup, n_paras, n_kept)``.
+
+    Scale shape — paragraph TEXT never shuffles:
+
+    1. decision pass: docs explode to NARROW ``(h=hash64(para), id,
+       pos)`` rows (~24 B/paragraph); :func:`bucketed_group_map` on
+       ``h`` picks the min-``(id, pos)`` winner per hash. Winner
+       picking is self-mergeable (min), so ``hot_paragraph_budget``
+       turns on count-driven salting for boilerplate paragraphs
+       duplicated across a large fraction of the corpus (the classic
+       hot key: cookie banners).
+    2. reassembly pass: the winner rows (already keyed by the KEEPING
+       doc) and the docs (one row each) co-shuffle on ``hash(id)``;
+       inside each bucket the doc is re-exploded locally (explosion is
+       deterministic) and semi-joined against its winner positions.
+
+    64-bit paragraph hashing follows the flagship's narrow-dedup
+    precedent (pipelines/spatial.py decision shuffle): collision odds
+    ~n²/2⁶⁵ — negligible below ~10¹² distinct paragraphs.
+
+    ``ds`` is consumed twice (both passes re-explode) — pass a
+    re-readable source. ``joiner`` defaults to ``sep`` (or a single
+    space in ``words_per_para`` mode).
+    """
+    if joiner is None:
+        joiner = " " if words_per_para is not None else sep
+
+    def _narrow(batch: pa.Table) -> pa.Table:
+        ex = explode_paragraphs(
+            pl.from_arrow(batch), id_col, text_col, sep, words_per_para
+        )
+        return (
+            ex.with_columns(pl.col("para").hash(seed=7).alias("h"))
+            .select(["h", id_col, "pos"])
+            .to_arrow()
+        )
+
+    narrow = ds.map_batches(_narrow, batch_format="pyarrow", batch_size=batch_size)
+
+    _winner = dedup_in_bucket(["h"], [id_col, "pos"])
+    winners = bucketed_group_map(
+        narrow,
+        ["h"],
+        _winner,
+        num_buckets=num_buckets,
+        batch_size=batch_size,
+        hot_key_merge=_winner if hot_paragraph_budget else None,
+        hot_key_budget=hot_paragraph_budget or 500_000,
+    )
+
+    # common schema for the co-shuffle: (id, text?, pos, side)
+    def _doc_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                text_col: batch[text_col],
+                "pos": pa.array(np.full(n, -1, dtype=np.int64)),
+                _PD_SIDE: pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+
+    def _win_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                text_col: pa.array([None] * n, type=pa.string()),
+                "pos": batch["pos"].cast(pa.int64()),
+                _PD_SIDE: pa.array(np.ones(n, dtype=np.int8)),
+            }
+        )
+
+    docs = ds.map_batches(_doc_side, batch_format="pyarrow", batch_size=batch_size)
+    wins = winners.map_batches(_win_side, batch_format="pyarrow", batch_size=batch_size)
+
+    def _reassemble(table: pa.Table) -> pa.Table:
+        df = pl.from_arrow(table)
+        doc_rows = df.filter(pl.col(_PD_SIDE) == 0).select([id_col, text_col])
+        win_rows = df.filter(pl.col(_PD_SIDE) == 1).select([id_col, "pos"])
+        ex = explode_paragraphs(doc_rows, id_col, text_col, sep, words_per_para)
+        kept = ex.join(win_rows, on=[id_col, "pos"], how="semi")
+        agg_kept = (
+            kept.sort([id_col, "pos"])
+            .group_by(id_col, maintain_order=True)
+            .agg(
+                pl.col("para").str.join(joiner).alias("text_dedup"),
+                pl.len().cast(pl.Int64).alias("n_kept"),
+            )
+        )
+        totals = ex.group_by(id_col).agg(pl.len().cast(pl.Int64).alias("n_paras"))
+        out = (
+            totals.join(agg_kept, on=id_col, how="left")
+            .with_columns(
+                pl.col("text_dedup").fill_null(""),
+                pl.col("n_kept").fill_null(0),
+            )
+            .select([id_col, "text_dedup", "n_paras", "n_kept"])
+        )
+        return out.to_arrow()
+
+    return bucketed_group_map(
+        docs.union(wins),
+        [id_col],
+        _reassemble,
+        num_buckets=doc_buckets,
+        batch_size=batch_size,
+    )

@@ -2093,6 +2093,43 @@ FROM reach GROUP BY u
 """
 
 
+def q_paragraph_dedup(sf_dir: str, words_per_para: int = 8):
+    """Corpus-global PARAGRAPH-level dedup (RefinedWeb-style line
+    dedup, ops/dedup.py:paragraph_dedup): every distinct paragraph
+    survives only at its first occurrence by (doc_id, pos); documents
+    reassemble from surviving paragraphs. The synthetic corpus has no
+    newlines, so paragraphs are derived as fixed 8-word chunks
+    (``words_per_para=8``) — the view is mirrored chunk-for-chunk in
+    the oracle. Decision shuffle is narrow (hash64, doc_id, pos);
+    paragraph text never shuffles (docs co-shuffle once, whole)."""
+    from edkray.ops.dedup import paragraph_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return paragraph_dedup(
+        ds, words_per_para=words_per_para, num_buckets=16, doc_buckets=16
+    )
+
+
+_SQL_PARAGRAPH_DEDUP = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), chunks AS (
+  SELECT doc_id, (i - 1) // 8 AS pos, string_agg(ws[i], ' ' ORDER BY i) AS para
+  FROM words, unnest(generate_series(1, len(ws))) AS t(i)
+  GROUP BY doc_id, (i - 1) // 8
+), ranked AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN para END, ' ' ORDER BY pos), '') AS text_dedup,
+       count(*) AS n_paras,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM ranked GROUP BY doc_id
+"""
+
+
 def q_simhash_pairs(sf_dir: str):
     """Near-dup pairs with Hamming(simhash64) ≤ 3 via 4×16-bit chunk
     banding (pigeonhole-EXACT: any such pair agrees on ≥1 chunk, so the
@@ -2471,6 +2508,7 @@ def queries() -> dict:
         "sample_orders": q_sample_orders,
         "minhash_jaccard_pairs": q_minhash_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "paragraph_dedup": q_paragraph_dedup,
         # rows-only (approximate / hash-based; no SQL oracle)
         "approx_users_per_type": q_approx_users_per_type,
         "minhash_pairs": q_minhash_pairs,
@@ -2550,6 +2588,8 @@ def oracle_sql() -> dict:
         # recursive-CTE transitive closure over the exact J≥0.5 pairs;
         # the engine's LSH pair set equals it (q_minhash_pairs argument)
         "dedup_clusters": _SQL_DEDUP_CLUSTERS,
+        # chunk-derived paragraph view mirrored verbatim in SQL
+        "paragraph_dedup": _SQL_PARAGRAPH_DEDUP,
         # expression-by-expression DuckDB mirror of the aperture-7 lattice
         "hex_cells": _sql_hex_cells(),
         # exhaustive-probe IVF is exact → same oracle as embedding_topk

@@ -1637,3 +1637,134 @@ class TestBigramLm:
 
         with pytest.raises(ValueError, match="max_model_rows"):
             fit_bigram_lm(self._ds(["a b c d e f g h"]), max_model_rows=3)
+
+
+class TestParagraphDedup:
+    """paragraph_dedup vs a pandas first-occurrence recompute."""
+
+    @staticmethod
+    def _oracle(docs: pd.DataFrame, sep: str, words_per_para, joiner) -> pd.DataFrame:
+        rows = []
+        for _, r in docs.iterrows():
+            if words_per_para is None:
+                paras = r["text"].split(sep)
+            else:
+                ws = r["text"].split(" ")
+                paras = [
+                    " ".join(ws[i : i + words_per_para])
+                    for i in range(0, len(ws), words_per_para)
+                ]
+            for pos, para in enumerate(paras):
+                rows.append((r["doc_id"], pos, para))
+        ex = pd.DataFrame(rows, columns=["doc_id", "pos", "para"])
+        ex = ex.sort_values(["doc_id", "pos"], kind="stable")
+        first = ~ex.duplicated("para", keep="first")
+        out = []
+        for doc_id, grp in ex.groupby("doc_id"):
+            kept = grp[first.loc[grp.index]]
+            out.append(
+                (
+                    doc_id,
+                    joiner.join(kept["para"]),
+                    len(grp),
+                    len(kept),
+                )
+            )
+        return pd.DataFrame(out, columns=["doc_id", "text_dedup", "n_paras", "n_kept"])
+
+    def test_line_mode_matches_pandas(self, ray_session):
+        import ray.data
+
+        from edkray.ops.dedup import paragraph_dedup
+
+        rng = np.random.default_rng(11)
+        vocab = ["alpha beta", "gamma delta", "eps zeta", "eta theta", "iota kappa"]
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.arange(200),
+                "text": [
+                    "\n".join(rng.choice(vocab, size=rng.integers(1, 6)))
+                    for _ in range(200)
+                ],
+            }
+        )
+        got = (
+            paragraph_dedup(ray.data.from_pandas(docs).repartition(8),
+                            num_buckets=8, doc_buckets=8)
+            .to_pandas()
+        )
+        _df_eq(got, self._oracle(docs, "\n", None, "\n"))
+
+    def test_doc_fully_dropped_and_empty(self, ray_session):
+        import ray.data
+
+        from edkray.ops.dedup import paragraph_dedup
+
+        docs = pd.DataFrame(
+            {"doc_id": [1, 2, 3], "text": ["a\nb", "a\nb", ""]}
+        )
+        got = (
+            paragraph_dedup(ray.data.from_pandas(docs), num_buckets=4, doc_buckets=4)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got.loc[1, "text_dedup"] == "" and got.loc[1, "n_kept"] == 0
+        # doc 3's single empty paragraph: first occurrence of "" wins somewhere;
+        # the oracle agrees on whatever the global rule gives
+        _df_eq(got, self._oracle(docs, "\n", None, "\n"))
+
+    def test_word_chunk_mode_matches_pandas(self, ray_session):
+        import ray.data
+
+        from edkray.ops.dedup import paragraph_dedup
+
+        rng = np.random.default_rng(5)
+        vocab = ["row", "scan", "key", "agg", "part", "fast"]
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.arange(150),
+                "text": [
+                    " ".join(rng.choice(vocab, size=rng.integers(4, 20)))
+                    for _ in range(150)
+                ],
+            }
+        )
+        got = (
+            paragraph_dedup(
+                ray.data.from_pandas(docs).repartition(6),
+                words_per_para=4, num_buckets=8, doc_buckets=8,
+            )
+            .to_pandas()
+        )
+        _df_eq(got, self._oracle(docs, "\n", 4, " "))
+
+    def test_hot_paragraph_salting_matches_unsalted(self, ray_session):
+        """Force the hot-key salted decision path (a boilerplate paragraph
+        in 60% of docs, budget far below its count) and require output
+        identical to the unsalted run."""
+        import ray.data
+
+        from edkray.ops.dedup import paragraph_dedup
+
+        rng = np.random.default_rng(7)
+        boiler = "accept all cookies"
+        texts = [
+            (boiler + "\n" if rng.random() < 0.6 else "")
+            + f"unique line {i}\nshared {i % 40}"
+            for i in range(3000)
+        ]
+        docs = pd.DataFrame({"doc_id": np.arange(3000), "text": texts})
+        base = (
+            paragraph_dedup(ray.data.from_pandas(docs).repartition(8),
+                            num_buckets=8, doc_buckets=8)
+            .to_pandas()
+        )
+        salted = (
+            paragraph_dedup(
+                ray.data.from_pandas(docs).repartition(8),
+                num_buckets=8, doc_buckets=8, hot_paragraph_budget=100,
+            )
+            .to_pandas()
+        )
+        _df_eq(salted, base)
