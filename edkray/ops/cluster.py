@@ -161,3 +161,89 @@ def kmeans_assign(
         return batch.append_column(out_col, a)
 
     return ds.map_batches(_assign, batch_format="pyarrow", batch_size=batch_size)
+
+
+def semdedup(
+    ds: ray.data.Dataset,
+    centroids: np.ndarray,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_buckets: int = 16,
+    batch_size: int = 16384,
+    block: int = 2048,
+) -> ray.data.Dataset:
+    """SemDeDup (semantic dedup, Abbas et al. 2023, arXiv:2303.09540):
+    cluster by embedding, then WITHIN each cluster drop every row whose
+    cosine to ANY lower-id row of the same cluster is ≥ ``tau``; the
+    lowest-id member of each semantic duplicate neighborhood survives.
+    Returns ``(id_col, cluster, keep)``.
+
+    The whole point of clustering first is scale: pairwise cosine runs
+    per CLUSTER, never corpus-wide — O(Σ nᵢ²) instead of O(n²). Shape:
+    one broadcast assignment pass (centroids via ``ray.put``), then one
+    :func:`bucketed_group_map` shuffle on ``cluster`` carrying (id,
+    cluster, unit vector); inside a bucket each cluster's keep mask is
+    a blocked matmul (``block`` rows at a time, so task memory is
+    O(block × cluster_size), not cluster_size²). The drop rule compares
+    against all earlier rows — kept or dropped — so blocks are
+    independent (no sequential scan), matching the reference SemDeDup
+    formulation and staying SQL-mirrorable.
+
+    Skew note: cluster sizes are data-dependent; a degenerate corpus
+    (one semantic mode) makes one cluster ≈ the corpus and n² bites
+    regardless of engine. Raise k (more, smaller clusters) — the
+    standard SemDeDup remedy — rather than salting, since the keep rule
+    needs whole clusters co-located.
+    """
+    from edkray.ops.shuffle import bucketed_group_map
+    from edkray.utils import list_to_matrix, matrix_to_list_array
+
+    assigned = kmeans_assign(ds, centroids, vec_col=vec_col)
+
+    def _unit(batch: pa.Table) -> pa.Table:
+        emb = list_to_matrix(batch[vec_col], dtype=np.float64)
+        norm = np.linalg.norm(emb, axis=1)
+        norm[norm == 0] = 1.0
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                "cluster": batch["cluster"],
+                "__u": matrix_to_list_array(emb / norm[:, None]),
+            }
+        )
+
+    rows = assigned.map_batches(_unit, batch_format="pyarrow", batch_size=batch_size)
+
+    def _keep_mask(units: np.ndarray) -> np.ndarray:
+        n = len(units)
+        keep = np.ones(n, dtype=bool)
+        for s in range(1, n, block):
+            e = min(s + block, n)
+            gram = units[s:e] @ units[:e].T  # rows i∈[s,e) vs cols j<e
+            earlier = np.arange(e)[None, :] < np.arange(s, e)[:, None]
+            keep[s:e] = ~((gram >= tau) & earlier).any(axis=1)
+        return keep
+
+    def _per_bucket(table: pa.Table) -> pa.Table:
+        cl = table["cluster"].to_numpy(zero_copy_only=False)
+        ids = table[id_col].to_numpy(zero_copy_only=False)
+        units = list_to_matrix(table["__u"], dtype=np.float64)
+        order = np.lexsort((ids, cl))  # by cluster, then id asc
+        cl, ids, units = cl[order], ids[order], units[order]
+        keep = np.ones(len(ids), dtype=bool)
+        starts = np.flatnonzero(np.r_[True, cl[1:] != cl[:-1]])
+        bounds = np.r_[starts, len(cl)]
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            keep[a:b] = _keep_mask(units[a:b])
+        return pa.table(
+            {
+                id_col: pa.array(ids.astype(np.int64)),
+                "cluster": pa.array(cl.astype(np.int64)),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return bucketed_group_map(
+        rows, ["cluster"], _per_bucket, num_buckets=num_buckets, batch_size=batch_size
+    )

@@ -1649,6 +1649,43 @@ SELECT vec_id, cluster FROM r WHERE rk <= {n_per}
 
 
 # --------------------------------------------------------------------------
+# Q: semdedup — semantic dedup (kmeans ∘ within-cluster cosine prune)
+
+
+def q_semdedup(sf_dir: str, k: int = 4, iters: int = 2, tau: float = 0.95):
+    """SemDeDup (ops/cluster.py:semdedup): full-dataset k-means, then
+    within each cluster drop rows with cosine ≥ tau to any lower-id row
+    of the same cluster. Oracle: the kmeans CTE replay (proven by
+    kmeans_clusters) + a within-cluster pairwise-cosine LEFT JOIN with
+    the same lowest-id-survives rule."""
+    from edkray.ops.cluster import kmeans_fit, semdedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent = kmeans_fit(ds, k=k, iters=iters)
+    return semdedup(ds, cent, tau=tau)
+
+
+def _sql_semdedup(k: int = 4, iters: int = 2, tau: float = 0.95) -> str:
+    cos = """list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))"""
+    return f"""
+WITH af2 AS ({_sql_kmeans(k, iters)}),
+u AS (
+  SELECT a.vec_id, a.cluster, e.embedding
+  FROM af2 a JOIN embeddings e USING (vec_id)
+), dups AS (
+  SELECT b.vec_id
+  FROM u b JOIN u a ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE {cos} >= {tau}
+  GROUP BY b.vec_id
+)
+SELECT u.vec_id, u.cluster, (d.vec_id IS NULL) AS keep
+FROM u LEFT JOIN dups d ON u.vec_id = d.vec_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: embedding_topk — brute-force cosine top-k similarity search
 
 
@@ -2494,6 +2531,7 @@ def queries() -> dict:
         "embedding_topk": q_embedding_topk,
         "kmeans_clusters": q_kmeans_clusters,
         "cluster_sample": q_cluster_sample,
+        "semdedup": q_semdedup,
         "lm_scores": q_lm_scores,
         "curation": q_curation,
         "cosine_dup_pairs": q_cosine_dup_pairs,
@@ -2563,6 +2601,8 @@ def oracle_sql() -> dict:
         "kmeans_clusters": _sql_kmeans(4, 2),
         # kmeans oracle wrapped with the Knuth-hash stratified rank
         "cluster_sample": _sql_cluster_sample(4, 2, 30),
+        # kmeans replay + within-cluster pairwise-cosine prune
+        "semdedup": _sql_semdedup(4, 2, 0.95),
         # same counts, pruning and stupid-backoff formula in DuckDB
         "lm_scores": _sql_lm_scores(30),
         # every stage's existing SQL mirror composed into one query

@@ -1768,3 +1768,72 @@ class TestParagraphDedup:
             .to_pandas()
         )
         _df_eq(salted, base)
+
+
+class TestSemDedup:
+    @staticmethod
+    def _oracle(ids, emb, assign, tau):
+        units = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        keep = {}
+        for c in np.unique(assign):
+            idx = np.where(assign == c)[0]
+            idx = idx[np.argsort(ids[idx])]
+            u = units[idx]
+            g = u @ u.T
+            for r in range(len(idx)):
+                keep[ids[idx[r]]] = not (g[r, :r] >= tau).any()
+        return keep
+
+    def test_matches_bruteforce(self, ray_session):
+        import ray.data
+
+        from edkray.ops.cluster import kmeans_assign, kmeans_fit, semdedup
+        from edkray.utils import matrix_to_list_array
+
+        rng = np.random.default_rng(9)
+        # 3 tight modes + noise → real clusters with near-dups inside
+        modes = rng.normal(size=(3, 16))
+        emb = np.concatenate(
+            [m + 0.05 * rng.normal(size=(120, 16)) for m in modes]
+        )
+        ids = rng.permutation(len(emb)).astype(np.int64)
+        tab = pa.table({"vec_id": pa.array(ids), "embedding": matrix_to_list_array(emb)})
+        ds = ray.data.from_arrow(tab).repartition(6)
+        cent = kmeans_fit(ds, k=3, iters=2)
+        got = semdedup(ds, cent, tau=0.9, num_buckets=4, block=7).to_pandas()
+
+        assign_df = kmeans_assign(ds, cent).to_pandas()
+        order = np.argsort(assign_df["vec_id"].to_numpy())
+        srt = np.argsort(ids)
+        exp_keep = self._oracle(
+            ids[srt],
+            emb[srt],
+            assign_df.sort_values("vec_id")["cluster"].to_numpy(),
+            0.9,
+        )
+        assert len(got) == len(emb)
+        dropped = int((~got["keep"]).sum())
+        assert dropped > 0, "degenerate test: nothing dropped"
+        for _, r in got.iterrows():
+            assert exp_keep[r["vec_id"]] == r["keep"], r["vec_id"]
+
+    def test_block_boundary_invariance(self, ray_session):
+        """keep mask identical for block sizes 1 < cluster and block ≫ cluster."""
+        import ray.data
+
+        from edkray.ops.cluster import kmeans_fit, semdedup
+        from edkray.utils import matrix_to_list_array
+
+        rng = np.random.default_rng(21)
+        emb = rng.normal(size=(200, 8))
+        emb[50:60] = emb[40:50] + 1e-6  # exact-ish dups
+        tab = pa.table(
+            {"vec_id": pa.array(np.arange(200, dtype=np.int64)),
+             "embedding": matrix_to_list_array(emb)}
+        )
+        ds = ray.data.from_arrow(tab)
+        cent = kmeans_fit(ds, k=2, iters=1)
+        a = semdedup(ds, cent, tau=0.99, block=3).to_pandas().sort_values("vec_id")
+        b = semdedup(ds, cent, tau=0.99, block=4096).to_pandas().sort_values("vec_id")
+        assert (a["keep"].to_numpy() == b["keep"].to_numpy()).all()
+        assert (~a["keep"]).sum() >= 10
