@@ -195,3 +195,127 @@ def ivf_topk(
         _IvfScore, batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 2)
     )
     return _merge_topk(partials, k, id_col)
+
+
+# --- BM25 lexical search ---------------------------------------------------
+
+
+def bm25_stats(
+    ds: ray.data.Dataset,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_size: int = 8192,
+) -> tuple[int, float, np.ndarray]:
+    """Corpus statistics for BM25 against a fixed query-term set:
+    ``(n_docs, avgdl, df_per_term)``. One narrow pass — each batch
+    emits ONE partial row (count, length-sum, |terms| document
+    frequencies); the driver folds ≤ one row per block (the A5
+    driver-bound combine, same shape as kmeans partials)."""
+    tset = list(terms)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select([id_col, text_col]))
+        # dl = split-token count = spaces + 1 (exactly len(string_split))
+        dl = (df[text_col].str.count_matches(" ", literal=True) + 1).cast(pl.Int64)
+        ex = (
+            df.with_columns(pl.col(text_col).str.split(" ").alias("__w"))
+            .drop(text_col)
+            .explode("__w")
+            .filter(pl.col("__w").is_in(tset))
+            .unique(subset=[id_col, "__w"])
+            .group_by("__w")
+            .len()
+        )
+        counts = dict(zip(ex["__w"].to_list(), ex["len"].to_list()))
+        return pa.table(
+            {
+                "n": pa.array([batch.num_rows], type=pa.int64()),
+                "sumdl": pa.array([int(dl.sum())], type=pa.int64()),
+                "df": pa.array(
+                    [[int(counts.get(t, 0)) for t in tset]],
+                    type=pa.list_(pa.int64()),
+                ),
+            }
+        )
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow", batch_size=batch_size)
+    tabs = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+    tab = pa.concat_tables(tabs)
+    n = int(pa.compute.sum(tab["n"]).as_py())
+    sumdl = int(pa.compute.sum(tab["sumdl"]).as_py())
+    df = list_to_matrix(tab["df"], dtype=np.float64).sum(axis=0)
+    return n, sumdl / max(n, 1), df
+
+
+def bm25_topk(
+    ds: ray.data.Dataset,
+    terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    batch_size: int = 8192,
+) -> ray.data.Dataset:
+    """Top-``k`` documents by Okapi BM25 against a bag-of-terms query
+    (idf = ln(1 + (N - df + ½)/(df + ½))). Output ``(id_col, score)``,
+    score descending, ties broken by ascending id.
+
+    Scale shape: the stats pass (:func:`bm25_stats`) reduces the corpus
+    to |terms|+2 numbers; the score pass is batch-local (polars
+    explode → filter to query terms → per-doc tf → weighted sum — no
+    shuffle, no inverted index materialization); the final ranking is
+    the per-block top-k combiner (:func:`~edkray.ops.aggregate.
+    global_top_k`), k rows per block to one merge task. Tokenization is
+    single-space split, mirroring ``string_split(text, ' ')`` so the
+    DuckDB oracle is exact. ``ds`` is consumed twice (stats + score) —
+    pass a re-readable source.
+    """
+    from edkray.ops.aggregate import global_top_k
+
+    tset = list(terms)
+    n, avgdl, df = bm25_stats(ds, tset, id_col, text_col, batch_size)
+    idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    idf_df = pl.DataFrame({"__w": tset, "__idf": idf})
+
+    empty = pa.table(
+        {id_col: pa.array([], type=pa.int64()),
+         "score": pa.array([], type=pa.float64())}
+    )
+
+    def _score(batch: pa.Table) -> pa.Table:
+        df_ = pl.from_arrow(batch.select([id_col, text_col]))
+        df_ = df_.with_columns(
+            (df_[text_col].str.count_matches(" ", literal=True) + 1)
+            .cast(pl.Float64)
+            .alias("__dl")
+        )
+        ex = (
+            df_.with_columns(pl.col(text_col).str.split(" ").alias("__w"))
+            .drop(text_col)
+            .explode("__w")
+            .filter(pl.col("__w").is_in(tset))
+        )
+        if ex.height == 0:
+            return empty
+        tf = ex.group_by([id_col, "__dl", "__w"]).agg(
+            pl.len().cast(pl.Float64).alias("__tf")
+        )
+        scored = tf.join(idf_df, on="__w").with_columns(
+            (
+                pl.col("__idf")
+                * pl.col("__tf")
+                * (k1 + 1.0)
+                / (pl.col("__tf") + k1 * (1.0 - b + b * pl.col("__dl") / avgdl))
+            ).alias("__s")
+        )
+        out = (
+            scored.group_by(id_col, maintain_order=True)
+            .agg(pl.col("__s").sum().alias("score"))
+            .with_columns(pl.col(id_col).cast(pl.Int64))
+        )
+        return out.to_arrow()
+
+    scores = ds.map_batches(_score, batch_format="pyarrow", batch_size=batch_size)
+    return global_top_k(scores, ["score", id_col], k, descending=[True, False])

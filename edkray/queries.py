@@ -1649,6 +1649,55 @@ SELECT vec_id, cluster FROM r WHERE rk <= {n_per}
 
 
 # --------------------------------------------------------------------------
+# Q: bm25_topk — lexical relevance search (Okapi BM25)
+
+_BM25_TERMS = ["table", "scan", "merge", "window"]
+
+
+def q_bm25_topk(sf_dir: str, k: int = 10):
+    """Okapi BM25 top-k over the documents table
+    (ops/search.py:bm25_topk): one narrow stats pass (|terms|+2 numbers
+    off the corpus), one batch-local scoring pass, per-block top-k
+    combiner. Tokenization is single-space split so the DuckDB
+    string_split oracle is exact."""
+    from edkray.ops.search import bm25_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(ds, _BM25_TERMS, k=k)
+
+
+def _sql_bm25(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    vals = ", ".join(f"('{t}')" for t in _BM25_TERMS)
+    return f"""
+WITH terms(term) AS (VALUES {vals}),
+doc AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), dl AS (
+  SELECT doc_id, len(ws) AS dl FROM doc
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT d.doc_id, t.term, count(*) AS tf
+  FROM doc d, unnest(d.ws) AS u(w) JOIN terms t ON u.w = t.term
+  GROUP BY d.doc_id, t.term
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+), scores AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf * ({k1} + 1)
+             / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl))) AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score FROM scores ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: semdedup — semantic dedup (kmeans ∘ within-cluster cosine prune)
 
 
@@ -2532,6 +2581,7 @@ def queries() -> dict:
         "kmeans_clusters": q_kmeans_clusters,
         "cluster_sample": q_cluster_sample,
         "semdedup": q_semdedup,
+        "bm25_topk": q_bm25_topk,
         "lm_scores": q_lm_scores,
         "curation": q_curation,
         "cosine_dup_pairs": q_cosine_dup_pairs,
@@ -2603,6 +2653,8 @@ def oracle_sql() -> dict:
         "cluster_sample": _sql_cluster_sample(4, 2, 30),
         # kmeans replay + within-cluster pairwise-cosine prune
         "semdedup": _sql_semdedup(4, 2, 0.95),
+        # same split-tokenization, idf and saturation formula in SQL
+        "bm25_topk": _sql_bm25(10),
         # same counts, pruning and stupid-backoff formula in DuckDB
         "lm_scores": _sql_lm_scores(30),
         # every stage's existing SQL mirror composed into one query

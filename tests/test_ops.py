@@ -1837,3 +1837,64 @@ class TestSemDedup:
         b = semdedup(ds, cent, tau=0.99, block=4096).to_pandas().sort_values("vec_id")
         assert (a["keep"].to_numpy() == b["keep"].to_numpy()).all()
         assert (~a["keep"]).sum() >= 10
+
+
+class TestBm25:
+    def test_matches_bruteforce(self, ray_session):
+        import math
+
+        import ray.data
+
+        from edkray.ops.search import bm25_topk
+
+        rng = np.random.default_rng(13)
+        vocab = ["cat", "dog", "fish", "bird", "tree", "rock"]
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.arange(300, dtype=np.int64),
+                "text": [
+                    " ".join(rng.choice(vocab, size=rng.integers(3, 30)))
+                    for _ in range(300)
+                ],
+            }
+        )
+        terms = ["cat", "tree"]
+        k1, b, k = 1.2, 0.75, 12
+
+        # brute force
+        split = [t.split(" ") for t in docs["text"]]
+        n = len(docs)
+        avgdl = sum(len(w) for w in split) / n
+        df = {t: sum(t in w for w in split) for t in terms}
+        scores = {}
+        for did, ws in zip(docs["doc_id"], split):
+            s = 0.0
+            for t in terms:
+                tf = ws.count(t)
+                if tf:
+                    idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                    s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(ws) / avgdl))
+            if s > 0:
+                scores[did] = s
+        exp = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+        got = (
+            bm25_topk(ray.data.from_pandas(docs).repartition(7), terms, k=k,
+                      k1=k1, b=b)
+            .to_pandas()
+        )
+        assert list(got["doc_id"]) == [d for d, _ in exp]
+        assert np.allclose(got["score"], [s for _, s in exp], atol=1e-9)
+
+    def test_absent_term_and_no_hits(self, ray_session):
+        import ray.data
+
+        from edkray.ops.search import bm25_topk
+
+        docs = pd.DataFrame(
+            {"doc_id": [0, 1], "text": ["aa bb", "bb cc"]}
+        )
+        out = bm25_topk(ray.data.from_pandas(docs), ["zz"], k=5).to_pandas()
+        assert len(out) == 0
+        out2 = bm25_topk(ray.data.from_pandas(docs), ["aa", "zz"], k=5).to_pandas()
+        assert list(out2["doc_id"]) == [0]
