@@ -431,3 +431,106 @@ def pii_scrub(batch: pa.Table, text_col: str = "text", out_col: str | None = Non
     for kind, _, _ in PII_PATTERNS:
         batch = upsert_column(batch, f"n_{kind}", arrow_c[f"n_{kind}"])
     return upsert_column(batch, out_col, arrow_r[out_col])
+
+
+# --- DSIR importance weights ----------------------------------------------
+
+
+def dsir_logweights(
+    ds: "ray.data.Dataset",
+    target_col: str,
+    target_values: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_buckets: int = 64,
+    alpha: float = 1.0,
+    batch_size: int = 8192,
+):
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169) over hashed unigram features: score every doc by
+    log w(x) = Σ_tokens [ log p̂_target(b(tok)) − log p̂_raw(b(tok)) ],
+    where b(tok) = polyhash64(tok) mod ``hash_buckets`` and the
+    probabilities are add-``alpha`` smoothed bucket unigram models of
+    the TARGET subset (rows whose ``target_col`` ∈ ``target_values``)
+    and the RAW corpus. Output ``(id_col, dsir_logw)`` — resample by
+    top weights (or Gumbel-top-k on them) to shift the corpus toward
+    the target distribution.
+
+    Scale shape: hashing caps the feature space at ``hash_buckets``
+    regardless of corpus vocabulary, so (a) the counting pass emits ≤
+    ``hash_buckets`` partial rows per batch — folded on the driver like
+    every A5 combine — and (b) the broadcast log-ratio table is
+    ``hash_buckets`` floats, never vocab-sized. The scoring pass is
+    batch-local. Tokenization is single-space split and the word hash
+    is the same polynomial hash the winnowing oracle mirrors
+    (ops/text.py:polyhash), so the whole op is DuckDB-reproducible.
+    ``ds`` is consumed twice (count + score).
+    """
+    import ray
+
+    nb = np.uint64(hash_buckets)
+
+    def _bucket_map(words: list[str]) -> dict[str, int]:
+        return {
+            w: int(polyhash(w.encode("utf-8", "ignore")) % nb) for w in words
+        }
+
+    def _explode(batch: pa.Table, with_target: bool) -> pl.DataFrame:
+        cols = [id_col, text_col] + ([target_col] if with_target else [])
+        df = pl.from_arrow(batch.select(cols))
+        ex = (
+            df.with_columns(pl.col(text_col).str.split(" ").alias("__w"))
+            .drop(text_col)
+            .explode("__w")
+            .with_columns(pl.col("__w").fill_null(""))
+        )
+        uniq = ex["__w"].unique().to_list()
+        bmap = _bucket_map(uniq)
+        lut = pl.DataFrame(
+            {"__w": list(bmap), "__b": pl.Series(list(bmap.values()), dtype=pl.Int64)}
+        )
+        return ex.join(lut, on="__w").drop("__w")
+
+    def _count_partial(batch: pa.Table) -> pa.Table:
+        ex = _explode(batch, with_target=True)
+        agg = ex.group_by("__b").agg(
+            pl.len().cast(pl.Int64).alias("raw_cnt"),
+            pl.col(target_col)
+            .is_in(target_values)
+            .cast(pl.Int64)
+            .sum()
+            .alias("tgt_cnt"),
+        )
+        return agg.select(["__b", "raw_cnt", "tgt_cnt"]).to_arrow()
+
+    parts = ds.map_batches(_count_partial, batch_format="pyarrow", batch_size=batch_size)
+    tabs = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+    folded = (
+        pl.from_arrow(pa.concat_tables(tabs))
+        .group_by("__b")
+        .agg(pl.col("raw_cnt").sum(), pl.col("tgt_cnt").sum())
+    )
+    raw = np.zeros(hash_buckets, dtype=np.float64)
+    tgt = np.zeros(hash_buckets, dtype=np.float64)
+    bs = folded["__b"].to_numpy()
+    raw[bs] = folded["raw_cnt"].to_numpy()
+    tgt[bs] = folded["tgt_cnt"].to_numpy()
+    logratio = np.log((tgt + alpha) / (tgt.sum() + alpha * hash_buckets)) - np.log(
+        (raw + alpha) / (raw.sum() + alpha * hash_buckets)
+    )
+    lr_df = pl.DataFrame(
+        {"__b": pl.Series(np.arange(hash_buckets), dtype=pl.Int64),
+         "__lr": pl.Series(logratio, dtype=pl.Float64)}
+    )
+
+    def _score(batch: pa.Table) -> pa.Table:
+        ex = _explode(batch, with_target=False)
+        out = (
+            ex.join(lr_df, on="__b")
+            .group_by(id_col, maintain_order=True)
+            .agg(pl.col("__lr").sum().alias("dsir_logw"))
+            .with_columns(pl.col(id_col).cast(pl.Int64))
+        )
+        return out.to_arrow()
+
+    return ds.map_batches(_score, batch_format="pyarrow", batch_size=batch_size)

@@ -1649,6 +1649,69 @@ SELECT vec_id, cluster FROM r WHERE rk <= {n_per}
 
 
 # --------------------------------------------------------------------------
+# Q: dsir_scores — DSIR importance weights (hashed unigram log-ratio)
+
+
+def q_dsir_scores(sf_dir: str):
+    """DSIR data-selection scores (ops/text.py:dsir_logweights): hashed
+    unigram (polyhash64 mod 64) add-1-smoothed log-likelihood ratio of
+    the lang='en' target model vs the raw corpus model, summed per doc.
+    Counting pass emits ≤64 partial rows per batch; log-ratio table (64
+    floats) broadcasts; scoring is batch-local. Oracle: the identical
+    polynomial word hash (the winnowing oracle's pows CTE), bucket
+    counts and smoothing replayed in DuckDB. Assumes no empty tokens
+    (single-space corpus — the SQL chars-join drops a zero-length word,
+    the engine hashes it to bucket 0)."""
+    from edkray.ops.text import dsir_logweights
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return dsir_logweights(ds, "lang", ["en"])
+
+
+def _sql_dsir(nb: int = 64, alpha: float = 1.0) -> str:
+    B = 0x100000001B3
+    M = 1 << 64
+    return f"""
+WITH RECURSIVE pows(e, p) AS (
+  SELECT 0, CAST(1 AS UBIGINT)
+  UNION ALL
+  SELECT e + 1, CAST((p::HUGEINT * {B}::HUGEINT) % {M}::HUGEINT AS UBIGINT)
+  FROM pows
+  WHERE e < (SELECT max(length(w.word)) FROM (
+               SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+               FROM documents) w)
+), w AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents
+), vocab AS (
+  SELECT DISTINCT word FROM w
+), wchars AS (
+  SELECT word, unnest(range(1, length(word) + 1)) AS pos FROM vocab
+), wh AS (
+  SELECT c.word,
+         CAST(CAST(sum(ord(substr(c.word, c.pos, 1))::HUGEINT * pw.p::HUGEINT)
+                   % {M}::HUGEINT AS UBIGINT) % {nb} AS BIGINT) AS b
+  FROM wchars c JOIN pows pw ON pw.e = length(c.word) - c.pos
+  GROUP BY c.word
+), wb AS (
+  SELECT w.doc_id, w.lang, wh.b FROM w JOIN wh USING (word)
+), cnt AS (
+  SELECT b, count(*) AS raw_cnt,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt_cnt
+  FROM wb GROUP BY b
+), tot AS (
+  SELECT sum(raw_cnt) AS traw, sum(tgt_cnt) AS ttgt FROM cnt
+), lr AS (
+  SELECT b, ln((tgt_cnt + {alpha}) / (ttgt + {alpha} * {nb}))
+            - ln((raw_cnt + {alpha}) / (traw + {alpha} * {nb})) AS lr
+  FROM cnt CROSS JOIN tot
+)
+SELECT wb.doc_id, sum(lr.lr) AS dsir_logw
+FROM wb JOIN lr USING (b)
+GROUP BY wb.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: bm25_topk — lexical relevance search (Okapi BM25)
 
 _BM25_TERMS = ["table", "scan", "merge", "window"]
@@ -2582,6 +2645,7 @@ def queries() -> dict:
         "cluster_sample": q_cluster_sample,
         "semdedup": q_semdedup,
         "bm25_topk": q_bm25_topk,
+        "dsir_scores": q_dsir_scores,
         "lm_scores": q_lm_scores,
         "curation": q_curation,
         "cosine_dup_pairs": q_cosine_dup_pairs,
@@ -2655,6 +2719,8 @@ def oracle_sql() -> dict:
         "semdedup": _sql_semdedup(4, 2, 0.95),
         # same split-tokenization, idf and saturation formula in SQL
         "bm25_topk": _sql_bm25(10),
+        # identical polyhash-mod-64 bucketing + smoothing replayed in SQL
+        "dsir_scores": _sql_dsir(64, 1.0),
         # same counts, pruning and stupid-backoff formula in DuckDB
         "lm_scores": _sql_lm_scores(30),
         # every stage's existing SQL mirror composed into one query

@@ -1898,3 +1898,56 @@ class TestBm25:
         assert len(out) == 0
         out2 = bm25_topk(ray.data.from_pandas(docs), ["aa", "zz"], k=5).to_pandas()
         assert list(out2["doc_id"]) == [0]
+
+
+class TestDsir:
+    def test_matches_bruteforce(self, ray_session):
+        import math
+
+        import ray.data
+
+        from edkray.ops.text import dsir_logweights, polyhash
+
+        rng = np.random.default_rng(17)
+        vocab = ["sun", "moon", "star", "rain", "wind", "snow", "fog"]
+        n = 400
+        langs = rng.choice(["en", "de"], n, p=[0.4, 0.6])
+        # target docs biased toward first half of vocab
+        texts = []
+        for lg in langs:
+            p = np.array([3, 3, 3, 1, 1, 1, 1], float) if lg == "en" else np.ones(7)
+            texts.append(" ".join(rng.choice(vocab, size=rng.integers(3, 15),
+                                             p=p / p.sum())))
+        docs = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                             "text": texts, "lang": langs})
+
+        NB, A = 16, 1.0
+        bmap = {w: int(polyhash(w.encode()) % np.uint64(NB)) for w in vocab}
+        raw = np.zeros(NB)
+        tgt = np.zeros(NB)
+        for t, lg in zip(texts, langs):
+            for w in t.split(" "):
+                raw[bmap[w]] += 1
+                if lg == "en":
+                    tgt[bmap[w]] += 1
+        lr = np.log((tgt + A) / (tgt.sum() + A * NB)) - np.log(
+            (raw + A) / (raw.sum() + A * NB))
+        exp = {
+            did: sum(lr[bmap[w]] for w in t.split(" "))
+            for did, t in zip(docs["doc_id"], texts)
+        }
+
+        got = (
+            dsir_logweights(
+                ray.data.from_pandas(docs).repartition(5), "lang", ["en"],
+                hash_buckets=NB,
+            )
+            .to_pandas()
+        )
+        assert len(got) == n
+        for _, r in got.iterrows():
+            assert math.isclose(exp[r["doc_id"]], r["dsir_logw"], abs_tol=1e-9)
+        # target docs should score higher on average (the op does something)
+        m_en = got[docs.set_index("doc_id").loc[got["doc_id"], "lang"].to_numpy() == "en"]["dsir_logw"].mean()
+        m_de = got[docs.set_index("doc_id").loc[got["doc_id"], "lang"].to_numpy() == "de"]["dsir_logw"].mean()
+        assert m_en > m_de
