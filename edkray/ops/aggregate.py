@@ -469,3 +469,59 @@ def grouped_quantile_disc(
         return out.to_arrow()
 
     return bucketed_group_map(counts, keys, _finalize, num_buckets=num_buckets)
+
+
+def temperature_sample(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    total_n: int,
+    temperature: float,
+    id_col: str,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Temperature-flattened data mixing (the multilingual-LM sampling
+    rule, e.g. XLM-R's p_g ∝ c_g^T): group ``g`` receives quota
+    ``floor(total_n · c_g^T / Σ_h c_h^T)`` rows — T=1 keeps natural
+    proportions, T→0 flattens toward uniform, boosting low-resource
+    groups. Within each group the quota is filled by the same
+    deterministic Knuth-hash rank as :func:`stratified_sample`, so the
+    whole op is SQL-reproducible.
+
+    Two passes: a count pass (A4 partial+final — the per-group counts,
+    bounded by the number of groups, land on the driver to compute
+    quotas, which broadcast in the bucket-fn closure), then one
+    hash-bucket shuffle on ``keys`` with a vectorized window-rank +
+    per-group quota filter. ``ds`` is consumed twice — pass a
+    re-readable source. Group cardinality must be driver-small (langs /
+    domains / sources — the op's intended keys).
+    """
+    import polars as pl
+
+    from edkray.ops.shuffle import bucketed_group_map
+
+    cdf = grouped_agg(ds, keys, [("count", None, "__n")]).to_pandas()
+    powv = cdf["__n"].to_numpy().astype(np.float64) ** float(temperature)
+    quota = np.floor(float(total_n) * powv / powv.sum()).astype(np.int64)
+    qdf = pl.from_pandas(cdf[keys]).with_columns(
+        pl.Series("__quota", quota, dtype=pl.Int64)
+    )
+
+    knuth = np.uint64(2654435761)
+
+    def _sample(tbl: pa.Table) -> pa.Table:
+        ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if (ids < 0).any():
+            raise ValueError(f"temperature_sample: negative ids in {id_col!r}")
+        with np.errstate(over="ignore"):
+            h = (ids.astype(np.uint64) * knuth) % np.uint64(1 << 32)
+        df = pl.from_arrow(tbl).with_columns(pl.Series("__h", h.astype(np.int64)))
+        out = (
+            df.sort([*keys, "__h", id_col])
+            .with_columns(pl.int_range(1, pl.len() + 1).over(keys).alias("__rk"))
+            .join(qdf, on=keys, how="left")
+            .filter(pl.col("__rk") <= pl.col("__quota").fill_null(0))
+            .drop(["__h", "__rk", "__quota"])
+        )
+        return out.to_arrow()
+
+    return bucketed_group_map(ds, keys, _sample, num_buckets=num_buckets)

@@ -1649,6 +1649,45 @@ SELECT vec_id, cluster FROM r WHERE rk <= {n_per}
 
 
 # --------------------------------------------------------------------------
+# Q: temperature_mix — temperature-flattened data mixing
+
+
+def q_temperature_mix(sf_dir: str, total_n: int = 150, temperature: float = 0.5):
+    """Temperature-flattened language mixing
+    (ops/aggregate.py:temperature_sample): per-lang quota ∝ count^0.5
+    (low-resource langs boosted), filled by the deterministic
+    Knuth-hash rank. Oracle: the same pow/floor quota arithmetic and
+    window rank in DuckDB."""
+    from edkray.ops.aggregate import temperature_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    out = temperature_sample(ds, ["lang"], total_n, temperature, "doc_id",
+                             num_buckets=16)
+    return out.map_batches(lambda b: b.select(["doc_id", "lang"]),
+                           batch_format="pyarrow")
+
+
+def _sql_temperature_mix(total_n: int = 150, t: float = 0.5) -> str:
+    return f"""
+WITH c AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+), tt AS (
+  SELECT sum(pow(n, {t})) AS tot FROM c
+), q AS (
+  SELECT lang, CAST(floor({total_n} * pow(c.n, {t}) / tt.tot) AS BIGINT) AS quota
+  FROM c CROSS JOIN tt
+), h AS (
+  SELECT doc_id, lang, (doc_id * 2654435761) % 4294967296 AS hh FROM documents
+), r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rk
+  FROM h
+)
+SELECT r.doc_id, r.lang FROM r JOIN q USING (lang) WHERE r.rk <= q.quota
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: dsir_scores — DSIR importance weights (hashed unigram log-ratio)
 
 
@@ -2646,6 +2685,7 @@ def queries() -> dict:
         "semdedup": q_semdedup,
         "bm25_topk": q_bm25_topk,
         "dsir_scores": q_dsir_scores,
+        "temperature_mix": q_temperature_mix,
         "lm_scores": q_lm_scores,
         "curation": q_curation,
         "cosine_dup_pairs": q_cosine_dup_pairs,
@@ -2721,6 +2761,8 @@ def oracle_sql() -> dict:
         "bm25_topk": _sql_bm25(10),
         # identical polyhash-mod-64 bucketing + smoothing replayed in SQL
         "dsir_scores": _sql_dsir(64, 1.0),
+        # same pow/floor quota + Knuth-hash window rank in SQL
+        "temperature_mix": _sql_temperature_mix(150, 0.5),
         # same counts, pruning and stupid-backoff formula in DuckDB
         "lm_scores": _sql_lm_scores(30),
         # every stage's existing SQL mirror composed into one query

@@ -1951,3 +1951,61 @@ class TestDsir:
         m_en = got[docs.set_index("doc_id").loc[got["doc_id"], "lang"].to_numpy() == "en"]["dsir_logw"].mean()
         m_de = got[docs.set_index("doc_id").loc[got["doc_id"], "lang"].to_numpy() == "de"]["dsir_logw"].mean()
         assert m_en > m_de
+
+
+class TestTemperatureSample:
+    def test_quotas_and_determinism(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import temperature_sample
+
+        rng = np.random.default_rng(23)
+        sizes = {"a": 800, "b": 200, "c": 50}
+        rows = []
+        i = 0
+        for g, n in sizes.items():
+            for _ in range(n):
+                rows.append((i, g))
+                i += 1
+        df = pd.DataFrame(rows, columns=["id", "g"]).sample(frac=1, random_state=1)
+        ds = ray.data.from_pandas(df).repartition(6)
+
+        T, N = 0.5, 300
+        got = temperature_sample(ds, ["g"], N, T, "id", num_buckets=8).to_pandas()
+
+        powv = np.array([sizes["a"], sizes["b"], sizes["c"]], float) ** T
+        exp_quota = np.floor(N * powv / powv.sum()).astype(int)
+        counts = got.groupby("g")["id"].count()
+        assert counts["a"] == exp_quota[0]
+        assert counts["b"] == exp_quota[1]
+        assert counts["c"] == exp_quota[2]
+        # flattening: group c overrepresented vs natural share
+        assert counts["c"] / counts.sum() > sizes["c"] / sum(sizes.values())
+
+        # deterministic: rerun equals
+        got2 = temperature_sample(
+            ray.data.from_pandas(df).repartition(3), ["g"], N, T, "id", num_buckets=4
+        ).to_pandas()
+        assert sorted(got["id"]) == sorted(got2["id"])
+
+        # membership rule: per group, the quota smallest Knuth hashes
+        knuth = np.uint64(2654435761)
+        for g, q in zip(sizes, exp_quota):
+            ids = df[df["g"] == g]["id"].to_numpy().astype(np.uint64)
+            h = (ids * knuth) % np.uint64(1 << 32)
+            expect = set(ids[np.lexsort((ids, h))][:q].astype(int))
+            assert set(got[got["g"] == g]["id"]) == expect
+
+    def test_t1_keeps_natural_proportions(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import temperature_sample
+
+        df = pd.DataFrame(
+            {"id": np.arange(1000), "g": ["x"] * 900 + ["y"] * 100}
+        )
+        got = temperature_sample(
+            ray.data.from_pandas(df), ["g"], 100, 1.0, "id", num_buckets=4
+        ).to_pandas()
+        c = got.groupby("g")["id"].count()
+        assert c["x"] == 90 and c["y"] == 10
