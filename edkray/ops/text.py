@@ -534,3 +534,24 @@ def dsir_logweights(
         return out.to_arrow()
 
     return ds.map_batches(_score, batch_format="pyarrow", batch_size=batch_size)
+
+
+BPE_ISH_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +"
+
+
+def bpe_token_count(
+    batch: pa.Table, text_col: str = "text", out_col: str = "n_bpe_tokens"
+) -> pa.Table:
+    """GPT-2-style pre-tokenizer token count: runs of letters, runs of
+    digits, runs of other symbols (each with an optional leading
+    space), or residual spaces — the ASCII core of the published GPT-2
+    split regex, restricted to syntax rust-regex (polars) and RE2
+    (DuckDB) match identically (same pinning discipline as pii_scrub).
+    SQL mirror: ``len(regexp_extract_all(text, pattern))``. A real BPE
+    merge pass only shrinks this count; the pre-token count is the
+    standard cheap upper bound used for corpus token budgeting."""
+    df = pl.from_arrow(batch.select([text_col]))
+    n = df.select(
+        pl.col(text_col).str.count_matches(BPE_ISH_PATTERN).cast(pl.Int64).alias(out_col)
+    )
+    return upsert_column(batch, out_col, n.to_arrow()[out_col])

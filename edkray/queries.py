@@ -1006,6 +1006,29 @@ FROM t GROUP BY lang
 """
 
 
+def q_bpe_tokens(sf_dir: str):
+    """GPT-2-style pre-tokenizer corpus token budget per lang
+    (ops/text.py:bpe_token_count — the BPE-ish regex counter alongside
+    the whitespace counter of token_stats)."""
+    from edkray.ops.aggregate import grouped_agg
+    from edkray.ops.text import bpe_token_count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    ds = ds.map_batches(lambda b: bpe_token_count(b), batch_format="pyarrow")
+    return grouped_agg(
+        ds, ["lang"],
+        [("count", None, "n_docs"), ("sum", "n_bpe_tokens", "sum_bpe_tokens")],
+    )
+
+
+_SQL_BPE_TOKENS = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +'))) AS BIGINT)
+         AS sum_bpe_tokens
+FROM documents GROUP BY lang
+"""
+
+
 # --------------------------------------------------------------------------
 # Q: quality_by_source — quality scoring (char/digit stats)
 
@@ -2671,6 +2694,7 @@ def queries() -> dict:
         "spatial_flagship": q_spatial_flagship,
         "knn_parts": q_knn_parts,
         "token_stats": q_token_stats,
+        "bpe_tokens": q_bpe_tokens,
         "quality_by_source": q_quality_by_source,
         "langid": q_langid,
         "repetition_stats": q_repetition_stats,
@@ -2742,6 +2766,8 @@ def oracle_sql() -> dict:
         "spatial_flagship": _sql_spatial_flagship(),
         "knn_parts": _SQL_KNN,
         "token_stats": _SQL_TOKENS,
+        # rust-regex / RE2-pinned GPT-2-ish pre-tokenizer pattern
+        "bpe_tokens": _SQL_BPE_TOKENS,
         "quality_by_source": _SQL_QUALITY,
         "langid": _sql_langid(),
         "repetition_stats": _SQL_REPETITION,

@@ -2009,3 +2009,30 @@ class TestTemperatureSample:
         ).to_pandas()
         c = got.groupby("g")["id"].count()
         assert c["x"] == 90 and c["y"] == 10
+
+
+class TestBpeTokenCount:
+    def test_matches_python_re(self, ray_session):
+        import re
+
+        from edkray.ops.text import BPE_ISH_PATTERN, bpe_token_count
+
+        texts = [
+            "key agg row 42 scan's fast!",
+            "  padded  text 7x",
+            "",
+            "a1b2",
+            "UPPER lower 123 ... ---",
+        ]
+        tab = pa.table({"text": pa.array(texts)})
+        got = bpe_token_count(tab)["n_bpe_tokens"].to_pylist()
+        exp = [len(re.findall(BPE_ISH_PATTERN, t)) for t in texts]
+        assert got == exp
+
+    def test_upserts_existing_column(self, ray_session):
+        from edkray.ops.text import bpe_token_count
+
+        tab = pa.table({"text": pa.array(["a b"]), "n_bpe_tokens": pa.array([99])})
+        out = bpe_token_count(tab)
+        assert out["n_bpe_tokens"].to_pylist() == [2]
+        assert out.num_columns == 2
