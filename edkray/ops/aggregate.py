@@ -525,3 +525,42 @@ def temperature_sample(
         return out.to_arrow()
 
     return bucketed_group_map(ds, keys, _sample, num_buckets=num_buckets)
+
+
+def gumbel_weighted_sample(
+    ds: ray.data.Dataset,
+    logw_col: str,
+    n: int,
+    id_col: str,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Weighted sampling WITHOUT replacement via the Gumbel-top-k trick
+    (Vieira 2014; the resampling step of DSIR): each row gets key
+    ``logw + Gumbel`` and the global top-``n`` keys are the sample —
+    distributionally identical to sequential weighted draws, but
+    embarrassingly parallel. The Gumbel noise is derived
+    DETERMINISTICALLY from the Knuth hash of ``id_col``
+    (``u = (hash + 0.5) / 2³²``, ``g = −ln(−ln u)``), so the sample is
+    reproducible run-to-run and exactly SQL-mirrorable (verified to
+    2⁻⁵² against DuckDB's ln). Output: input columns + ``gumbel_key``,
+    the ``n`` rows with the largest keys.
+
+    Scale: one stateless pass appends the key; the selection is
+    :func:`global_top_k` — per-block combiner, ≤ n rows per block move.
+    Non-negative integer ids required (uint64 wrap = SQL mod).
+    """
+    knuth = np.uint64(2654435761)
+
+    def _key(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if (ids < 0).any():
+            raise ValueError(f"gumbel_weighted_sample: negative ids in {id_col!r}")
+        with np.errstate(over="ignore"):
+            h = (ids.astype(np.uint64) * knuth) % np.uint64(1 << 32)
+        u = (h.astype(np.float64) + 0.5) / float(1 << 32)
+        g = -np.log(-np.log(u))
+        key = batch[logw_col].to_numpy(zero_copy_only=False).astype(np.float64) + g
+        return batch.append_column("gumbel_key", pa.array(key))
+
+    keyed = ds.map_batches(_key, batch_format="pyarrow", batch_size=batch_size)
+    return global_top_k(keyed, ["gumbel_key", id_col], n, descending=[True, False])

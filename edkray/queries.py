@@ -1672,6 +1672,38 @@ SELECT vec_id, cluster FROM r WHERE rk <= {n_per}
 
 
 # --------------------------------------------------------------------------
+# Q: dsir_resample — DSIR step 2: Gumbel-top-k importance resampling
+
+
+def q_dsir_resample(sf_dir: str, n: int = 100):
+    """The complete DSIR pipeline: hashed-unigram importance weights
+    (q_dsir_scores) → Gumbel-top-k weighted sample of n docs
+    (ops/aggregate.py:gumbel_weighted_sample, deterministic hash-seeded
+    noise). Oracle: the dsir SQL composed with the same Gumbel key."""
+    from edkray.ops.aggregate import gumbel_weighted_sample
+    from edkray.ops.text import dsir_logweights
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    w = dsir_logweights(ds, "lang", ["en"])
+    out = gumbel_weighted_sample(w, "dsir_logw", n, "doc_id")
+    return out.map_batches(lambda b: b.select(["doc_id", "gumbel_key"]),
+                           batch_format="pyarrow")
+
+
+def _sql_dsir_resample(n: int = 100) -> str:
+    return f"""
+WITH w AS ({_sql_dsir(64, 1.0)}),
+keyed AS (
+  SELECT doc_id,
+         dsir_logw + (-ln(-ln((((doc_id * 2654435761) % 4294967296) + 0.5)
+                              / 4294967296.0))) AS gumbel_key
+  FROM w
+)
+SELECT doc_id, gumbel_key FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT {n}
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: temperature_mix — temperature-flattened data mixing
 
 
@@ -2710,6 +2742,7 @@ def queries() -> dict:
         "bm25_topk": q_bm25_topk,
         "dsir_scores": q_dsir_scores,
         "temperature_mix": q_temperature_mix,
+        "dsir_resample": q_dsir_resample,
         "lm_scores": q_lm_scores,
         "curation": q_curation,
         "cosine_dup_pairs": q_cosine_dup_pairs,
@@ -2789,6 +2822,8 @@ def oracle_sql() -> dict:
         "dsir_scores": _sql_dsir(64, 1.0),
         # same pow/floor quota + Knuth-hash window rank in SQL
         "temperature_mix": _sql_temperature_mix(150, 0.5),
+        # dsir SQL composed with the identical hash-seeded Gumbel key
+        "dsir_resample": _sql_dsir_resample(100),
         # same counts, pruning and stupid-backoff formula in DuckDB
         "lm_scores": _sql_lm_scores(30),
         # every stage's existing SQL mirror composed into one query

@@ -2036,3 +2036,48 @@ class TestBpeTokenCount:
         out = bpe_token_count(tab)
         assert out["n_bpe_tokens"].to_pylist() == [2]
         assert out.num_columns == 2
+
+
+class TestGumbelWeightedSample:
+    def test_matches_bruteforce_and_is_weighted(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import gumbel_weighted_sample
+
+        rng = np.random.default_rng(31)
+        n_rows = 5000
+        # two strata: high weight vs low weight
+        logw = np.where(np.arange(n_rows) % 10 == 0, 2.0, -2.0)
+        df = pd.DataFrame({"doc_id": np.arange(n_rows, dtype=np.int64),
+                           "dsir_logw": logw})
+        got = (
+            gumbel_weighted_sample(
+                ray.data.from_pandas(df).repartition(8), "dsir_logw", 200, "doc_id"
+            )
+            .to_pandas()
+        )
+        # brute-force replica
+        knuth = np.uint64(2654435761)
+        h = (df["doc_id"].to_numpy().astype(np.uint64) * knuth) % np.uint64(1 << 32)
+        u = (h.astype(np.float64) + 0.5) / float(1 << 32)
+        key = logw + (-np.log(-np.log(u)))
+        order = np.lexsort((df["doc_id"].to_numpy(), -key))
+        exp_ids = df["doc_id"].to_numpy()[order][:200]
+        assert list(got["doc_id"]) == list(exp_ids)
+        assert np.allclose(got["gumbel_key"], key[order][:200], atol=1e-12)
+        # weighting bites: high-weight rows are 10% of corpus but dominate
+        frac_high = (got["doc_id"] % 10 == 0).mean()
+        assert frac_high > 0.5
+
+    def test_rerun_deterministic(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import gumbel_weighted_sample
+
+        df = pd.DataFrame({"doc_id": np.arange(1000, dtype=np.int64),
+                           "dsir_logw": np.zeros(1000)})
+        a = gumbel_weighted_sample(ray.data.from_pandas(df).repartition(3),
+                                   "dsir_logw", 50, "doc_id").to_pandas()
+        b = gumbel_weighted_sample(ray.data.from_pandas(df).repartition(9),
+                                   "dsir_logw", 50, "doc_id").to_pandas()
+        assert list(a["doc_id"]) == list(b["doc_id"])
