@@ -211,6 +211,10 @@ BENCH_QUERIES = [
     "tile_rank", "minhash_pairs", "embedding_topk", "top_revenue_orders",
 ]
 
+# round-4 training-data additions, timed separately so `suite_r3_sec`
+# stays like-for-like comparable with BENCH_r02/r03
+BENCH_QUERIES_R4 = ["paragraph_dedup", "semdedup", "bm25_topk", "dsir_resample"]
+
 
 _CALIB_WORK = """
 import os
@@ -485,16 +489,20 @@ def main() -> None:
         from edkray import queries as Q
 
         qs = Q.queries()
-        for name in BENCH_QUERIES:
+        for name in BENCH_QUERIES + BENCH_QUERIES_R4:
             t0 = time.time()
             _consume(qs[name](SF_DIR))
             timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    suite_r3 = round(
+        sum(v for k, v in timings.items() if k not in BENCH_QUERIES_R4), 3
+    )
     print(json.dumps({
         "metric": "spatial-join+tiling e2e (flagship + operator suite)",
         "value": fl_sec if flagship_only else total,
         "unit": "sec",
+        "suite_r3_sec": fl_sec if flagship_only else suite_r3,
         "queries": timings,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
