@@ -555,3 +555,94 @@ def bpe_token_count(
         pl.col(text_col).str.count_matches(BPE_ISH_PATTERN).cast(pl.Int64).alias(out_col)
     )
     return upsert_column(batch, out_col, n.to_arrow()[out_col])
+
+
+def duplicated_span_stats(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    L: int = 32,
+    num_buckets: int = 64,
+    batch_size: int = 8192,
+):
+    """Exact-substring duplication scan (the distributed-friendly form
+    of Lee et al. 2022's suffix-array dedup, arXiv:2107.06499): for
+    every document, how many of its length-``L`` character grams occur
+    anywhere ELSE in the corpus — another document, or a second
+    position anywhere (memorized boilerplate / repeated spans). Output
+    ``(id_col, n_grams, n_dup_grams, dup_frac)``.
+
+    A suffix array is inherently sequential; the published alternative
+    for clusters is exactly this: rolling-hash every L-gram
+    (:func:`batch_kgram_hashes`, one vectorized pass per batch), hash-
+    bucket the NARROW (gram_hash, doc) rows, and count per bucket — a
+    gram is duplicated iff its global count > 1, and every gram lands
+    in exactly one bucket so the count is exact. Two narrow shuffles
+    (grams ≈ 16 B/char, then per-doc partials), plus a per-doc totals
+    union folded in the same grouped sum — document text never
+    shuffles. 64-bit collisions overcount by ~n²/2⁶⁵ — negligible
+    below 10¹² grams; docs shorter than ``L`` hash whole (the SQL
+    mirror requires corpus min length ≥ L).
+    """
+    import ray.data  # noqa: F401
+
+    from edkray.ops.aggregate import grouped_agg
+    from edkray.ops.shuffle import bucketed_group_map
+
+    def _gram_rows(batch: pa.Table) -> pa.Table:
+        texts = [
+            t.encode("utf-8", "ignore")
+            for t in batch[text_col].to_pylist()
+        ]
+        grams, counts = batch_kgram_hashes(texts, L)
+        ids = np.repeat(
+            batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64), counts
+        )
+        return pa.table({"h": pa.array(grams), id_col: pa.array(ids)})
+
+    def _dup_partials(table: pa.Table) -> pa.Table:
+        df = pl.from_arrow(table)
+        out = (
+            df.with_columns(pl.len().over("h").alias("__n"))
+            .filter(pl.col("__n") > 1)
+            .group_by(id_col)
+            .agg(pl.len().cast(pl.Int64).alias("n_dup_grams"))
+            .with_columns(pl.lit(0, dtype=pl.Int64).alias("n_grams"))
+            .select([id_col, "n_grams", "n_dup_grams"])
+        )
+        return out.to_arrow()
+
+    dup_parts = bucketed_group_map(
+        ds.map_batches(_gram_rows, batch_format="pyarrow", batch_size=batch_size),
+        ["h"],
+        _dup_partials,
+        num_buckets=num_buckets,
+        batch_size=batch_size,
+    )
+
+    def _totals(batch: pa.Table) -> pa.Table:
+        lens = pl.from_arrow(batch.select([text_col]))[text_col].str.len_bytes()
+        n = np.asarray(lens.to_numpy(), dtype=np.int64)
+        n_grams = np.where(n == 0, 0, np.where(n <= L, 1, n - L + 1))
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                "n_grams": pa.array(n_grams),
+                "n_dup_grams": pa.array(np.zeros(len(n_grams), dtype=np.int64)),
+            }
+        )
+
+    totals = ds.map_batches(_totals, batch_format="pyarrow", batch_size=batch_size)
+    summed = grouped_agg(
+        totals.union(dup_parts),
+        [id_col],
+        [("sum", "n_grams", "n_grams"), ("sum", "n_dup_grams", "n_dup_grams")],
+    )
+
+    def _frac(batch: pa.Table) -> pa.Table:
+        ng = batch["n_grams"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nd = batch["n_dup_grams"].to_numpy(zero_copy_only=False).astype(np.float64)
+        frac = np.divide(nd, ng, out=np.zeros_like(nd), where=ng > 0)
+        return batch.append_column("dup_frac", pa.array(frac))
+
+    return summed.map_batches(_frac, batch_format="pyarrow")

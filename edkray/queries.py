@@ -1672,6 +1672,42 @@ SELECT vec_id, cluster FROM r WHERE rk <= {n_per}
 
 
 # --------------------------------------------------------------------------
+# Q: dup_spans — exact-substring duplication scan (Lee et al. 2022)
+
+
+def q_dup_spans(sf_dir: str, L: int = 32):
+    """Per-doc duplicated-span statistics
+    (ops/text.py:duplicated_span_stats): fraction of each doc's 32-char
+    grams occurring more than once corpus-wide. Oracle: the same grams
+    by substr in DuckDB, grouped on the gram STRING (the engine's
+    64-bit rolling hash is collision-free at this scale by
+    construction — a collision would fail the hash compare)."""
+    from edkray.ops.text import duplicated_span_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = duplicated_span_stats(ds, L=L, num_buckets=16)
+    return out.map_batches(lambda b: _round_cols(b, ["dup_frac"], 9),
+                           batch_format="pyarrow")
+
+
+_SQL_DUP_SPANS = """
+WITH g AS (
+  SELECT doc_id, substr(text, pos, 32) AS gram
+  FROM documents, unnest(range(1, length(text) - 30)) AS t(pos)
+), cnt AS (
+  SELECT gram, count(*) AS n FROM g GROUP BY gram
+), per AS (
+  SELECT g.doc_id, count(*) AS n_grams,
+         CAST(sum(CASE WHEN cnt.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams
+  FROM g JOIN cnt USING (gram) GROUP BY g.doc_id
+)
+SELECT doc_id, n_grams, n_dup_grams,
+       round(n_dup_grams / CAST(n_grams AS DOUBLE), 9) AS dup_frac
+FROM per
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: dsir_resample — DSIR step 2: Gumbel-top-k importance resampling
 
 
@@ -2743,6 +2779,7 @@ def queries() -> dict:
         "dsir_scores": q_dsir_scores,
         "temperature_mix": q_temperature_mix,
         "dsir_resample": q_dsir_resample,
+        "dup_spans": q_dup_spans,
         "lm_scores": q_lm_scores,
         "curation": q_curation,
         "cosine_dup_pairs": q_cosine_dup_pairs,
@@ -2824,6 +2861,8 @@ def oracle_sql() -> dict:
         "temperature_mix": _sql_temperature_mix(150, 0.5),
         # dsir SQL composed with the identical hash-seeded Gumbel key
         "dsir_resample": _sql_dsir_resample(100),
+        # same 32-char grams by substr, grouped on the gram string
+        "dup_spans": _SQL_DUP_SPANS,
         # same counts, pruning and stupid-backoff formula in DuckDB
         "lm_scores": _sql_lm_scores(30),
         # every stage's existing SQL mirror composed into one query

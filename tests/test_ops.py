@@ -2081,3 +2081,46 @@ class TestGumbelWeightedSample:
         b = gumbel_weighted_sample(ray.data.from_pandas(df).repartition(9),
                                    "dsir_logw", 50, "doc_id").to_pandas()
         assert list(a["doc_id"]) == list(b["doc_id"])
+
+
+class TestDuplicatedSpans:
+    def test_matches_bruteforce(self, ray_session):
+        import ray.data
+
+        from edkray.ops.text import duplicated_span_stats
+
+        rng = np.random.default_rng(41)
+        words = ["aaaa", "bbbb", "cccc", "dddd", "eeee"]
+        texts = [" ".join(rng.choice(words, size=rng.integers(10, 25)))
+                 for _ in range(120)]
+        # plant an exact 40-char duplicated span across two docs
+        span = "THIS EXACT SPAN IS DUPLICATED VERBATIM!"
+        texts[3] = texts[3] + " " + span
+        texts[77] = span + " " + texts[77]
+        docs = pd.DataFrame({"doc_id": np.arange(120, dtype=np.int64),
+                             "text": texts})
+        L = 12
+        got = (
+            duplicated_span_stats(
+                ray.data.from_pandas(docs).repartition(5), L=L, num_buckets=8
+            )
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+
+        # brute force on gram strings
+        from collections import Counter
+
+        grams_by_doc = {
+            i: [t[p : p + L] for p in range(len(t) - L + 1)]
+            for i, t in enumerate(texts)
+        }
+        cnt = Counter(g for gs in grams_by_doc.values() for g in gs)
+        for i, gs in grams_by_doc.items():
+            nd = sum(1 for g in gs if cnt[g] > 1)
+            assert got.loc[i, "n_grams"] == len(gs), i
+            assert got.loc[i, "n_dup_grams"] == nd, i
+        # the planted span must register on both carriers
+        assert got.loc[3, "n_dup_grams"] >= len(span) - L + 1
+        assert got.loc[77, "n_dup_grams"] >= len(span) - L + 1
