@@ -1672,6 +1672,58 @@ SELECT vec_id, cluster FROM r WHERE rk <= {n_per}
 
 
 # --------------------------------------------------------------------------
+# Q: window_events — pure range (interval) join, overlapping windows
+
+
+def _range_windows() -> "pa.Table":
+    """12 fixed 120-hour windows every 60 hours over Jan 2024 (2×
+    overlap, so most events match two windows) — deterministic
+    literals, no data dependency."""
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    hour = np.timedelta64(3600_000_000, "us")
+    starts = base + np.arange(12) * 60 * hour
+    return pa.table(
+        {
+            "win_id": pa.array(np.arange(12, dtype=np.int64)),
+            "ws": pa.array(starts),
+            "we": pa.array(starts + 120 * hour),
+        }
+    )
+
+
+def q_window_events(sf_dir: str):
+    """Pure range join (no equi key): events against 12 OVERLAPPING
+    calendar windows (ops/joins.py:range_join_broadcast — broadcast
+    interval table, vectorized chunked containment), then a per-window
+    rollup. Oracle: DuckDB join on ts BETWEEN bounds."""
+    from edkray.ops.aggregate import grouped_agg
+    from edkray.ops.joins import range_join_broadcast
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "value"])
+    joined = range_join_broadcast(ds, _range_windows(), "ts", "ws", "we")
+    out = grouped_agg(
+        joined, ["win_id"],
+        [("count", None, "n_events"), ("sum", "value", "sum_value")],
+    )
+    return out.map_batches(lambda b: _round_cols(b, ["sum_value"], 6),
+                           batch_format="pyarrow")
+
+
+_SQL_WINDOW_EVENTS = """
+WITH win AS (
+  SELECT i AS win_id,
+         TIMESTAMP '2024-01-01 00:00:00' + to_hours(60 * i) AS ws,
+         TIMESTAMP '2024-01-01 00:00:00' + to_hours(60 * i + 120) AS we
+  FROM (SELECT unnest(range(0, 12)) AS i)
+)
+SELECT w.win_id, count(*) AS n_events,
+       round(sum(e.value), 6) AS sum_value
+FROM events e JOIN win w ON e.ts >= w.ws AND e.ts < w.we
+GROUP BY w.win_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: dup_spans — exact-substring duplication scan (Lee et al. 2022)
 
 
@@ -2780,6 +2832,7 @@ def queries() -> dict:
         "temperature_mix": q_temperature_mix,
         "dsir_resample": q_dsir_resample,
         "dup_spans": q_dup_spans,
+        "window_events": q_window_events,
         "lm_scores": q_lm_scores,
         "curation": q_curation,
         "cosine_dup_pairs": q_cosine_dup_pairs,
@@ -2863,6 +2916,8 @@ def oracle_sql() -> dict:
         "dsir_resample": _sql_dsir_resample(100),
         # same 32-char grams by substr, grouped on the gram string
         "dup_spans": _SQL_DUP_SPANS,
+        # ts BETWEEN the same literal window bounds
+        "window_events": _SQL_WINDOW_EVENTS,
         # same counts, pruning and stupid-backoff formula in DuckDB
         "lm_scores": _sql_lm_scores(30),
         # every stage's existing SQL mirror composed into one query

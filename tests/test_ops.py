@@ -2124,3 +2124,61 @@ class TestDuplicatedSpans:
         # the planted span must register on both carriers
         assert got.loc[3, "n_dup_grams"] >= len(span) - L + 1
         assert got.loc[77, "n_dup_grams"] >= len(span) - L + 1
+
+
+class TestRangeJoin:
+    def test_overlaps_and_misses_match_pandas(self, ray_session):
+        import ray.data
+
+        from edkray.ops.joins import range_join_broadcast
+
+        rng = np.random.default_rng(47)
+        n = 5000
+        on = rng.integers(0, 1000, n)
+        left = pd.DataFrame({"rid": np.arange(n, dtype=np.int64),
+                             "x": on.astype(np.int64)})
+        # overlapping intervals + a gap nothing falls into
+        ivs = pa.table({
+            "iv": pa.array(np.arange(5, dtype=np.int64)),
+            "lo": pa.array(np.array([0, 50, 100, 2000, 900], dtype=np.int64)),
+            "hi": pa.array(np.array([100, 150, 200, 2100, 1000], dtype=np.int64)),
+        })
+        got = (
+            range_join_broadcast(
+                ray.data.from_pandas(left).repartition(4), ivs, "x", "lo", "hi",
+                chunk=2,
+            )
+            .to_pandas()
+        )
+        exp_rows = []
+        for rid, x in zip(left["rid"], left["x"]):
+            for iv, lo, hi in zip([0, 1, 2, 3, 4], [0, 50, 100, 2000, 900],
+                                  [100, 150, 200, 2100, 1000]):
+                if lo <= x < hi:
+                    exp_rows.append((rid, x, iv, lo, hi))
+        exp = pd.DataFrame(exp_rows, columns=["rid", "x", "iv", "lo", "hi"])
+        _df_eq(got, exp)
+        assert (got["iv"] != 3).all()  # empty window matches nothing
+        # overlap emits twice: values in [50,100) or [100,150) etc.
+        assert len(got) > n * 0.3
+
+    def test_timestamp_on_col_and_name_collision(self, ray_session):
+        import ray.data
+
+        from edkray.ops.joins import range_join_broadcast
+
+        ts = pd.to_datetime(["2024-01-01 06:00", "2024-01-02 06:00"])
+        left = pd.DataFrame({"event_id": [1, 2], "ts": ts,
+                             "win_id": [7, 7]})  # collides with interval col
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        day = np.timedelta64(86400_000_000, "us")
+        ivs = pa.table({
+            "win_id": pa.array(np.array([0], dtype=np.int64)),
+            "ws": pa.array(np.array([base])),
+            "we": pa.array(np.array([base + day])),
+        })
+        got = range_join_broadcast(
+            ray.data.from_pandas(left), ivs, "ts", "ws", "we"
+        ).to_pandas()
+        assert list(got["event_id"]) == [1]
+        assert "win_id_r" in got.columns and got["win_id_r"].iloc[0] == 0
