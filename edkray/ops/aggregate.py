@@ -564,3 +564,96 @@ def gumbel_weighted_sample(
 
     keyed = ds.map_batches(_key, batch_format="pyarrow", batch_size=batch_size)
     return global_top_k(keyed, ["gumbel_key", id_col], n, descending=[True, False])
+
+
+def global_shuffle_shard(
+    ds: ray.data.Dataset,
+    id_col: str,
+    shard_size: int,
+    range_bits: int = 8,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Deterministic global shuffle + fixed-size shard assignment — the
+    LAST step of a training-data pipeline (emit shuffled shards a
+    trainer streams in order). Every row gets its position in the
+    corpus-wide ordering by ``(knuth_hash(id), id)`` — a reproducible
+    permutation — and ``(shard = pos // shard_size,
+    pos_in_shard = pos % shard_size)``. Output: input columns + shard,
+    pos_in_shard.
+
+    A global rank is the textbook all-to-all trap; this is the
+    range-partition + prefix-offset shape instead (the same idiom as
+    the flagship's tile-rank pass, generalized to ONE global order):
+
+    1. count pass — narrow (range_bucket, count) partials, where the
+       bucket is the hash's TOP ``range_bits`` bits, so bucket order =
+       hash order; 2^range_bits counts reach the driver, which
+       prefix-sums them into per-bucket starting offsets (broadcast in
+       the closure).
+    2. rank pass — one hash shuffle on the bucket id; each task sorts
+       its WHOLE buckets by (hash, id) and adds the bucket offset:
+       offsets make the local ranks globally correct with no global
+       sort barrier and no sequential dependency.
+
+    The hash's uniformity bounds bucket skew (Chernoff: ±O(√(n/2^b)));
+    size ``range_bits`` so n/2^b rows fit a task. Non-negative integer
+    ids required (uint64 wrap = SQL mod).
+    """
+    import polars as pl
+
+    from edkray.ops.shuffle import bucketed_group_map
+
+    knuth = np.uint64(2654435761)
+    nb = 1 << range_bits
+    shift = np.uint64(32 - range_bits)
+
+    def _hash_bucket(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        if (ids < 0).any():
+            raise ValueError(f"global_shuffle_shard: negative ids in {id_col!r}")
+        with np.errstate(over="ignore"):
+            h = (ids.astype(np.uint64) * knuth) % np.uint64(1 << 32)
+        return h.astype(np.int64), (h >> shift).astype(np.int64)
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        _, b = _hash_bucket(batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64))
+        uniq, cnt = np.unique(b, return_counts=True)
+        return pa.table({"__rb": pa.array(uniq), "__n": pa.array(cnt.astype(np.int64))})
+
+    cdf = (
+        grouped_agg(
+            ds.map_batches(_counts, batch_format="pyarrow", batch_size=batch_size),
+            ["__rb"],
+            [("sum", "__n", "__n")],
+        )
+        .to_pandas()
+        .sort_values("__rb")
+    )
+    counts = np.zeros(nb, dtype=np.int64)
+    counts[cdf["__rb"].to_numpy()] = cdf["__n"].to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h, b = _hash_bucket(ids)
+        return batch.append_column("__h", pa.array(h)).append_column(
+            "__rb", pa.array(b)
+        )
+
+    tagged = ds.map_batches(_tag, batch_format="pyarrow", batch_size=batch_size)
+
+    def _rank(table: pa.Table) -> pa.Table:
+        df = pl.from_arrow(table).sort(["__rb", "__h", id_col])
+        rb = df["__rb"].to_numpy()
+        local = (
+            df.select(pl.int_range(pl.len()).over("__rb").alias("r"))["r"].to_numpy()
+        )
+        pos = local + offsets[rb]  # vectorized gather, no per-row Python
+        out = df.with_columns(
+            pl.Series("shard", pos // shard_size),
+            pl.Series("pos_in_shard", pos % shard_size),
+        ).drop(["__h", "__rb"])
+        return out.to_arrow()
+
+    return bucketed_group_map(
+        tagged, ["__rb"], _rank, num_buckets=min(nb, 64), batch_size=batch_size
+    )

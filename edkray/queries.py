@@ -1672,6 +1672,38 @@ SELECT vec_id, cluster FROM r WHERE rk <= {n_per}
 
 
 # --------------------------------------------------------------------------
+# Q: shuffle_shards — deterministic global shuffle + shard assignment
+
+
+def q_shuffle_shards(sf_dir: str, shard_size: int = 64):
+    """Global training-shard assignment
+    (ops/aggregate.py:global_shuffle_shard): reproducible corpus-wide
+    permutation by (knuth_hash(doc_id), doc_id) via range-partitioned
+    prefix offsets (no global sort barrier), sharded every 64 docs.
+    Oracle: row_number over the same hash order."""
+    from edkray.ops.aggregate import global_shuffle_shard
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    out = global_shuffle_shard(ds, "doc_id", shard_size, range_bits=6)
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "shard", "pos_in_shard"]),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_shuffle_shards(shard_size: int = 64) -> str:
+    return f"""
+WITH h AS (
+  SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS hh FROM documents
+), r AS (
+  SELECT doc_id, row_number() OVER (ORDER BY hh, doc_id) - 1 AS pos FROM h
+)
+SELECT doc_id, pos // {shard_size} AS shard, pos % {shard_size} AS pos_in_shard
+FROM r
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: window_events — pure range (interval) join, overlapping windows
 
 
@@ -2833,6 +2865,7 @@ def queries() -> dict:
         "dsir_resample": q_dsir_resample,
         "dup_spans": q_dup_spans,
         "window_events": q_window_events,
+        "shuffle_shards": q_shuffle_shards,
         "lm_scores": q_lm_scores,
         "curation": q_curation,
         "cosine_dup_pairs": q_cosine_dup_pairs,
@@ -2918,6 +2951,8 @@ def oracle_sql() -> dict:
         "dup_spans": _SQL_DUP_SPANS,
         # ts BETWEEN the same literal window bounds
         "window_events": _SQL_WINDOW_EVENTS,
+        # row_number over the same Knuth-hash order
+        "shuffle_shards": _sql_shuffle_shards(64),
         # same counts, pruning and stupid-backoff formula in DuckDB
         "lm_scores": _sql_lm_scores(30),
         # every stage's existing SQL mirror composed into one query

@@ -2182,3 +2182,51 @@ class TestRangeJoin:
         ).to_pandas()
         assert list(got["event_id"]) == [1]
         assert "win_id_r" in got.columns and got["win_id_r"].iloc[0] == 0
+
+
+class TestGlobalShuffleShard:
+    def test_matches_global_order_and_shards(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import global_shuffle_shard
+
+        n, S = 4000, 100
+        ids = np.random.default_rng(51).permutation(n).astype(np.int64)
+        df = pd.DataFrame({"doc_id": ids})
+        got = (
+            global_shuffle_shard(
+                ray.data.from_pandas(df).repartition(7), "doc_id", S, range_bits=5
+            )
+            .to_pandas()
+        )
+        knuth = np.uint64(2654435761)
+        h = (ids.astype(np.uint64) * knuth) % np.uint64(1 << 32)
+        order = np.lexsort((ids, h))
+        exp_pos = np.empty(n, dtype=np.int64)
+        exp_pos[order] = np.arange(n)
+        exp = pd.DataFrame(
+            {"doc_id": ids, "shard": exp_pos // S, "pos_in_shard": exp_pos % S}
+        )
+        _df_eq(got, exp)
+        # every shard but the last is exactly full
+        sizes = got.groupby("shard")["doc_id"].count()
+        assert (sizes.iloc[:-1] == S).all() if len(sizes) > 1 else True
+        assert sizes.sum() == n
+
+    def test_permutation_is_shuffled(self, ray_session):
+        """The hash order must not be the identity order (sanity that
+        this is a shuffle, not a sort by id)."""
+        import ray.data
+
+        from edkray.ops.aggregate import global_shuffle_shard
+
+        df = pd.DataFrame({"doc_id": np.arange(2000, dtype=np.int64)})
+        got = (
+            global_shuffle_shard(ray.data.from_pandas(df), "doc_id", 50)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        pos = (got["shard"] * 50 + got["pos_in_shard"]).to_numpy()
+        # correlation of id order vs shuffled position ~ 0
+        corr = np.corrcoef(np.arange(2000), pos)[0, 1]
+        assert abs(corr) < 0.1
