@@ -657,3 +657,95 @@ def global_shuffle_shard(
     return bucketed_group_map(
         tagged, ["__rb"], _rank, num_buckets=min(nb, 64), batch_size=batch_size
     )
+
+
+def heavy_hitters(
+    items: ray.data.Dataset,
+    item_col: str,
+    k: int,
+    batch_size: int = 65536,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """EXACT φ-heavy hitters (φ = 1/(k+1)) over an item stream, by the
+    Misra-Gries pigeonhole + verification two-pass: every item whose
+    corpus-wide count exceeds n/(k+1), with its exact count. Output
+    ``(item_col, cnt)`` — deterministic despite the sketch (stream
+    order never affects the result, so the SQL oracle is exact).
+
+    Pass 1 (candidates): each batch emits the items whose BATCH count
+    exceeds batch_n/(k+1) — at most k rows per batch (Σc = n_b bounds
+    how many can exceed the threshold), and by pigeonhole any global
+    heavy hitter beats the ratio in at least one batch, so the union of
+    batch candidates is a guaranteed superset (the same argument that
+    makes a distributed Misra-Gries merge sound, without ever merging
+    order-dependent counters). Candidates dedup distributed and
+    broadcast (≤ k × blocks ids, k-bounded after dedup at ≤ (k+1)·#
+    distinct-batch-profiles — in practice ≈ k).
+
+    Pass 2 (verify): exact counts for candidate items only — per-batch
+    filtered partial counts, one small grouped sum — filtered to
+    cnt > n/(k+1). n comes from the same partial pass (count column),
+    so the stream is read twice and shuffles only candidate rows.
+    """
+    import polars as pl
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select([item_col]))
+        c = df.group_by(item_col).len()
+        cand = c.filter(pl.col("len") > batch.num_rows / (k + 1.0))[item_col]
+        return pa.table({item_col: pa.array(cand.to_list(), type=pa.string())})
+
+    parts = items.map_batches(_partial, batch_format="pyarrow", batch_size=batch_size)
+    parts = parts.materialize()
+    tabs = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return ray.data.from_arrow(
+            pa.table({item_col: pa.array([], type=pa.string()),
+                      "cnt": pa.array([], type=pa.int64())})
+        )
+    cand_tab = pa.concat_tables(tabs)
+    # __nb undercounts n (batches with zero candidates emit no row) —
+    # the authoritative n is the null-item count row of the verify pass
+    cand = sorted(set(cand_tab[item_col].to_pylist()))
+
+    # NB: batches holding zero candidates contribute no __nb row; their
+    # sizes are recovered by counting the stream in the verify pass
+    def _verify_partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select([item_col]))
+        c = (
+            df.filter(pl.col(item_col).is_in(cand))
+            .group_by(item_col)
+            .len()
+            .with_columns(pl.col("len").cast(pl.Int64).alias("cnt"))
+            .drop("len")
+        )
+        schema = pa.schema([(item_col, pa.string()), ("cnt", pa.int64())])
+        out = c.to_arrow().select([item_col, "cnt"]).cast(schema)
+        nrow = pa.table(
+            {item_col: pa.array([None], type=pa.string()),
+             "cnt": pa.array([batch.num_rows], type=pa.int64())}
+        )
+        return pa.concat_tables([out, nrow])
+
+    counted = grouped_agg(
+        items.map_batches(_verify_partial, batch_format="pyarrow",
+                          batch_size=batch_size),
+        [item_col],
+        [("sum", "cnt", "cnt")],
+    ).materialize()
+    full = pa.concat_tables(
+        [t for t in ray.get(counted.to_arrow_refs()) if t.num_rows]
+    )
+    ivals = full[item_col].to_pylist()
+    n = next(c for i, c in zip(ivals, full["cnt"].to_pylist()) if i is None)
+
+    def _thresh(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return (
+            df.filter(
+                pl.col(item_col).is_not_null()
+                & (pl.col("cnt") > n / (k + 1.0))
+            )
+        ).to_arrow()
+
+    return counted.map_batches(_thresh, batch_format="pyarrow")

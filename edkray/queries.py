@@ -1672,6 +1672,46 @@ SELECT vec_id, cluster FROM r WHERE rk <= {n_per}
 
 
 # --------------------------------------------------------------------------
+# Q: heavy_hitters — exact φ-heavy hitters (Misra-Gries + verify)
+
+
+def q_heavy_hitters(sf_dir: str, k: int = 30):
+    """Exact heavy-hitter words (count > n/(k+1)) over the corpus token
+    stream (ops/aggregate.py:heavy_hitters — per-batch Misra-Gries
+    pigeonhole candidates, distributed exact verification; result is
+    order-independent hence SQL-exact)."""
+    from edkray.ops.aggregate import heavy_hitters
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _words(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        w = (
+            pl.from_arrow(batch.select(["text"]))
+            .select(pl.col("text").str.split(" ").alias("w"))
+            .explode("w")
+        )
+        return pa.table({"w": pa.array(w["w"].to_list(), type=pa.string())})
+
+    words = ds.map_batches(_words, batch_format="pyarrow")
+    return heavy_hitters(words, "w", k=k)
+
+
+def _sql_heavy_hitters(k: int = 30) -> str:
+    return f"""
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), t AS (
+  SELECT count(*) AS n FROM w
+), c AS (
+  SELECT w, count(*) AS cnt FROM w GROUP BY w
+)
+SELECT c.w, c.cnt FROM c CROSS JOIN t WHERE c.cnt > t.n / {k + 1}.0
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: shuffle_shards — deterministic global shuffle + shard assignment
 
 
@@ -2866,6 +2906,7 @@ def queries() -> dict:
         "dup_spans": q_dup_spans,
         "window_events": q_window_events,
         "shuffle_shards": q_shuffle_shards,
+        "heavy_hitters": q_heavy_hitters,
         "lm_scores": q_lm_scores,
         "curation": q_curation,
         "cosine_dup_pairs": q_cosine_dup_pairs,
@@ -2953,6 +2994,8 @@ def oracle_sql() -> dict:
         "window_events": _SQL_WINDOW_EVENTS,
         # row_number over the same Knuth-hash order
         "shuffle_shards": _sql_shuffle_shards(64),
+        # exact count > n/(k+1): sketch affects work, never the result
+        "heavy_hitters": _sql_heavy_hitters(30),
         # same counts, pruning and stupid-backoff formula in DuckDB
         "lm_scores": _sql_lm_scores(30),
         # every stage's existing SQL mirror composed into one query

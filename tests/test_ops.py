@@ -2230,3 +2230,37 @@ class TestGlobalShuffleShard:
         # correlation of id order vs shuffled position ~ 0
         corr = np.corrcoef(np.arange(2000), pos)[0, 1]
         assert abs(corr) < 0.1
+
+
+class TestHeavyHitters:
+    def test_exact_set_zipf(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import heavy_hitters
+
+        rng = np.random.default_rng(61)
+        items = np.concatenate(
+            [np.zeros(4000), np.ones(2000), rng.integers(2, 102, 4000)]
+        ).astype(int)
+        rng.shuffle(items)
+        df = pd.DataFrame({"w": [f"it{i}" for i in items]})
+        k = 10
+        got = (
+            heavy_hitters(ray.data.from_pandas(df).repartition(6), "w", k=k)
+            .to_pandas()
+        )
+        exact = df["w"].value_counts()
+        thresh = len(df) / (k + 1)
+        exp = exact[exact > thresh]
+        assert set(got["w"]) == set(exp.index)
+        assert dict(zip(got["w"], got["cnt"])) == exp.to_dict()
+
+    def test_no_heavy_hitters_and_uniform(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import heavy_hitters
+
+        # 100 uniform items, k=5 → threshold n/6 far above any count
+        df = pd.DataFrame({"w": [f"u{i % 100}" for i in range(5000)]})
+        got = heavy_hitters(ray.data.from_pandas(df).repartition(4), "w", k=5).to_pandas()
+        assert len(got) == 0
