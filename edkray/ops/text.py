@@ -646,3 +646,24 @@ def duplicated_span_stats(
         return batch.append_column("dup_frac", pa.array(frac))
 
     return summed.map_batches(_frac, batch_format="pyarrow")
+
+
+def normalize_text(
+    batch: pa.Table, text_col: str = "text", out_col: str = "text_norm"
+) -> pa.Table:
+    """CCNet-style normalization before hashing/dedup (Wenzek et al.
+    2020 normalize lowercase + strip punctuation + collapse
+    whitespace; ASCII subset, pinned to syntax rust-regex and RE2
+    evaluate identically — the pii_scrub discipline). SQL mirror:
+    ``trim(regexp_replace(regexp_replace(lower(t), '[^a-z0-9 \\t\\n]',
+    '', 'g'), '[ \\t\\n]+', ' ', 'g'), ' ')``."""
+    df = pl.from_arrow(batch.select([text_col]))
+    n = df.select(
+        pl.col(text_col)
+        .str.to_lowercase()
+        .str.replace_all(r"[^a-z0-9 \t\n]", "")
+        .str.replace_all(r"[ \t\n]+", " ")
+        .str.strip_chars(" ")
+        .alias(out_col)
+    )
+    return upsert_column(batch, out_col, n.to_arrow()[out_col])

@@ -1672,6 +1672,42 @@ SELECT vec_id, cluster FROM r WHERE rk <= {n_per}
 
 
 # --------------------------------------------------------------------------
+# Q: normalized_dedup — CCNet step 1: normalize, hash-dedup, keep first
+
+
+def q_normalized_dedup(sf_dir: str):
+    """CCNet's actual first pipeline step (Wenzek et al. 2020):
+    normalize text (lower / strip punctuation / collapse whitespace,
+    ops/text.py:normalize_text) then keep ONE doc per normalized form —
+    first by doc_id (exact_dedup's hash-partitioned first-wins).
+    Returns the kept doc ids with their normalized text."""
+    from edkray.ops.dedup import exact_dedup
+    from edkray.ops.text import normalize_text
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(
+        lambda b: normalize_text(b).select(["doc_id", "text_norm"]),
+        batch_format="pyarrow",
+    )
+    return exact_dedup(ds, ["text_norm"], ["doc_id"], num_buckets=16)
+
+
+_SQL_NORMALIZED_DEDUP = r"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \t\n]', '', 'g'),
+                             '[ \t\n]+', ' ', 'g'), ' ') AS text_norm
+  FROM documents
+), r AS (
+  SELECT doc_id, text_norm,
+         row_number() OVER (PARTITION BY text_norm ORDER BY doc_id) AS rn
+  FROM n
+)
+SELECT doc_id, text_norm FROM r WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: heavy_hitters — exact φ-heavy hitters (Misra-Gries + verify)
 
 
@@ -2907,6 +2943,7 @@ def queries() -> dict:
         "window_events": q_window_events,
         "shuffle_shards": q_shuffle_shards,
         "heavy_hitters": q_heavy_hitters,
+        "normalized_dedup": q_normalized_dedup,
         "lm_scores": q_lm_scores,
         "curation": q_curation,
         "cosine_dup_pairs": q_cosine_dup_pairs,
@@ -2996,6 +3033,8 @@ def oracle_sql() -> dict:
         "shuffle_shards": _sql_shuffle_shards(64),
         # exact count > n/(k+1): sketch affects work, never the result
         "heavy_hitters": _sql_heavy_hitters(30),
+        # pinned normalizer regexes + first-by-id window in SQL
+        "normalized_dedup": _SQL_NORMALIZED_DEDUP,
         # same counts, pruning and stupid-backoff formula in DuckDB
         "lm_scores": _sql_lm_scores(30),
         # every stage's existing SQL mirror composed into one query

@@ -2264,3 +2264,27 @@ class TestHeavyHitters:
         df = pd.DataFrame({"w": [f"u{i % 100}" for i in range(5000)]})
         got = heavy_hitters(ray.data.from_pandas(df).repartition(4), "w", k=5).to_pandas()
         assert len(got) == 0
+
+
+class TestNormalizeText:
+    def test_normalizer_and_dedup(self, ray_session):
+        import ray.data
+
+        from edkray.ops.dedup import exact_dedup
+        from edkray.ops.text import normalize_text
+
+        tab = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                "text": pa.array(
+                    ["Same   Text!!", "same text", "  other  ", "OTHER."]
+                ),
+            }
+        )
+        out = normalize_text(tab)
+        assert out["text_norm"].to_pylist() == [
+            "same text", "same text", "other", "other"
+        ]
+        ds = ray.data.from_arrow(out.select(["doc_id", "text_norm"]))
+        kept = exact_dedup(ds, ["text_norm"], ["doc_id"], num_buckets=2).to_pandas()
+        assert sorted(kept["doc_id"]) == [1, 3]
