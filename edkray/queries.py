@@ -1672,6 +1672,70 @@ SELECT vec_id, cluster FROM r WHERE rk <= {n_per}
 
 
 # --------------------------------------------------------------------------
+# Q: ccnet_buckets — CCNet head/middle/tail LM-perplexity bucketing
+
+
+def q_ccnet_buckets(sf_dir: str, min_count: int = 30):
+    """CCNet's final split (Wenzek et al. 2020 §4.4): score docs with
+    the corpus bigram LM (q_lm_scores), derive corpus TERCILES of the
+    (rounded) score with the exact histogram-shuffle quantile op, and
+    bucket docs head/middle/tail (head = best mean ln-prob). Emits per-
+    bucket counts + mean score. Thresholds are one driver row (the
+    quantile op's output), broadcast in the closure."""
+    from edkray.ops.aggregate import grouped_quantile_disc
+    from edkray.ops.lm import fit_bigram_lm, score_bigram_lm
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    model = fit_bigram_lm(ds, min_count=min_count)
+    scores = score_bigram_lm(ds, model)
+
+    def _r4(batch: pa.Table) -> pa.Table:
+        b = _round_cols(batch.select(["doc_id", "lm_score"]), ["lm_score"], 4)
+        return b.rename_columns(["doc_id", "s4"]).append_column(
+            "g", pa.array(np.zeros(batch.num_rows, dtype=np.int64))
+        )
+
+    r = scores.map_batches(_r4, batch_format="pyarrow").materialize()
+    th = grouped_quantile_disc(
+        r, ["g"], "s4", [1.0 / 3, 2.0 / 3], ["t1", "t2"]
+    ).to_pandas()
+    t1, t2 = float(th["t1"].iloc[0]), float(th["t2"].iloc[0])
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        s4 = batch["s4"].to_numpy(zero_copy_only=False)
+        lab = np.where(s4 <= t1, "tail", np.where(s4 <= t2, "middle", "head"))
+        return pa.table({"bucket": pa.array(lab), "s4": batch["s4"]})
+
+    from edkray.ops.aggregate import grouped_agg
+
+    out = grouped_agg(
+        r.map_batches(_bucket, batch_format="pyarrow"),
+        ["bucket"],
+        [("count", None, "n_docs"), ("mean", "s4", "avg_score")],
+    )
+    return out.map_batches(lambda b: _round_cols(b, ["avg_score"], 6),
+                           batch_format="pyarrow")
+
+
+def _sql_ccnet_buckets(min_count: int = 30) -> str:
+    return f"""
+WITH s AS ({_sql_lm_scores(min_count)}),
+r AS (
+  SELECT doc_id, round(lm_score, 4) AS s4 FROM s
+), q AS (
+  SELECT quantile_disc(s4, 1.0/3) AS t1, quantile_disc(s4, 2.0/3) AS t2 FROM r
+)
+SELECT CASE WHEN s4 <= q.t1 THEN 'tail'
+            WHEN s4 <= q.t2 THEN 'middle'
+            ELSE 'head' END AS bucket,
+       count(*) AS n_docs,
+       round(avg(s4), 6) AS avg_score
+FROM r CROSS JOIN q
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: normalized_dedup — CCNet step 1: normalize, hash-dedup, keep first
 
 
@@ -2944,6 +3008,7 @@ def queries() -> dict:
         "shuffle_shards": q_shuffle_shards,
         "heavy_hitters": q_heavy_hitters,
         "normalized_dedup": q_normalized_dedup,
+        "ccnet_buckets": q_ccnet_buckets,
         "lm_scores": q_lm_scores,
         "curation": q_curation,
         "cosine_dup_pairs": q_cosine_dup_pairs,
@@ -3035,6 +3100,8 @@ def oracle_sql() -> dict:
         "heavy_hitters": _sql_heavy_hitters(30),
         # pinned normalizer regexes + first-by-id window in SQL
         "normalized_dedup": _SQL_NORMALIZED_DEDUP,
+        # lm oracle + quantile_disc terciles + same bucket rule
+        "ccnet_buckets": _sql_ccnet_buckets(30),
         # same counts, pruning and stupid-backoff formula in DuckDB
         "lm_scores": _sql_lm_scores(30),
         # every stage's existing SQL mirror composed into one query

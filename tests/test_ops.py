@@ -2288,3 +2288,17 @@ class TestNormalizeText:
         ds = ray.data.from_arrow(out.select(["doc_id", "text_norm"]))
         kept = exact_dedup(ds, ["text_norm"], ["doc_id"], num_buckets=2).to_pandas()
         assert sorted(kept["doc_id"]) == [1, 3]
+
+
+class TestCcnetBuckets:
+    def test_terciles_partition_the_corpus(self, ray_session, sf_dir=None):
+        from edkray.queries import q_ccnet_buckets
+
+        out = q_ccnet_buckets("/root/testdata/sf0.001").to_pandas()
+        assert set(out["bucket"]) == {"head", "middle", "tail"}
+        assert out["n_docs"].sum() == 500
+        # head has the best (largest) mean ln-prob
+        m = out.set_index("bucket")["avg_score"]
+        assert m["head"] > m["middle"] > m["tail"]
+        # terciles: buckets within ±40% of each other (rounding ties shift a few)
+        assert out["n_docs"].max() <= out["n_docs"].min() * 1.8
