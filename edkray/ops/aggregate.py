@@ -704,16 +704,18 @@ def heavy_hitters(
                       "cnt": pa.array([], type=pa.int64())})
         )
     cand_tab = pa.concat_tables(tabs)
-    # __nb undercounts n (batches with zero candidates emit no row) —
-    # the authoritative n is the null-item count row of the verify pass
-    cand = sorted(set(cand_tab[item_col].to_pylist()))
+    # broadcast the deduped candidate list ONCE (ray.put, ~k items),
+    # not per-task in the closure; n (total stream length) is the
+    # null-item count row of the verify pass, since batches with zero
+    # candidates emit nothing in pass 1
+    cand_ref = ray.put(
+        pl.Series(sorted(set(cand_tab[item_col].to_pylist())), dtype=pl.String)
+    )
 
-    # NB: batches holding zero candidates contribute no __nb row; their
-    # sizes are recovered by counting the stream in the verify pass
     def _verify_partial(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch.select([item_col]))
         c = (
-            df.filter(pl.col(item_col).is_in(cand))
+            df.filter(pl.col(item_col).is_in(ray.get(cand_ref)))
             .group_by(item_col)
             .len()
             .with_columns(pl.col("len").cast(pl.Int64).alias("cnt"))
@@ -749,3 +751,43 @@ def heavy_hitters(
         ).to_arrow()
 
     return counted.map_batches(_thresh, batch_format="pyarrow")
+
+
+def pack_sequences(
+    ds: ray.data.Dataset,
+    shard_col: str,
+    pos_col: str,
+    ntok_col: str,
+    seq_len: int,
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Greedy in-order sequence packing — the step between the shuffled
+    shards (:func:`global_shuffle_shard`) and the trainer: within each
+    shard, documents are concatenated in ``pos_col`` order and cut into
+    fixed ``seq_len``-token training sequences (documents may straddle
+    a cut — the standard packed-stream convention). Appends
+    ``tok_offset`` (tokens before this doc in its shard) and ``seq_id``
+    (= tok_offset // seq_len, the sequence the doc STARTS in).
+
+    Shards are independent by construction, so packing — inherently a
+    sequential prefix sum — parallelizes perfectly across shards: one
+    hash-bucket shuffle on ``shard_col``, then a vectorized per-shard
+    cumulative sum (polars window). No global barrier, no driver state.
+    """
+    import polars as pl
+
+    from edkray.ops.shuffle import bucketed_group_map
+
+    def _pack(table: pa.Table) -> pa.Table:
+        df = pl.from_arrow(table).sort([shard_col, pos_col])
+        out = df.with_columns(
+            (pl.col(ntok_col).cum_sum().over(shard_col) - pl.col(ntok_col))
+            .cast(pl.Int64)
+            .alias("tok_offset")
+        ).with_columns((pl.col("tok_offset") // seq_len).alias("seq_id"))
+        return out.to_arrow()
+
+    return bucketed_group_map(
+        ds, [shard_col], _pack, num_buckets=num_buckets, batch_size=batch_size
+    )

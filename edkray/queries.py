@@ -1772,6 +1772,62 @@ SELECT doc_id, text_norm FROM r WHERE rn = 1
 
 
 # --------------------------------------------------------------------------
+# Q: packed_sequences — shuffle-shard ∘ greedy sequence packing
+
+
+def q_packed_sequences(sf_dir: str, shard_size: int = 64, seq_len: int = 512):
+    """The full trainer-prep tail: whitespace token counts → global
+    shuffle-shard (q_shuffle_shards) → greedy in-order sequence packing
+    per shard (ops/aggregate.py:pack_sequences — per-shard cumsum, no
+    global barrier). Emits each doc's shard, token offset and the
+    training sequence it starts in."""
+    from edkray.ops.aggregate import global_shuffle_shard, pack_sequences
+    from edkray.ops.text import token_count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(
+        lambda b: token_count(b).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow",
+    )
+    sharded = global_shuffle_shard(ds, "doc_id", shard_size, range_bits=6)
+    packed = pack_sequences(sharded, "shard", "pos_in_shard", "n_tokens", seq_len,
+                            num_buckets=16)
+    return packed.map_batches(
+        lambda b: b.select(["doc_id", "shard", "tok_offset", "seq_id"]),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_packed_sequences(shard_size: int = 64, seq_len: int = 512) -> str:
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN tt = '' THEN 0
+              ELSE len(regexp_split_to_array(tt, '\s+')) END AS n_tokens
+  FROM (SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt
+        FROM documents)
+), h AS (
+  SELECT doc_id, n_tokens, (doc_id * 2654435761) % 4294967296 AS hh FROM t
+), r AS (
+  SELECT doc_id, n_tokens, row_number() OVER (ORDER BY hh, doc_id) - 1 AS pos
+  FROM h
+), s AS (
+  SELECT doc_id, n_tokens, pos // {shard_size} AS shard,
+         pos % {shard_size} AS pos_in_shard
+  FROM r
+), o AS (
+  SELECT doc_id, shard,
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY pos_in_shard
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_offset
+  FROM s
+)
+SELECT doc_id, shard, tok_offset, tok_offset // {seq_len} AS seq_id FROM o
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: heavy_hitters — exact φ-heavy hitters (Misra-Gries + verify)
 
 
@@ -3009,6 +3065,7 @@ def queries() -> dict:
         "heavy_hitters": q_heavy_hitters,
         "normalized_dedup": q_normalized_dedup,
         "ccnet_buckets": q_ccnet_buckets,
+        "packed_sequences": q_packed_sequences,
         "lm_scores": q_lm_scores,
         "curation": q_curation,
         "cosine_dup_pairs": q_cosine_dup_pairs,
@@ -3102,6 +3159,8 @@ def oracle_sql() -> dict:
         "normalized_dedup": _SQL_NORMALIZED_DEDUP,
         # lm oracle + quantile_disc terciles + same bucket rule
         "ccnet_buckets": _sql_ccnet_buckets(30),
+        # shuffle-shard SQL + per-shard window prefix sum
+        "packed_sequences": _sql_packed_sequences(64, 512),
         # same counts, pruning and stupid-backoff formula in DuckDB
         "lm_scores": _sql_lm_scores(30),
         # every stage's existing SQL mirror composed into one query

@@ -2302,3 +2302,40 @@ class TestCcnetBuckets:
         assert m["head"] > m["middle"] > m["tail"]
         # terciles: buckets within ±40% of each other (rounding ties shift a few)
         assert out["n_docs"].max() <= out["n_docs"].min() * 1.8
+
+
+class TestPackSequences:
+    def test_per_shard_prefix_sums(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import pack_sequences
+
+        rng = np.random.default_rng(71)
+        n = 3000
+        df = pd.DataFrame(
+            {
+                "shard": rng.integers(0, 20, n).astype(np.int64),
+                "pos_in_shard": np.zeros(n, dtype=np.int64),
+                "n_tokens": rng.integers(1, 400, n).astype(np.int64),
+            }
+        )
+        # positions unique within shard
+        df["pos_in_shard"] = df.groupby("shard").cumcount()
+        got = (
+            pack_sequences(
+                ray.data.from_pandas(df.sample(frac=1, random_state=2)).repartition(6),
+                "shard", "pos_in_shard", "n_tokens", 512, num_buckets=8,
+            )
+            .to_pandas()
+            .sort_values(["shard", "pos_in_shard"])
+            .reset_index(drop=True)
+        )
+        exp = df.sort_values(["shard", "pos_in_shard"]).reset_index(drop=True)
+        exp["tok_offset"] = exp.groupby("shard")["n_tokens"].cumsum() - exp["n_tokens"]
+        exp["seq_id"] = exp["tok_offset"] // 512
+        _df_eq(got, exp)
+        # packing is dense: within a shard offsets have no gaps
+        for _, g in got.groupby("shard"):
+            toks = g.sort_values("pos_in_shard")
+            assert (toks["tok_offset"].to_numpy()[1:]
+                    == (toks["tok_offset"] + toks["n_tokens"]).to_numpy()[:-1]).all()
