@@ -2339,3 +2339,68 @@ class TestPackSequences:
             toks = g.sort_values("pos_in_shard")
             assert (toks["tok_offset"].to_numpy()[1:]
                     == (toks["tok_offset"] + toks["n_tokens"]).to_numpy()[:-1]).all()
+
+
+class TestUnicodeRobustness:
+    """The new text ops must not crash or miscount on non-ASCII input
+    (the synthetic corpus is ASCII; real webtext is not)."""
+
+    def test_paragraph_dedup_unicode(self, ray_session):
+        import ray.data
+
+        from edkray.ops.dedup import paragraph_dedup
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": ["héllo wörld\nสวัสดี ครับ", "héllo wörld\nunique züile"],
+            }
+        )
+        out = (
+            paragraph_dedup(ray.data.from_pandas(docs), num_buckets=2, doc_buckets=2)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert out.loc[1, "n_kept"] == 2
+        assert out.loc[2, "n_kept"] == 1
+        assert out.loc[2, "text_dedup"] == "unique züile"
+
+    def test_dup_spans_unicode_multibyte(self, ray_session):
+        import ray.data
+
+        from edkray.ops.text import duplicated_span_stats
+
+        # multibyte chars: engine grams are BYTE-grams; totals must agree
+        # with the engine's own byte length, not char count
+        docs = pd.DataFrame(
+            {"doc_id": [1, 2],
+             "text": ["ñ" * 40, "ñ" * 40]}
+        )
+        out = (
+            duplicated_span_stats(ray.data.from_pandas(docs), L=16, num_buckets=2)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        # identical docs: every gram duplicated
+        assert (out["dup_frac"] == 1.0).all()
+        assert (out["n_grams"] == 80 - 16 + 1).all()  # 80 BYTES per doc
+
+    def test_bm25_and_dsir_unicode(self, ray_session):
+        import ray.data
+
+        from edkray.ops.search import bm25_topk
+        from edkray.ops.text import dsir_logweights
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": ["café noir café", "thé vert"],
+                "lang": ["fr", "fr"],
+            }
+        )
+        top = bm25_topk(ray.data.from_pandas(docs), ["café"], k=2).to_pandas()
+        assert list(top["doc_id"]) == [0]
+        w = dsir_logweights(
+            ray.data.from_pandas(docs), "lang", ["fr"], hash_buckets=8
+        ).to_pandas()
+        assert len(w) == 2 and w["dsir_logw"].notna().all()
