@@ -1007,13 +1007,28 @@ def paragraph_dedup(
         hot_key_budget=hot_paragraph_budget or 500_000,
     )
 
-    # common schema for the co-shuffle: (id, text?, pos, side)
+    # common schema for the co-shuffle: (id, text?, pos, side). The id
+    # may be an integer OR a string (at corpus scale the doc key IS a
+    # url) — both sides pin the same arrow type so the union aligns
+    # (polars round-trips strings as large_string; normalize to it).
+    sch = ds.schema()
+    raw_t = dict(zip(sch.names, sch.types))[id_col]
+    if isinstance(raw_t, pa.DataType):
+        is_str = pa.types.is_string(raw_t) or pa.types.is_large_string(raw_t)
+        id_type = pa.large_string() if is_str else raw_t
+    elif raw_t is object or "object" in str(raw_t) or "str" in str(raw_t):
+        # pandas-block dataset: object/str dtype == string column
+        id_type = pa.large_string()
+    else:
+        id_type = pa.from_numpy_dtype(raw_t)
+    text_type = pa.large_string()
+
     def _doc_side(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         return pa.table(
             {
-                id_col: batch[id_col].cast(pa.int64()),
-                text_col: batch[text_col],
+                id_col: batch[id_col].cast(id_type),
+                text_col: batch[text_col].cast(text_type),
                 "pos": pa.array(np.full(n, -1, dtype=np.int64)),
                 _PD_SIDE: pa.array(np.zeros(n, dtype=np.int8)),
             }
@@ -1023,8 +1038,8 @@ def paragraph_dedup(
         n = batch.num_rows
         return pa.table(
             {
-                id_col: batch[id_col].cast(pa.int64()),
-                text_col: pa.array([None] * n, type=pa.string()),
+                id_col: batch[id_col].cast(id_type),
+                text_col: pa.array([None] * n, type=text_type),
                 "pos": batch["pos"].cast(pa.int64()),
                 _PD_SIDE: pa.array(np.ones(n, dtype=np.int8)),
             }

@@ -2404,3 +2404,28 @@ class TestUnicodeRobustness:
             ray.data.from_pandas(docs), "lang", ["fr"], hash_buckets=8
         ).to_pandas()
         assert len(w) == 2 and w["dsir_logw"].notna().all()
+
+
+class TestParagraphDedupStringIds:
+    def test_url_keys(self, ray_session):
+        import ray.data
+
+        from edkray.ops.dedup import paragraph_dedup
+
+        docs = pd.DataFrame(
+            {
+                "url": [f"https://x.example/{i}" for i in range(3)],
+                "text": ["a b\nc d", "c d\nz z", "a b\nq q"],
+            }
+        )
+        out = (
+            paragraph_dedup(
+                ray.data.from_pandas(docs), id_col="url",
+                num_buckets=2, doc_buckets=2,
+            )
+            .to_pandas()
+            .set_index("url")
+        )
+        assert out.loc["https://x.example/0", "n_kept"] == 2
+        assert out.loc["https://x.example/1", "text_dedup"] == "z z"
+        assert out.loc["https://x.example/2", "text_dedup"] == "q q"
