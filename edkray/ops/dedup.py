@@ -977,6 +977,10 @@ def paragraph_dedup(
     precedent (pipelines/spatial.py decision shuffle): collision odds
     ~n²/2⁶⁵ — negligible below ~10¹² distinct paragraphs.
 
+    ``id_col`` must be UNIQUE per row (doc-level dedup runs first — the
+    flagship's stage order): duplicate ids make ``pos`` collide, so
+    replicas of a doc merge and per-doc counts double-count.
+
     ``ds`` is consumed twice (both passes re-explode) — pass a
     re-readable source. ``joiner`` defaults to ``sep`` (or a single
     space in ``words_per_para`` mode).
