@@ -1,0 +1,119 @@
+"""HTML → text extraction over the pages table's ``html:binary`` column.
+
+The BASELINE.json input hint pins the per-row invariant vs the
+reference: *byte-identical extracted text per url*. The reference never
+parses HTML (it is a raster engine); for a web corpus the analogous
+deterministic contract is this module's extraction spec, applied as a
+vectorized ``map_batches`` stage and mirrored independently by a DuckDB
+``regexp_replace`` chain in the query oracle (``html_extract``).
+
+Extraction spec (order matters and is part of the contract):
+
+1. decode bytes as UTF-8 (strict Arrow cast on the fast path; rows that
+   fail fall back to ``bytes.decode('utf-8', 'replace')``),
+2. drop ``<script ...>...</script>`` and ``<style ...>...</style>``
+   blocks (case-insensitive, non-greedy, ``.`` crosses newlines),
+3. drop ``<!-- ... -->`` comments,
+4. replace every remaining tag ``<[^>]*>`` with a single space,
+5. decode named entities ``&lt; &gt; &quot; &#39; &apos; &nbsp;`` then
+   ``&amp;`` LAST (single-pass semantics: ``&amp;lt;`` → ``&lt;``, never
+   double-decoded — the chain order makes this hold without a callback),
+6. collapse whitespace runs to one space and trim,
+7. decode numeric entities ``&#NN;`` / ``&#xHH;`` (Python ``re.sub``
+   callback, applied ONLY to the rows that still contain ``&#`` after
+   step 5 — rare in practice, so the hot path stays in Rust).
+
+Known, documented divergence from heavyweight extractors
+(trafilatura/jusText): no block-level ``\\n`` reconstruction, no
+boilerplate removal — those are quality heuristics, not part of the
+byte-identity contract, and live in ``ops/text.py`` instead.
+"""
+
+from __future__ import annotations
+
+import re
+
+import polars as pl
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# named-entity chain; ``&amp;`` must stay last (see module docstring §5)
+_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+_NUMERIC_ENT = re.compile(r"&#(?:x([0-9a-fA-F]{1,6})|([0-9]{1,7}));")
+
+
+def _decode_numeric(s: str) -> str:
+    def sub(m: re.Match) -> str:
+        code = int(m.group(1), 16) if m.group(1) else int(m.group(2))
+        return chr(code) if 0 < code <= 0x10FFFF else m.group(0)
+
+    return _NUMERIC_ENT.sub(sub, s)
+
+
+def decode_utf8_column(batch: pa.Table, col: str) -> pa.Table:
+    """binary → string, zero-copy Arrow cast when the bytes are valid
+    UTF-8 (the overwhelmingly common case), per-row ``errors='replace'``
+    fallback otherwise. Output replaces ``col`` in place."""
+    arr = batch[col]
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        return batch
+    try:
+        out = arr.cast(pa.large_string() if pa.types.is_large_binary(arr.type) else pa.string())
+    except pa.ArrowInvalid:
+        out = pa.array(
+            [None if v is None else v.decode("utf-8", "replace") for v in arr.to_pylist()],
+            type=pa.string(),
+        )
+    return batch.set_column(batch.schema.get_field_index(col), col, out)
+
+
+class HtmlExtract:
+    """Actor-pool extraction stage: ``html:binary`` → ``out_col:string``.
+
+    The polars expression pipeline (four Rust-regex ``replace_all``
+    passes + the literal entity chain + whitespace collapse) is built
+    ONCE in ``__init__`` and applied per batch — the stateful actor
+    pattern from SURVEY §2.3; per-batch work is entirely vectorized.
+    """
+
+    def __init__(self, html_col: str = "html", out_col: str = "extracted"):
+        self.html_col = html_col
+        self.out_col = out_col
+        expr = (
+            pl.col("__html__")
+            .str.replace_all(r"(?is)<script\b[^>]*>.*?</script>", " ")
+            .str.replace_all(r"(?is)<style\b[^>]*>.*?</style>", " ")
+            .str.replace_all(r"(?s)<!--.*?-->", " ")
+            .str.replace_all(r"(?s)<[^>]*>", " ")
+        )
+        for ent, ch in _ENTITIES:
+            expr = expr.str.replace_all(ent, ch, literal=True)
+        self.expr = expr.str.replace_all(r"\s+", " ").str.strip_chars().alias("__out__")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = decode_utf8_column(batch, self.html_col)
+        df = pl.from_arrow(batch.select([self.html_col])).rename({self.html_col: "__html__"})
+        out = df.select(self.expr).to_arrow()["__out__"]
+        if isinstance(out, pa.ChunkedArray):
+            out = out.combine_chunks()
+        # numeric entities survive the named chain; decode only the rows
+        # that still carry "&#" (keeps the hot path Rust-side)
+        mask = pc.match_substring(out, "&#")
+        if pc.any(mask).as_py():
+            idx = [i for i, hit in enumerate(mask.to_pylist()) if hit]
+            vals = out.to_pylist()
+            for i in idx:
+                vals[i] = _decode_numeric(vals[i])
+            out = pa.array(vals, type=out.type)
+        from edkray.ops.text import upsert_column
+
+        return upsert_column(batch, self.out_col, out.cast(pa.large_string()))

@@ -1323,6 +1323,80 @@ FROM planted
 
 
 # --------------------------------------------------------------------------
+# Q: html_extract — html:binary → extracted text (the input_hint's
+# "byte-identical extracted text per url" invariant surface). The engine
+# wraps each document's text in a deterministic HTML envelope (script /
+# style / comment blocks, named + numeric entities), encodes it to
+# binary, then runs the vectorized HtmlExtract actor stage; the oracle
+# INDEPENDENTLY re-implements the extraction spec as a DuckDB
+# regexp_replace / replace chain over the same envelope — two
+# implementations of one spec, compared byte-for-byte per row.
+
+# envelope pieces shared verbatim between the Arrow builder and the SQL
+# oracle so they cannot drift (single quotes excluded: SQL literal)
+_HTML_P1 = "<html><head><title>d"
+_HTML_P2 = (
+    '</title><script type="text/javascript">if (1<2) { x = "&amp;"; }</script>'
+    "<style>.a > .b { color: red; }</style></head><body><h1>Doc &amp; "
+)
+_HTML_P3 = "</h1><p>"
+_HTML_P4 = (
+    "</p><!-- hidden --><div>tail &lt;t&gt; &quot;q&quot; "
+    "it&#39;s&nbsp;A&#65;&#x42;</div></body></html>"
+)
+
+
+def q_html_extract(sf_dir: str):
+    from edkray.ops.html import HtmlExtract
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _wrap(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b["doc_id"], pa.string())
+        txt = pc.fill_null(pc.cast(b["text"], pa.string()), "")
+        html = pc.binary_join_element_wise(
+            _HTML_P1, ids, _HTML_P2, ids, _HTML_P3, txt, _HTML_P4, ""
+        )
+        return pa.table({"doc_id": b["doc_id"], "html": html.cast(pa.binary())})
+
+    ds = ds.map_batches(_wrap, batch_format="pyarrow")
+    ds = ds.map_batches(HtmlExtract, batch_format="pyarrow", concurrency=_pool())
+    return ds.map_batches(lambda b: b.select(["doc_id", "extracted"]), batch_format="pyarrow")
+
+
+def _sql_html_extract() -> str:
+    # the same spec, re-derived in SQL: block drops → tag strip → named
+    # entity chain (&amp; last) → whitespace collapse/trim → the planted
+    # numeric entities (general &#NN; decode needs a callback SQL lacks;
+    # the engine's generality is unit-tested in tests/test_html.py)
+    ext = "html"
+    for pat, flags in (
+        (r"<script\b[^>]*>.*?</script>", "gis"),
+        (r"<style\b[^>]*>.*?</style>", "gis"),
+        (r"<!--.*?-->", "gs"),
+        (r"<[^>]*>", "gs"),
+    ):
+        ext = f"regexp_replace({ext}, '{pat}', ' ', '{flags}')"
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "chr(39)"),
+        ("&apos;", "chr(39)"), ("&nbsp;", " "), ("&amp;", "&"),
+    ):
+        rep = ch if ch == "chr(39)" else f"'{ch}'"
+        ext = f"replace({ext}, '{ent}', {rep})"
+    ext = f"trim(regexp_replace({ext}, '\\s+', ' ', 'g'))"
+    ext = f"replace(replace({ext}, '&#65;', 'A'), '&#x42;', 'B')"
+    return f"""
+WITH raw AS (
+  SELECT doc_id,
+         '{_HTML_P1}' || doc_id || '{_HTML_P2}' || doc_id || '{_HTML_P3}'
+           || coalesce(text, '') || '{_HTML_P4}' AS html
+  FROM documents
+)
+SELECT doc_id, {ext} AS extracted FROM raw
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: ngram_jaccard_pairs — exact char-8-gram Jaccard over all doc pairs
 # (the dedup-verification oracle path; broadcast gram sets, id_a < id_b)
 
@@ -3050,6 +3124,7 @@ def queries() -> dict:
         "stratified_sample": q_stratified_sample,
         "length_quantiles": q_length_quantiles,
         "pii_scrub": q_pii_scrub,
+        "html_extract": q_html_extract,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_topk": q_embedding_topk,
         "kmeans_clusters": q_kmeans_clusters,
@@ -3131,6 +3206,7 @@ def oracle_sql() -> dict:
         "stratified_sample": _SQL_STRATIFIED,
         "length_quantiles": _SQL_LENGTH_QUANTILES,
         "pii_scrub": _sql_pii(),
+        "html_extract": _sql_html_extract(),
         "ngram_jaccard_pairs": _SQL_JACCARD,
         "embedding_topk": _SQL_EMB_TOPK,
         # same Lloyd iterations replayed CTE-by-CTE in DuckDB

@@ -1,0 +1,79 @@
+"""HTML → text extraction (edkray/ops/html.py): the input_hint's
+byte-identity contract, exercised batch-local (no Ray needed — the stage
+is a plain callable class; the distributed path is covered by the
+html_extract query in tools/selfcheck and test_entry)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from edkray.ops.html import HtmlExtract, decode_utf8_column
+
+
+def _extract(payloads: list[bytes | None]) -> list[str | None]:
+    t = pa.table({"html": pa.array(payloads, type=pa.binary())})
+    return HtmlExtract()(t)["extracted"].to_pylist()
+
+
+class TestHtmlExtract:
+    def test_script_style_comment_blocks_dropped(self):
+        h = (b"<html><script>if (1<2) { alert('<p>not text</p>'); }</script>"
+             b"<STYLE media='all'>.x > .y { }</STYLE><!-- <b>hidden</b> -->"
+             b"<body>kept</body></html>")
+        assert _extract([h]) == ["kept"]
+
+    def test_script_block_case_insensitive_and_multiline(self):
+        h = b"<ScRiPt type='x'>\nline1\nline2 < 3\n</sCrIpT>after"
+        assert _extract([h]) == ["after"]
+
+    def test_tags_become_single_space_and_whitespace_collapses(self):
+        h = b"<div>a</div><p>b\n\n  c</p>\t<span>d</span>"
+        assert _extract([h]) == ["a b c d"]
+
+    def test_named_entities_single_pass(self):
+        # &amp;lt; decodes ONCE to the literal string "&lt;" (chain order:
+        # &amp; last), matching the HTML single-decode rule
+        h = b"x &lt;y&gt; &quot;z&quot; it&#39;s &apos;w&apos;&nbsp;! &amp;lt; &amp; done"
+        assert _extract([h]) == ['x <y> "z" it\'s \'w\' ! &lt; & done']
+
+    def test_numeric_entities_decimal_and_hex(self):
+        assert _extract([b"&#72;&#101;&#x6C;&#x6C;&#111;"]) == ["Hello"]
+
+    def test_numeric_entity_out_of_range_kept_verbatim(self):
+        assert _extract([b"a &#1114112; b"]) == ["a &#1114112; b"]
+
+    def test_invalid_utf8_falls_back_to_replace(self):
+        h = b"<p>ok \xff\xfe bytes</p>"
+        out = _extract([h])
+        assert out[0].startswith("ok ") and out[0].endswith(" bytes")
+        assert "�" in out[0]
+
+    def test_null_and_empty_rows(self):
+        assert _extract([None, b"", b"   \n "]) == [None, "", ""]
+
+    def test_string_input_passthrough(self):
+        t = pa.table({"html": pa.array(["<b>pre-decoded</b>"], type=pa.string())})
+        assert HtmlExtract()(t)["extracted"].to_pylist() == ["pre-decoded"]
+
+    def test_large_binary_decodes(self):
+        t = pa.table({"html": pa.array([b"<i>big</i>"], type=pa.large_binary())})
+        t = decode_utf8_column(t, "html")
+        assert pa.types.is_large_string(t["html"].type)
+
+    def test_passthrough_columns_preserved(self):
+        t = pa.table({
+            "url": pa.array(["u1", "u2"]),
+            "html": pa.array([b"<p>a</p>", b"<p>b</p>"], type=pa.binary()),
+        })
+        out = HtmlExtract()(t)
+        assert out.column_names == ["url", "html", "extracted"]
+        assert out["extracted"].to_pylist() == ["a", "b"]
+
+    def test_out_col_upserts_existing(self):
+        t = pa.table({
+            "html": pa.array([b"<p>x</p>"], type=pa.binary()),
+            "extracted": pa.array(["stale"]),
+        })
+        out = HtmlExtract()(t)
+        assert out["extracted"].to_pylist() == ["x"]
+        assert out.column_names.count("extracted") == 1
