@@ -1846,6 +1846,71 @@ SELECT doc_id, text_norm FROM r WHERE rn = 1
 
 
 # --------------------------------------------------------------------------
+# Q: incremental_dedup — bloom-prefiltered new-batch-vs-corpus ingest
+
+
+def q_incremental_dedup(sf_dir: str, verify_mode: str = "auto"):
+    """Incremental ingest dedup (ops/bloom.py:incremental_dedup): docs
+    split into an already-ingested CORPUS (doc_id % 5 != 0) and a NEW
+    batch (doc_id % 5 == 0) keyed by the first three words of text (a
+    content key with real cross-split collisions). Keeps the first new
+    row per key whose key is absent from the corpus — exact despite the
+    Bloom prefilter (every positive is verified against real corpus
+    keys; negatives are provably absent). The corpus ships key columns
+    only; its payload never leaves storage."""
+    import polars as pl
+
+    from edkray.ops.bloom import incremental_dedup
+
+    def _ck(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch)
+            .with_columns(
+                pl.col("text").str.split(" ").list.slice(0, 3).list.join(" ").alias("ck")
+            )
+            .select(["doc_id", "ck"])
+            .to_arrow()
+        )
+
+    def _split(rem_eq: bool):
+        def _f(batch: pa.Table) -> pa.Table:
+            df = pl.from_arrow(batch)
+            m = pl.col("doc_id") % 5 == 0
+            return df.filter(m if rem_eq else ~m).to_arrow()
+
+        return _f
+
+    keyed = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _ck, batch_format="pyarrow"
+    )
+    new = keyed.map_batches(_split(True), batch_format="pyarrow")
+    corpus = keyed.map_batches(_split(False), batch_format="pyarrow")
+    return incremental_dedup(
+        new, corpus, ["ck"], ["doc_id"], num_bits=1 << 16, num_buckets=16,
+        verify_mode=verify_mode,
+    )
+
+
+_SQL_INCREMENTAL_DEDUP = """
+WITH kk AS (
+  SELECT doc_id, array_to_string((string_split(text, ' '))[1:3], ' ') AS ck
+  FROM documents
+), newb AS (
+  SELECT * FROM kk WHERE doc_id % 5 = 0
+), corpus AS (
+  SELECT * FROM kk WHERE doc_id % 5 <> 0
+), first_new AS (
+  SELECT doc_id, ck FROM (
+    SELECT doc_id, ck, row_number() OVER (PARTITION BY ck ORDER BY doc_id) AS rn
+    FROM newb
+  ) WHERE rn = 1
+)
+SELECT doc_id, ck FROM first_new n
+WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.ck = n.ck)
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: packed_sequences — shuffle-shard ∘ greedy sequence packing
 
 
@@ -3139,6 +3204,7 @@ def queries() -> dict:
         "shuffle_shards": q_shuffle_shards,
         "heavy_hitters": q_heavy_hitters,
         "normalized_dedup": q_normalized_dedup,
+        "incremental_dedup": q_incremental_dedup,
         "ccnet_buckets": q_ccnet_buckets,
         "packed_sequences": q_packed_sequences,
         "lm_scores": q_lm_scores,
@@ -3233,6 +3299,7 @@ def oracle_sql() -> dict:
         "heavy_hitters": _sql_heavy_hitters(30),
         # pinned normalizer regexes + first-by-id window in SQL
         "normalized_dedup": _SQL_NORMALIZED_DEDUP,
+        "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         # lm oracle + quantile_disc terciles + same bucket rule
         "ccnet_buckets": _sql_ccnet_buckets(30),
         # shuffle-shard SQL + per-shard window prefix sum
