@@ -1,0 +1,110 @@
+"""URL canonicalization for web-page corpora.
+
+The web-text generalization of the reference's protocol-rewrite step
+(reference earth_data_kit/stitching/classes/commons.py-style URI
+normalization mirrored by ops/stages.py:normalize_uri, M18): map every
+spelling of the same page address to ONE canonical form so url-keyed
+dedup/join stages (exact_dedup on url, incremental_dedup, the flagship's
+url-first-wins) treat them as equal.
+
+Canonical form (pinned spec — the DuckDB oracle implements the same
+rules independently as a regexp/list chain):
+
+1. surrounding whitespace trimmed;
+2. scheme and authority lowercased (path/query case preserved);
+3. a leading ``www.`` stripped from the host;
+4. the fragment (``#...``) dropped;
+5. default ports dropped (``:80`` for http, ``:443`` for https);
+6. an empty path becomes ``/``;
+7. query params split on ``&``: empty params and tracking params
+   (``utm_*``, ``fbclid``, ``gclid``, ``msclkid``) dropped, the rest
+   sorted lexicographically and re-joined; a now-empty query loses its
+   ``?``.
+
+Rows that don't parse as ``scheme://authority...`` pass through
+unchanged (trimmed only) — a crawler's job is not to guess.
+
+Everything is vectorized polars expressions over the batch — no per-row
+Python.
+"""
+
+from __future__ import annotations
+
+import polars as pl
+import pyarrow as pa
+
+_SCHEME = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+_AUTH = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
+_PATH = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
+_QUERY = r"^[^?#]*\?([^#]*)"
+TRACKING_PARAM = r"^(utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid)="
+
+
+def canonical_url_expr(col: str) -> pl.Expr:
+    """Polars expression producing the canonical form of ``col``."""
+    u = pl.col(col).str.strip_chars()
+    scheme = u.str.extract(_SCHEME, 1).str.to_lowercase()
+    host = u.str.extract(_AUTH, 1).str.to_lowercase()
+    host = host.str.replace(r"^www\.", "")
+    host = (
+        pl.when(scheme == "http")
+        .then(host.str.replace(r":80$", ""))
+        .when(scheme == "https")
+        .then(host.str.replace(r":443$", ""))
+        .otherwise(host)
+    )
+    path = u.str.extract(_PATH, 1).fill_null("")
+    path = pl.when(path == "").then(pl.lit("/")).otherwise(path)
+    query = (
+        u.str.extract(_QUERY, 1)
+        .fill_null("")
+        .str.split("&")
+        .list.eval(
+            pl.element().filter(
+                (pl.element() != "") & ~pl.element().str.contains(TRACKING_PARAM)
+            )
+        )
+        .list.sort()
+        .list.join("&")
+    )
+    rebuilt = (
+        scheme
+        + pl.lit("://")
+        + host
+        + path
+        + pl.when(query != "").then(pl.lit("?") + query).otherwise(pl.lit(""))
+    )
+    return pl.when(scheme.is_null()).then(u).otherwise(rebuilt)
+
+
+def canonicalize_url(
+    batch: pa.Table, col: str = "url", out_col: str = "url_canon"
+) -> pa.Table:
+    """Append/overwrite ``out_col`` with the canonical form of ``col``."""
+    df = pl.from_arrow(batch)
+    return df.with_columns(canonical_url_expr(col).alias(out_col)).to_arrow()
+
+
+def sql_canonical_url(col: str) -> str:
+    """DuckDB expression implementing the SAME spec independently
+    (regexp + list chain) — the oracle side of the contract."""
+    u = f"trim({col})"
+    scheme = f"lower(regexp_extract({u}, '{_SCHEME}', 1))"
+    host = f"regexp_replace(lower(regexp_extract({u}, '{_AUTH}', 1)), '^www\\.', '')"
+    host = (
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({host}, ':80$', '') "
+        f"WHEN {scheme} = 'https' THEN regexp_replace({host}, ':443$', '') "
+        f"ELSE {host} END"
+    )
+    path = f"regexp_extract({u}, '{_PATH}', 1)"
+    path = f"CASE WHEN {path} = '' THEN '/' ELSE {path} END"
+    qlist = (
+        f"list_sort(list_filter(string_split(regexp_extract({u}, '{_QUERY}', 1), '&'), "
+        f"x -> x <> '' AND NOT regexp_matches(x, '{TRACKING_PARAM}')))"
+    )
+    query = f"array_to_string({qlist}, '&')"
+    rebuilt = (
+        f"{scheme} || '://' || {host} || {path} || "
+        f"CASE WHEN {query} <> '' THEN '?' || {query} ELSE '' END"
+    )
+    return f"CASE WHEN {scheme} = '' THEN {u} ELSE {rebuilt} END"

@@ -1891,6 +1891,70 @@ def q_incremental_dedup(sf_dir: str, verify_mode: str = "auto"):
     )
 
 
+# --------------------------------------------------------------------------
+# Q: url_canon — URL canonicalization → canonical-key rollup
+
+
+def q_url_canon(sf_dir: str):
+    """URL canonicalization (ops/url.py:canonicalize_url — the web-text
+    generalization of the reference's protocol-rewrite/URI-normalize
+    step, M18). Two deterministic spellings of each page id (clean vs
+    uppercase-www-:443-tracking-params-fragment) are constructed from
+    doc_id; canonicalization must collapse them. The ORACLE canonicalizes
+    INDEPENDENTLY via sql_canonical_url's regexp/list chain — only the
+    messy-input construction is shared. Returns one row per canonical
+    url with the variant count and first doc id."""
+    import polars as pl
+
+    from edkray.ops.aggregate import grouped_agg
+    from edkray.ops.url import canonicalize_url
+
+    def _mk(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        pid = (pl.col("doc_id") // 2).cast(pl.Utf8)
+        dom = ((pl.col("doc_id") // 2) % 20).cast(pl.Utf8)
+        clean = pl.lit("https://site") + dom + pl.lit(".example/d/") + pid + pl.lit("?a=1&b=2")
+        messy = (
+            pl.lit("HTTPS://WWW.Site") + dom + pl.lit(".Example:443/d/") + pid
+            + pl.lit("?b=2&utm_campaign=x&a=1#f")
+        )
+        return (
+            df.with_columns(
+                pl.when(pl.col("doc_id") % 2 == 0).then(clean).otherwise(messy).alias("url")
+            )
+            .select(["doc_id", "url"])
+            .to_arrow()
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(_mk, batch_format="pyarrow")
+    ds = ds.map_batches(canonicalize_url, batch_format="pyarrow")
+    return grouped_agg(
+        ds, ["url_canon"], [("count", None, "n_variants"), ("min", "doc_id", "first_doc")]
+    )
+
+
+def _sql_url_canon() -> str:
+    from edkray.ops.url import sql_canonical_url
+
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN 'https://site' || CAST((doc_id // 2) % 20 AS VARCHAR)
+                   || '.example/d/' || CAST(doc_id // 2 AS VARCHAR) || '?a=1&b=2'
+              ELSE 'HTTPS://WWW.Site' || CAST((doc_id // 2) % 20 AS VARCHAR)
+                   || '.Example:443/d/' || CAST(doc_id // 2 AS VARCHAR)
+                   || '?b=2&utm_campaign=x&a=1#f'
+         END AS url
+  FROM documents
+), c AS (
+  SELECT doc_id, {sql_canonical_url('url')} AS url_canon FROM u
+)
+SELECT url_canon, count(*) AS n_variants, min(doc_id) AS first_doc
+FROM c GROUP BY url_canon
+"""
+
+
 _SQL_INCREMENTAL_DEDUP = """
 WITH kk AS (
   SELECT doc_id, array_to_string((string_split(text, ' '))[1:3], ' ') AS ck
@@ -3205,6 +3269,7 @@ def queries() -> dict:
         "heavy_hitters": q_heavy_hitters,
         "normalized_dedup": q_normalized_dedup,
         "incremental_dedup": q_incremental_dedup,
+        "url_canon": q_url_canon,
         "ccnet_buckets": q_ccnet_buckets,
         "packed_sequences": q_packed_sequences,
         "lm_scores": q_lm_scores,
@@ -3300,6 +3365,7 @@ def oracle_sql() -> dict:
         # pinned normalizer regexes + first-by-id window in SQL
         "normalized_dedup": _SQL_NORMALIZED_DEDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
+        "url_canon": _sql_url_canon(),
         # lm oracle + quantile_disc terciles + same bucket rule
         "ccnet_buckets": _sql_ccnet_buckets(30),
         # shuffle-shard SQL + per-shard window prefix sum
