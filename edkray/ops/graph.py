@@ -205,3 +205,136 @@ def dedup_decisions(
         return batch.append_column("keep", pa.array(d == c))
 
     return labels.map_batches(_keep, batch_format="pyarrow")
+
+
+def pagerank(
+    edges: ray.data.Dataset,
+    num_iters: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    num_buckets: int = 32,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Distributed PageRank power iteration over an edge list — link
+    analysis for web corpora (quality priors for crawl selection; the
+    Common-Crawl harmonic/PageRank ranking step). The reference engine
+    has no graph analytics; this extends the dedup components family.
+
+    Semantics (pinned, SQL-replayable): rank_0(v) = 1/N over the node
+    set {src} ∪ {dst}; each iteration
+
+        rank_{t+1}(v) = (1-d)/N + d * Σ_{(u,v) ∈ E} rank_t(u)/outdeg(u)
+
+    Dangling nodes (no out-edges) contribute nothing — their mass is
+    dropped, the "ignore dangling" PageRank variant, so ranks sum to
+    < 1 when they exist; the oracle replays the same rule. Duplicate
+    edges count once per occurrence (a multigraph).
+
+    Scale shape: per iteration ONE co-shuffle of (edges ∪ rank rows) on
+    the source node via :func:`bucketed_group_map` (the per-bucket
+    kernel joins rank to edges vectorized in polars and emits the base
+    term from the rank side so every node survives), then one narrow
+    ``grouped_agg`` sum on the destination. Only (node id, float)
+    pairs ever move; rank state checkpoints per iteration via
+    ``materialize()`` — the iterative-frontier persistence every
+    fixed-point algorithm needs (a production run would swap it for a
+    partitioned parquet checkpoint and reuse the edge bucketing across
+    iterations; Ray Data has no co-partition cache primitive, so edges
+    re-shuffle per iteration here).
+    """
+    import polars as pl
+
+    from .aggregate import grouped_agg
+
+    deg = grouped_agg(edges, [src], [("count", None, "__outdeg")])
+
+    # attach outdeg to edges once (small co-shuffle, reused every iter)
+    def _attach(table: pa.Table) -> pa.Table:
+        df = pl.from_arrow(table)
+        e = df.filter(pl.col("__side") == 0).select([src, dst])
+        d = df.filter(pl.col("__side") == 1).select([src, "__outdeg"])
+        return e.join(d, on=src, how="inner").to_arrow()
+
+    def _tag(side: int, with_deg: bool):
+        def _f(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            cols = {
+                src: batch[src],
+                dst: batch[dst] if dst in batch.schema.names else pa.nulls(n, pa.int64()),
+                "__outdeg": batch["__outdeg"].cast(pa.int64())
+                if with_deg
+                else pa.nulls(n, pa.int64()),
+                "__side": pa.array(np.full(n, side, dtype=np.int8)),
+            }
+            return pa.table(cols)
+
+        return _f
+
+    routed = edges.map_batches(_tag(0, False), batch_format="pyarrow", batch_size=batch_size).union(
+        deg.map_batches(_tag(1, True), batch_format="pyarrow", batch_size=batch_size)
+    )
+    edges_deg = bucketed_group_map(routed, [src], _attach, num_buckets, batch_size).materialize()
+
+    # node set = {src} ∪ {dst}, distinct
+    def _both(batch: pa.Table) -> pa.Table:
+        a = batch[src].combine_chunks()
+        b = batch[dst].combine_chunks()
+        return pa.table({"node": pa.concat_arrays([a.cast(pa.int64()), b.cast(pa.int64())])})
+
+    from .aggregate import distinct
+
+    nodes = distinct(
+        edges.map_batches(_both, batch_format="pyarrow", batch_size=batch_size), ["node"]
+    ).materialize()
+    n_nodes = nodes.count()
+
+    rank = nodes.map_batches(
+        lambda b: b.append_column("rank", pa.array(np.full(len(b), 1.0 / n_nodes))),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    ).materialize()
+
+    base = (1.0 - damping) / n_nodes
+
+    def _tag_e(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            src: batch[src].cast(pa.int64()),
+            dst: batch[dst].cast(pa.int64()),
+            "__outdeg": batch["__outdeg"].cast(pa.int64()),
+            "rank": pa.nulls(len(batch), pa.float64()),
+            "__side": pa.array(np.zeros(len(batch), dtype=np.int8)),
+        })
+
+    def _tag_r(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            src: batch["node"].cast(pa.int64()),
+            dst: pa.nulls(n, pa.int64()),
+            "__outdeg": pa.nulls(n, pa.int64()),
+            "rank": batch["rank"].cast(pa.float64()),
+            "__side": pa.array(np.ones(n, dtype=np.int8)),
+        })
+
+    def _contrib(table: pa.Table) -> pa.Table:
+        df = pl.from_arrow(table)
+        e = df.filter(pl.col("__side") == 0).select([src, dst, "__outdeg"])
+        r = df.filter(pl.col("__side") == 1).select([src, "rank"])
+        c = (
+            e.join(r, on=src, how="inner")
+            .select(
+                pl.col(dst).alias("node"),
+                (pl.col("rank") * damping / pl.col("__outdeg")).alias("w"),
+            )
+        )
+        b = r.select(pl.col(src).alias("node"), pl.lit(base, dtype=pl.Float64).alias("w"))
+        return pl.concat([c, b]).to_arrow()
+
+    for _ in range(num_iters):
+        routed = edges_deg.map_batches(
+            _tag_e, batch_format="pyarrow", batch_size=batch_size
+        ).union(rank.map_batches(_tag_r, batch_format="pyarrow", batch_size=batch_size))
+        msgs = bucketed_group_map(routed, [src], _contrib, num_buckets, batch_size)
+        rank = grouped_agg(msgs, ["node"], [("sum", "w", "rank")]).materialize()
+
+    return rank

@@ -667,3 +667,70 @@ def normalize_text(
         .alias(out_col)
     )
     return upsert_column(batch, out_col, n.to_arrow()[out_col])
+
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    batch: pa.Table,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_stopwords: int = 1,
+) -> pa.Table:
+    """Gopher-style document-quality rule filter (Rae et al. 2021,
+    MassiveText A1.1), each rule a boolean column plus the composite
+    ``keep``:
+
+    - ``rule_words``: word count in [min_words, max_words];
+    - ``rule_wordlen``: mean word length in [3, 10] (defined as total
+      non-whitespace chars / word count — pinned so the SQL oracle
+      computes the identical quantity);
+    - ``rule_symbol``: (#-or-ellipsis matches) / words ≤ 0.1;
+    - ``rule_alpha``: ≥80% of words contain an alphabetic character;
+    - ``rule_stop``: ≥ ``min_stopwords`` DISTINCT stop words present
+      (Gopher uses 2; default 1 here — the synthetic corpus's word
+      list carries only "the" from the stop set, so 2 would be a
+      constant-False rule; the threshold is a parameter).
+
+    Words are ``\\S+`` runs (the repetition_stats tokenizer). A
+    zero-word document fails every rule. All vectorized polars."""
+    df = pl.from_arrow(batch)
+    toks = pl.col(text_col).str.extract_all(r"\S+")
+    nw = toks.list.len().cast(pl.Int64)
+    nonws = pl.col(text_col).str.count_matches(r"\S").cast(pl.Float64)
+    sym = pl.col(text_col).str.count_matches(r"#|\.\.\.").cast(pl.Float64)
+    alpha = (
+        toks.list.eval(pl.element().filter(pl.element().str.contains(r"[A-Za-z]")))
+        .list.len()
+        .cast(pl.Float64)
+    )
+    stop = (
+        toks.list.eval(pl.element().filter(pl.element().is_in(list(_GOPHER_STOPWORDS))))
+        .list.unique()
+        .list.len()
+        .cast(pl.Int64)
+    )
+    nwf = nw.cast(pl.Float64)
+    out = df.with_columns(
+        nw.alias("n_words"),
+        pl.when(nw > 0).then(nonws / nwf).otherwise(0.0).alias("mean_word_len"),
+        ((nw >= min_words) & (nw <= max_words)).alias("rule_words"),
+        pl.when(nw > 0)
+        .then((nonws / nwf >= 3.0) & (nonws / nwf <= 10.0))
+        .otherwise(False)
+        .alias("rule_wordlen"),
+        pl.when(nw > 0).then(sym / nwf <= 0.1).otherwise(False).alias("rule_symbol"),
+        pl.when(nw > 0).then(alpha / nwf >= 0.8).otherwise(False).alias("rule_alpha"),
+        (stop >= min_stopwords).alias("rule_stop"),
+    ).with_columns(
+        (
+            pl.col("rule_words")
+            & pl.col("rule_wordlen")
+            & pl.col("rule_symbol")
+            & pl.col("rule_alpha")
+            & pl.col("rule_stop")
+        ).alias("keep")
+    )
+    return out.to_arrow()

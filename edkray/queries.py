@@ -1892,6 +1892,125 @@ def q_incremental_dedup(sf_dir: str, verify_mode: str = "auto"):
 
 
 # --------------------------------------------------------------------------
+# Q: pagerank_scores — distributed link-analysis power iteration
+
+
+def q_pagerank(sf_dir: str, num_iters: int = 5):
+    """PageRank over a deterministic synthetic link graph (ops/graph.py:
+    pagerank): each doc links to (doc_id² + k) mod N for k ∈ {1,7,13}
+    (quadratic targets → non-uniform in-degree → non-trivial ranks).
+    Per iteration one co-shuffle of edges∪ranks on the source node and
+    one narrow (node, float) sum — documents never move. The oracle
+    replays the same 5 iterations as unrolled CTEs with the identical
+    float op order (rank*0.85/outdeg, base (1.0-0.85)/N)."""
+    from edkray.ops.graph import pagerank
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        s = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        srcs, dsts = [], []
+        for k in (1, 7, 13):
+            srcs.append(s)
+            dsts.append((s * s + k) % n)
+        return pa.table({
+            "src": pa.array(np.concatenate(srcs)),
+            "dst": pa.array(np.concatenate(dsts)),
+        })
+
+    edges = docs.map_batches(_edges, batch_format="pyarrow")
+    return pagerank(edges, num_iters=num_iters, damping=0.85, num_buckets=16)
+
+
+def _sql_pagerank(num_iters: int = 5) -> str:
+    steps = []
+    for i in range(1, num_iters + 1):
+        steps.append(f"""pr{i} AS (
+  SELECT node, sum(w) AS rank FROM (
+    SELECT e.dst AS node, p.rank * 0.85 / dg.outdeg AS w
+    FROM pr{i-1} p JOIN deg dg ON dg.src = p.node JOIN edges e ON e.src = p.node
+    UNION ALL
+    SELECT node, (1.0 - 0.85) / (SELECT n FROM params) AS w FROM pr{i-1}
+  ) GROUP BY node
+)""")
+    chain = ",\n".join(steps)
+    return f"""
+WITH params AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT doc_id AS src, (doc_id * doc_id + k) % (SELECT n FROM params) AS dst
+  FROM documents, unnest([1, 7, 13]) AS t(k)
+),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges
+  )
+),
+pr0 AS (SELECT node, 1.0 / (SELECT n FROM params) AS rank FROM nodes),
+{chain}
+SELECT node, rank FROM pr{num_iters}
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: gopher_quality — per-document Gopher rule filter
+
+
+def q_gopher_quality(sf_dir: str):
+    """Gopher/MassiveText document-quality rules (ops/text.py:
+    gopher_rules, Rae et al. 2021 A1.1): per-doc booleans for word
+    count, mean word length, symbol ratio, alpha-word fraction and
+    stop-word presence, plus the composite keep flag. The oracle
+    recomputes every rule independently with DuckDB list/regexp
+    kernels."""
+    from edkray.ops.text import gopher_rules
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(gopher_rules, batch_format="pyarrow")
+    return ds.map_batches(
+        lambda b: b.select(
+            ["doc_id", "n_words", "mean_word_len", "rule_words", "rule_wordlen",
+             "rule_symbol", "rule_alpha", "rule_stop", "keep"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_SQL_GOPHER = r"""
+WITH l AS (
+  SELECT doc_id, text, regexp_extract_all(text, '\S+') AS t FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_words,
+         length(regexp_replace(text, '\s', '', 'g')) * 1.0 AS nonws,
+         len(regexp_extract_all(text, '#|\.\.\.')) * 1.0 AS sym,
+         len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 AS alpha,
+         len(list_distinct(list_filter(t,
+             x -> x IN ('the','be','to','of','and','that','have','with')))) AS nstop
+  FROM l
+)
+SELECT doc_id, n_words,
+       CASE WHEN n_words > 0 THEN nonws / n_words ELSE 0.0 END AS mean_word_len,
+       (n_words BETWEEN 50 AND 100000) AS rule_words,
+       CASE WHEN n_words > 0
+            THEN nonws / n_words >= 3.0 AND nonws / n_words <= 10.0
+            ELSE FALSE END AS rule_wordlen,
+       CASE WHEN n_words > 0 THEN sym / n_words <= 0.1 ELSE FALSE END AS rule_symbol,
+       CASE WHEN n_words > 0 THEN alpha / n_words >= 0.8 ELSE FALSE END AS rule_alpha,
+       (nstop >= 1) AS rule_stop,
+       ((n_words BETWEEN 50 AND 100000)
+        AND CASE WHEN n_words > 0
+                 THEN nonws / n_words >= 3.0 AND nonws / n_words <= 10.0
+                 ELSE FALSE END
+        AND CASE WHEN n_words > 0 THEN sym / n_words <= 0.1 ELSE FALSE END
+        AND CASE WHEN n_words > 0 THEN alpha / n_words >= 0.8 ELSE FALSE END
+        AND nstop >= 1) AS keep
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: url_canon — URL canonicalization → canonical-key rollup
 
 
@@ -3270,6 +3389,8 @@ def queries() -> dict:
         "normalized_dedup": q_normalized_dedup,
         "incremental_dedup": q_incremental_dedup,
         "url_canon": q_url_canon,
+        "gopher_quality": q_gopher_quality,
+        "pagerank_scores": q_pagerank,
         "ccnet_buckets": q_ccnet_buckets,
         "packed_sequences": q_packed_sequences,
         "lm_scores": q_lm_scores,
@@ -3366,6 +3487,8 @@ def oracle_sql() -> dict:
         "normalized_dedup": _SQL_NORMALIZED_DEDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "url_canon": _sql_url_canon(),
+        "gopher_quality": _SQL_GOPHER,
+        "pagerank_scores": _sql_pagerank(),
         # lm oracle + quantile_disc terciles + same bucket rule
         "ccnet_buckets": _sql_ccnet_buckets(30),
         # shuffle-shard SQL + per-shard window prefix sum

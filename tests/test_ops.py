@@ -2429,3 +2429,140 @@ class TestParagraphDedupStringIds:
         assert out.loc["https://x.example/0", "n_kept"] == 2
         assert out.loc["https://x.example/1", "text_dedup"] == "z z"
         assert out.loc["https://x.example/2", "text_dedup"] == "q q"
+
+
+class TestPageRank:
+    """ops/graph.py:pagerank — power iteration vs a numpy reference."""
+
+    @staticmethod
+    def _np_pagerank(edges, num_iters=5, d=0.85):
+        import collections
+
+        nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+        idx = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        outdeg = collections.Counter(a for a, _ in edges)
+        rank = np.full(n, 1.0 / n)
+        for _ in range(num_iters):
+            new = np.full(n, (1.0 - d) / n)
+            for a, b in edges:
+                new[idx[b]] += rank[idx[a]] * d / outdeg[a]
+            rank = new
+        return dict(zip(nodes, rank))
+
+    @staticmethod
+    def _edges_ds(edges):
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table({
+                "src": pa.array([a for a, _ in edges], type=pa.int64()),
+                "dst": pa.array([b for _, b in edges], type=pa.int64()),
+            })
+        )
+
+    def test_matches_numpy_reference(self, ray_session):
+        from edkray.ops.graph import pagerank
+
+        rng = np.random.default_rng(3)
+        edges = [(int(a), int(b)) for a, b in zip(
+            rng.integers(0, 40, 200), rng.integers(0, 40, 200))]
+        got = pagerank(self._edges_ds(edges), num_iters=5, num_buckets=4).to_pandas()
+        exp = self._np_pagerank(edges)
+        assert len(got) == len(exp)
+        for node, rank in zip(got["node"], got["rank"]):
+            assert abs(rank - exp[node]) < 1e-9, node
+
+    def test_dangling_mass_dropped(self, ray_session):
+        from edkray.ops.graph import pagerank
+
+        # node 2 has no out-edges: its rank leaks (ranks sum < 1)
+        edges = [(0, 1), (1, 2), (0, 2)]
+        got = pagerank(self._edges_ds(edges), num_iters=3, num_buckets=2).to_pandas()
+        exp = self._np_pagerank(edges, num_iters=3)
+        assert len(got) == 3
+        for node, rank in zip(got["node"], got["rank"]):
+            assert abs(rank - exp[node]) < 1e-12
+        assert got["rank"].sum() < 1.0
+
+    def test_duplicate_edges_are_multiedges(self, ray_session):
+        from edkray.ops.graph import pagerank
+
+        edges = [(0, 1), (0, 1), (0, 2), (1, 0), (2, 0)]
+        got = pagerank(self._edges_ds(edges), num_iters=4, num_buckets=2).to_pandas()
+        exp = self._np_pagerank(edges, num_iters=4)
+        for node, rank in zip(got["node"], got["rank"]):
+            assert abs(rank - exp[node]) < 1e-12
+
+
+class TestGopherRules:
+    """ops/text.py:gopher_rules — pinned rule semantics (no Ray needed)."""
+
+    def _run(self, texts, **kw):
+        from edkray.ops.text import gopher_rules
+
+        t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+        import polars as pl
+
+        return pl.from_arrow(gopher_rules(t, **kw))
+
+    def test_word_count_bounds(self):
+        out = self._run(["w " * 10, "the " + "word " * 60], min_words=50)
+        assert out["rule_words"].to_list() == [False, True]
+
+    def test_zero_words_fails_everything(self):
+        out = self._run(["", "   "])
+        for c in ("rule_words", "rule_wordlen", "rule_symbol", "rule_alpha",
+                  "rule_stop", "keep"):
+            assert out[c].to_list() == [False, False], c
+
+    def test_mean_word_length(self):
+        # 2-char words → mwl 2 < 3 fails; 5-char words pass
+        out = self._run(["ab " * 60, "abcde " * 60])
+        assert out["rule_wordlen"].to_list() == [False, True]
+        assert abs(out["mean_word_len"][1] - 5.0) < 1e-12
+
+    def test_symbol_ratio(self):
+        ok = "the " + "word " * 99
+        bad = "the " + "word " * 79 + "# " * 20
+        out = self._run([ok, bad])
+        assert out["rule_symbol"].to_list() == [True, False]
+
+    def test_alpha_fraction(self):
+        mostly_num = "the " + "123 " * 99
+        out = self._run([mostly_num])
+        assert out["rule_alpha"].to_list() == [False]
+
+    def test_stopword_threshold(self):
+        no_stop = "word " * 60
+        one_stop = "the " + "word " * 60
+        two_stop = "the and " + "word " * 60
+        out = self._run([no_stop, one_stop, two_stop], min_stopwords=2)
+        assert out["rule_stop"].to_list() == [False, False, True]
+        out1 = self._run([no_stop, one_stop], min_stopwords=1)
+        assert out1["rule_stop"].to_list() == [False, True]
+
+    def test_keep_composite(self):
+        good = "the " + "word " * 60
+        out = self._run([good])
+        assert out["keep"].to_list() == [True]
+
+    def test_sql_mirror_agrees(self):
+        import duckdb
+
+        from edkray.queries import _SQL_GOPHER
+
+        texts = ["", "the " + "word " * 60, "ab " * 70, "the " + "123 " * 99,
+                 "x # " * 60, "the quick brown fox " * 20]
+        t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+        eng = self._run(texts).select(
+            ["doc_id", "n_words", "mean_word_len", "rule_words", "rule_wordlen",
+             "rule_symbol", "rule_alpha", "rule_stop", "keep"]).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", t)
+        ora = con.sql(_SQL_GOPHER).df()
+        pd.testing.assert_frame_equal(
+            eng.sort_values("doc_id").reset_index(drop=True),
+            ora.sort_values("doc_id").reset_index(drop=True),
+            check_dtype=False,
+        )
