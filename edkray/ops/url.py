@@ -108,3 +108,62 @@ def sql_canonical_url(col: str) -> str:
         f"CASE WHEN {query} <> '' THEN '?' || {query} ELSE '' END"
     )
     return f"CASE WHEN {scheme} = '' THEN {u} ELSE {rebuilt} END"
+
+
+def robots_filter(
+    ds,
+    rules: pa.Table,
+    url_col: str = "url",
+    host_col: str = "host",
+    prefix_col: str = "disallow_prefix",
+    batch_size: int = 65536,
+):
+    """Drop rows whose URL is disallowed by a robots-style rule set.
+
+    ``rules`` is a (host, disallow_prefix) table: a row is dropped when
+    ANY rule with ``host == lower(url host)`` has ``disallow_prefix``
+    that is a prefix of the URL's path (query/fragment excluded) —
+    the crawler-politeness step of a web-corpus pipeline. URLs that
+    don't parse (no ``scheme://host``) are KEPT (no host → no rule).
+
+    Scale shape: the rule table broadcasts once via ``ray.put`` (robots
+    sets are per-registrable-domain and orders of magnitude smaller
+    than the page corpus); each batch extracts host+path vectorized
+    (the canonicalization regexes), inner-joins to the rules on host —
+    a many-to-many explode bounded by rules-per-host — and keeps rows
+    with no ``starts_with`` hit. No shuffle; pages stream through one
+    map_batches.
+    """
+    import ray
+
+    import polars as pl
+
+    rl = (
+        pl.from_arrow(rules)
+        .select(
+            pl.col(host_col).str.to_lowercase().alias("__rhost"),
+            pl.col(prefix_col).alias("__rprefix"),
+        )
+        .unique()
+    )
+    rules_ref = ray.put(rl)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        r = ray.get(rules_ref)
+        df = pl.from_arrow(batch).with_row_index("__rowid")
+        hp = df.select(
+            "__rowid",
+            pl.col(url_col).str.strip_chars().str.extract(_AUTH, 1)
+            .str.to_lowercase().alias("__host"),
+            pl.col(url_col).str.strip_chars().str.extract(_PATH, 1)
+            .fill_null("").alias("__path"),
+        )
+        hit = (
+            hp.join(r, left_on="__host", right_on="__rhost", how="inner")
+            .filter(pl.col("__path").str.starts_with(pl.col("__rprefix")))
+            .select("__rowid")
+            .unique()
+        )
+        return df.join(hit, on="__rowid", how="anti").drop("__rowid").to_arrow()
+
+    return ds.map_batches(_filter, batch_format="pyarrow", batch_size=batch_size)

@@ -2074,6 +2074,60 @@ FROM c GROUP BY url_canon
 """
 
 
+# --------------------------------------------------------------------------
+# Q: robots_kept — robots-exclusion prefix filter
+
+
+def q_robots_kept(sf_dir: str):
+    """Robots-style disallow filter (ops/url.py:robots_filter): pages
+    get deterministic urls (doc_id%3==0 lands under /private/); the rule
+    set disallows /private/ on hosts site0-site9 plus the bare prefix
+    /d/1 on site1 (prefix semantics cross directory boundaries: /d/1,
+    /d/10, /d/199 all match). Rules broadcast once; pages stream through
+    one vectorized host-join + starts_with pass — no shuffle."""
+    import polars as pl
+
+    from edkray.ops.url import robots_filter
+
+    def _mk(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        url = (
+            pl.lit("https://site") + (pl.col("doc_id") % 20).cast(pl.Utf8)
+            + pl.lit(".example")
+            + pl.when(pl.col("doc_id") % 3 == 0).then(pl.lit("/private/")).otherwise(pl.lit("/d/"))
+            + pl.col("doc_id").cast(pl.Utf8)
+        )
+        return df.with_columns(url.alias("url")).select(["doc_id", "url"]).to_arrow()
+
+    rules = pa.table({
+        "host": [f"site{k}.example" for k in range(10)] + ["site1.example"],
+        "disallow_prefix": ["/private/"] * 10 + ["/d/1"],
+    })
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(_mk, batch_format="pyarrow")
+    return robots_filter(ds, rules)
+
+
+_SQL_ROBOTS = r"""
+WITH rules AS (
+  SELECT 'site' || CAST(k AS VARCHAR) || '.example' AS host, '/private/' AS pfx
+  FROM unnest(generate_series(0, 9)) AS t(k)
+  UNION ALL SELECT 'site1.example', '/d/1'
+), u AS (
+  SELECT doc_id,
+         'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example'
+         || CASE WHEN doc_id % 3 = 0 THEN '/private/' ELSE '/d/' END
+         || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+)
+SELECT doc_id, url FROM u
+WHERE NOT EXISTS (
+  SELECT 1 FROM rules r
+  WHERE r.host = lower(regexp_extract(u.url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1))
+    AND starts_with(regexp_extract(u.url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1), r.pfx)
+)
+"""
+
+
 _SQL_INCREMENTAL_DEDUP = """
 WITH kk AS (
   SELECT doc_id, array_to_string((string_split(text, ' '))[1:3], ' ') AS ck
@@ -3391,6 +3445,7 @@ def queries() -> dict:
         "url_canon": q_url_canon,
         "gopher_quality": q_gopher_quality,
         "pagerank_scores": q_pagerank,
+        "robots_kept": q_robots_kept,
         "ccnet_buckets": q_ccnet_buckets,
         "packed_sequences": q_packed_sequences,
         "lm_scores": q_lm_scores,
@@ -3489,6 +3544,7 @@ def oracle_sql() -> dict:
         "url_canon": _sql_url_canon(),
         "gopher_quality": _SQL_GOPHER,
         "pagerank_scores": _sql_pagerank(),
+        "robots_kept": _SQL_ROBOTS,
         # lm oracle + quantile_disc terciles + same bucket rule
         "ccnet_buckets": _sql_ccnet_buckets(30),
         # shuffle-shard SQL + per-shard window prefix sum

@@ -57,3 +57,62 @@ class TestCanonicalizeUrl:
         # 'B' (0x42) sorts before 'a' (0x61) on both sides
         t = pa.table({"url": pa.array(["https://x.y/?a=2&B=1"])})
         assert canonicalize_url(t)["url_canon"].to_pylist() == ["https://x.y/?B=1&a=2"]
+
+
+class TestRobotsFilter:
+    def _run(self, ray_session, urls, rules_rows):
+        import ray.data
+
+        from edkray.ops.url import robots_filter
+
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(list(range(len(urls))), type=pa.int64()),
+            "url": pa.array(urls, type=pa.string()),
+        }))
+        rules = pa.table({
+            "host": [r[0] for r in rules_rows],
+            "disallow_prefix": [r[1] for r in rules_rows],
+        })
+        out = robots_filter(ds, rules).to_pandas()
+        return set(out["doc_id"])
+
+    def test_prefix_match_drops(self, ray_session):
+        kept = self._run(
+            ray_session,
+            ["https://a.x/private/1", "https://a.x/public/1", "https://b.x/private/1"],
+            [("a.x", "/private/")],
+        )
+        assert kept == {1, 2}  # b.x has no rule
+
+    def test_host_case_insensitive(self, ray_session):
+        kept = self._run(
+            ray_session,
+            ["https://WWW.A.X/private/1", "https://A.X/private/1"],
+            [("a.x", "/private/")],
+        )
+        # www.a.x ≠ a.x (no www-stripping here — robots are per exact host)
+        assert kept == {0}
+
+    def test_prefix_crosses_directory_boundary(self, ray_session):
+        kept = self._run(
+            ray_session,
+            ["https://a.x/d/1", "https://a.x/d/10", "https://a.x/d/2"],
+            [("a.x", "/d/1")],
+        )
+        assert kept == {2}
+
+    def test_unparsable_urls_kept(self, ray_session):
+        kept = self._run(
+            ray_session,
+            ["not a url", "https://a.x/private/1"],
+            [("a.x", "/private/")],
+        )
+        assert kept == {0}
+
+    def test_multiple_rules_per_host(self, ray_session):
+        kept = self._run(
+            ray_session,
+            ["https://a.x/p1/z", "https://a.x/p2/z", "https://a.x/ok"],
+            [("a.x", "/p1/"), ("a.x", "/p2/")],
+        )
+        assert kept == {2}
