@@ -319,3 +319,51 @@ def bm25_topk(
 
     scores = ds.map_batches(_score, batch_format="pyarrow", batch_size=batch_size)
     return global_top_k(scores, ["score", id_col], k, descending=[True, False])
+
+
+def projection_matrix(d_in: int, d_out: int) -> np.ndarray:
+    """Deterministic Achlioptas sparse projection matrix (d_in × d_out):
+    entry (i, j) is +1 / -1 / 0 with probability 1/6, 1/6, 2/3 under the
+    Knuth multiplicative hash ``((i*d_out + j + 1) * 2654435761) mod 2^32
+    mod 6`` (0→+1, 1→-1) — 32-bit-safe arithmetic so the SQL oracle
+    replays it exactly (the dsir_resample gumbel-key discipline)."""
+    i = np.arange(d_in, dtype=np.int64)[:, None]
+    j = np.arange(d_out, dtype=np.int64)[None, :]
+    h = ((i * d_out + j + 1) * 2654435761) % 4294967296 % 6
+    return np.where(h == 0, 1.0, np.where(h == 1, -1.0, 0.0))
+
+
+def random_projection(
+    ds: ray.data.Dataset,
+    d_out: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    batch_size: int = 4096,
+) -> ray.data.Dataset:
+    """Johnson–Lindenstrauss dimensionality reduction of an embedding
+    column (Achlioptas 2003 sparse projection): y = sqrt(3/d_in)·(X @ R)
+    with the deterministic ±1/0 matrix above. The standard pre-step
+    before banded LSH / IVF at 10^12 scale — shrinks the vector bytes
+    that later stages shuffle. One streaming map_batches; R is a few KB
+    captured in the closure (rebuilt per worker, never shipped per
+    batch beyond the task definition). Output is long-form
+    (id, dim, proj) so the SQL oracle can replay the same sums."""
+    from edkray.utils import list_to_matrix
+
+    state: dict = {}
+
+    def _proj(batch: pa.Table) -> pa.Table:
+        x = list_to_matrix(batch[emb_col], dtype=np.float64)
+        if "R" not in state:
+            state["R"] = projection_matrix(x.shape[1], d_out)
+            state["s"] = float(np.sqrt(3.0 / x.shape[1]))
+        y = (x @ state["R"]) * state["s"]
+        n = len(batch)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, d_out)),
+            "dim": pa.array(np.tile(np.arange(d_out, dtype=np.int64), n)),
+            "proj": pa.array(y.ravel()),
+        })
+
+    return ds.map_batches(_proj, batch_format="pyarrow", batch_size=batch_size)

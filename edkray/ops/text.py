@@ -734,3 +734,49 @@ def gopher_rules(
         ).alias("keep")
     )
     return out.to_arrow()
+
+
+def chunk_documents(
+    batch: pa.Table,
+    text_col: str = "text",
+    chunk_words: int = 16,
+    stride_words: int = 8,
+) -> pa.Table:
+    """Overlapping sliding-window chunking (the RAG / long-context
+    trainer-prep step): each document explodes into word-window chunks
+    ``k`` covering words ``[k*stride, min(k*stride + chunk, n))`` for
+    every ``k*stride < n`` (so the tail chunk may be short; a 0-word
+    document emits no chunks). Words are ``\\S+`` runs, chunk text is
+    the words re-joined with single spaces.
+
+    Vectorized: one split per doc, chunk rows fanned out with
+    np.repeat + segmented arange, per-row list.slice — no per-doc
+    Python. Output rows carry (doc_id cols ... , chunk_id, chunk_text,
+    n_chunk_words); the fan-out factor is ~chunk/stride, inherent to
+    overlapping output."""
+    if stride_words <= 0 or chunk_words <= 0:
+        raise ValueError("chunk_words and stride_words must be positive")
+    df = pl.from_arrow(batch)
+    df = df.with_columns(pl.col(text_col).str.extract_all(r"\S+").alias("__ws"))
+    n = df["__ws"].list.len().to_numpy().astype(np.int64)
+    counts = np.where(n > 0, (n - 1) // stride_words + 1, 0)
+    idx = np.repeat(np.arange(len(df), dtype=np.int64), counts)
+    k = _seg_arange(counts)
+    out = (
+        df[idx.tolist()]
+        .with_columns(
+            pl.Series("chunk_id", k, dtype=pl.Int64),
+            pl.Series("__off", k * stride_words, dtype=pl.Int64),
+        )
+        .with_columns(
+            pl.col("__ws").list.slice(pl.col("__off"), chunk_words)
+            .list.join(" ")
+            .alias("chunk_text"),
+            pl.min_horizontal(
+                pl.lit(chunk_words, dtype=pl.Int64),
+                pl.col("__ws").list.len().cast(pl.Int64) - pl.col("__off"),
+            ).alias("n_chunk_words"),
+        )
+        .drop(["__ws", "__off", text_col])
+    )
+    return out.to_arrow()

@@ -2075,6 +2075,71 @@ FROM c GROUP BY url_canon
 
 
 # --------------------------------------------------------------------------
+# Q: random_projection — JL dimensionality reduction of embeddings
+
+
+def q_random_projection(sf_dir: str, d_out: int = 8):
+    """Achlioptas sparse random projection (ops/search.py:
+    random_projection): 64-dim float embeddings → 8-dim, y =
+    sqrt(3/64)·(X @ R) with the deterministic Knuth-hash ±1/0 matrix.
+    The oracle replays R entry-by-entry and re-sums per output dim via
+    generate_series indexing (1e-9 float agreement)."""
+    from edkray.ops.search import random_projection
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return random_projection(ds, d_out=d_out)
+
+
+def _sql_random_projection(d_in: int = 64, d_out: int = 8) -> str:
+    return f"""
+WITH r AS (
+  SELECT i, j,
+         CASE ((((i * {d_out} + j + 1) * 2654435761) % 4294967296) % 6)
+           WHEN 0 THEN 1.0 WHEN 1 THEN -1.0 ELSE 0.0 END AS v
+  FROM unnest(generate_series(0, {d_in - 1})) AS a(i),
+       unnest(generate_series(0, {d_out - 1})) AS b(j)
+), x AS (
+  SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS s(i)
+)
+SELECT x.vec_id, r.j AS dim, sum(x.val * r.v) * sqrt(3.0 / {d_in}) AS proj
+FROM x JOIN r ON r.i = x.i
+GROUP BY x.vec_id, r.j
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: doc_chunks — overlapping sliding-window chunking
+
+
+def q_doc_chunks(sf_dir: str, chunk_words: int = 16, stride_words: int = 8):
+    """RAG/long-context chunking (ops/text.py:chunk_documents): each doc
+    explodes into word windows [k*stride, k*stride+chunk) for every
+    k*stride < n_words; tail chunks may be short, 0-word docs emit
+    nothing. The oracle replays the same windows with 1-based DuckDB
+    list slicing over generate_series."""
+    from edkray.ops.text import chunk_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: chunk_documents(b, chunk_words=chunk_words, stride_words=stride_words),
+        batch_format="pyarrow",
+    )
+
+
+_SQL_DOC_CHUNKS = r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
+)
+SELECT doc_id, k AS chunk_id,
+       array_to_string(ws[k * 8 + 1 : k * 8 + 16], ' ') AS chunk_text,
+       least(16, len(ws) - k * 8) AS n_chunk_words
+FROM w, unnest(generate_series(0, CAST((len(ws) - 1) // 8 AS BIGINT))) AS t(k)
+WHERE len(ws) > 0
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: robots_kept — robots-exclusion prefix filter
 
 
@@ -3446,6 +3511,8 @@ def queries() -> dict:
         "gopher_quality": q_gopher_quality,
         "pagerank_scores": q_pagerank,
         "robots_kept": q_robots_kept,
+        "doc_chunks": q_doc_chunks,
+        "random_projection": q_random_projection,
         "ccnet_buckets": q_ccnet_buckets,
         "packed_sequences": q_packed_sequences,
         "lm_scores": q_lm_scores,
@@ -3545,6 +3612,8 @@ def oracle_sql() -> dict:
         "gopher_quality": _SQL_GOPHER,
         "pagerank_scores": _sql_pagerank(),
         "robots_kept": _SQL_ROBOTS,
+        "doc_chunks": _SQL_DOC_CHUNKS,
+        "random_projection": _sql_random_projection(),
         # lm oracle + quantile_disc terciles + same bucket rule
         "ccnet_buckets": _sql_ccnet_buckets(30),
         # shuffle-shard SQL + per-shard window prefix sum

@@ -2566,3 +2566,96 @@ class TestGopherRules:
             ora.sort_values("doc_id").reset_index(drop=True),
             check_dtype=False,
         )
+
+
+class TestChunkDocuments:
+    """ops/text.py:chunk_documents — overlapping window semantics."""
+
+    def _run(self, texts, chunk=3, stride=2):
+        from edkray.ops.text import chunk_documents
+
+        t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+        import polars as pl
+
+        return pl.from_arrow(chunk_documents(t, chunk_words=chunk, stride_words=stride))
+
+    def test_windows_and_tail(self):
+        out = self._run(["w1 w2 w3 w4 w5"])
+        assert out["chunk_text"].to_list() == ["w1 w2 w3", "w3 w4 w5", "w5"]
+        assert out["n_chunk_words"].to_list() == [3, 3, 1]
+        assert out["chunk_id"].to_list() == [0, 1, 2]
+
+    def test_empty_doc_emits_nothing(self):
+        out = self._run(["", "a b"])
+        assert out["doc_id"].to_list() == [1]
+
+    def test_doc_shorter_than_chunk(self):
+        out = self._run(["only two"], chunk=16, stride=8)
+        assert out["chunk_text"].to_list() == ["only two"]
+        assert out["n_chunk_words"].to_list() == [2]
+
+    def test_exact_multiple_no_empty_tail(self):
+        # n=4, stride=2, chunk=2: offsets 0,2 only (4 is not < 4)
+        out = self._run(["a b c d"], chunk=2, stride=2)
+        assert out["chunk_text"].to_list() == ["a b", "c d"]
+
+    def test_whitespace_collapse(self):
+        out = self._run(["a   b\tc"], chunk=2, stride=2)
+        assert out["chunk_text"].to_list() == ["a b", "c"]
+
+    def test_bad_params_raise(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            self._run(["a"], chunk=0)
+        with _pytest.raises(ValueError):
+            self._run(["a"], stride=0)
+
+    def test_sql_mirror_agrees(self):
+        import duckdb
+
+        from edkray.queries import _SQL_DOC_CHUNKS
+
+        texts = ["", "one", " ".join(f"w{i}" for i in range(40)), "a b c"]
+        t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+        eng = self._run(texts, chunk=16, stride=8).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", t)
+        ora = con.sql(_SQL_DOC_CHUNKS).df()
+        key = ["doc_id", "chunk_id"]
+        pd.testing.assert_frame_equal(
+            eng.sort_values(key).reset_index(drop=True),
+            ora.sort_values(key).reset_index(drop=True)[eng.columns],
+            check_dtype=False,
+        )
+
+
+class TestRandomProjection:
+    """ops/search.py:projection_matrix / random_projection."""
+
+    def test_matrix_deterministic_and_sparse(self):
+        from edkray.ops.search import projection_matrix
+
+        r1 = projection_matrix(64, 8)
+        r2 = projection_matrix(64, 8)
+        assert np.array_equal(r1, r2)
+        assert set(np.unique(r1)) <= {-1.0, 0.0, 1.0}
+        # Achlioptas density: ~2/3 zeros
+        assert 0.5 < (r1 == 0).mean() < 0.8
+
+    def test_matches_numpy(self, ray_session):
+        import ray.data
+
+        from edkray.ops.search import projection_matrix, random_projection
+
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=(30, 16)).astype(np.float32)
+        ds = ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(np.arange(30, dtype=np.int64)),
+            "embedding": pa.array(list(x), type=pa.list_(pa.float32())),
+        }))
+        out = random_projection(ds, d_out=4).to_pandas()
+        y = (x.astype(np.float64) @ projection_matrix(16, 4)) * np.sqrt(3.0 / 16)
+        assert len(out) == 120
+        for _, row in out.iterrows():
+            assert abs(row["proj"] - y[int(row["vec_id"]), int(row["dim"])]) < 1e-12
