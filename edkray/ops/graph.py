@@ -215,6 +215,8 @@ def pagerank(
     dst: str = "dst",
     num_buckets: int = 32,
     batch_size: int = 65536,
+    mode: str = "auto",
+    dense_limit: int = 30_000_000,
 ) -> ray.data.Dataset:
     """Distributed PageRank power iteration over an edge list — link
     analysis for web corpora (quality priors for crawl selection; the
@@ -231,23 +233,155 @@ def pagerank(
     < 1 when they exist; the oracle replays the same rule. Duplicate
     edges count once per occurrence (a multigraph).
 
-    Scale shape: per iteration ONE co-shuffle of (edges ∪ rank rows) on
-    the source node via :func:`bucketed_group_map` (the per-bucket
-    kernel joins rank to edges vectorized in polars and emits the base
-    term from the rank side so every node survives), then one narrow
-    ``grouped_agg`` sum on the destination. Only (node id, float)
-    pairs ever move; rank state checkpoints per iteration via
-    ``materialize()`` — the iterative-frontier persistence every
-    fixed-point algorithm needs (a production run would swap it for a
-    partitioned parquet checkpoint and reuse the edge bucketing across
-    iterations; Ray Data has no co-partition cache primitive, so edges
-    re-shuffle per iteration here).
+    Two execution modes (the A5 driver-bound-with-fallback contract):
+
+    - ``mode="dense"`` (auto default while the node count fits
+      ``dense_limit``): node ids index into a broadcast sorted array;
+      each iteration is ONE streaming pass over the pre-indexed edge
+      blocks — per block a vectorized ``np.bincount`` partial rank
+      vector — folded on the driver (two vectors resident at once).
+      No shuffle at all per iteration; edges never move after the
+      one-time out-degree attach. Driver traffic = blocks × 8·N bytes
+      per iteration, hence the ENFORCED ``dense_limit`` bound.
+    - ``mode="shuffle"`` (auto fallback past the bound): per iteration
+      one co-shuffle of (edges ∪ rank rows) on the source node via
+      :func:`bucketed_group_map` (the per-bucket kernel joins rank to
+      edges vectorized in polars, partial-sums contributions by
+      destination inside the bucket, and emits the base term from the
+      rank side so every node survives), then one bucketed polars sum
+      on the destination — NOT the native per-key groupby (the
+      top_revenue_orders lesson). Only (node id, float) pairs move;
+      rank state checkpoints per iteration via ``materialize()`` — the
+      iterative-frontier persistence every fixed-point algorithm needs
+      (a production run would swap it for a partitioned parquet
+      checkpoint and reuse the edge bucketing across iterations; Ray
+      Data has no co-partition cache primitive, so edges re-shuffle
+      per iteration here).
     """
     import polars as pl
 
-    from .aggregate import grouped_agg
 
-    deg = grouped_agg(edges, [src], [("count", None, "__outdeg")])
+    if mode not in ("auto", "dense", "shuffle"):
+        raise ValueError(f"mode must be auto|dense|shuffle, got {mode!r}")
+
+    # --- dense path: no shuffle anywhere ------------------------------
+    # Node set, out-degree, indexing and every iteration are driver-
+    # folded vectors bounded by dense_limit; the decision needs the
+    # node count, which the dense node-set fold itself produces — so
+    # in auto mode we TRY the dense fold with a hard cap and fall back
+    # when it trips (the same try-then-fallback shape as the flagship's
+    # count-bound salting).
+    if mode in ("auto", "dense"):
+        cap = dense_limit if mode == "auto" else max(dense_limit, 1)
+
+        def _uniq(batch: pa.Table) -> pa.Table:
+            u = np.unique(
+                np.concatenate([
+                    batch[src].to_numpy(zero_copy_only=False).astype(np.int64),
+                    batch[dst].to_numpy(zero_copy_only=False).astype(np.int64),
+                ])
+            )
+            return pa.table({"node": pa.array(u)})
+
+        parts = []
+        total = 0
+        overflow = False
+        per_block = edges.map_batches(_uniq, batch_format="pyarrow", batch_size=None)
+        for bb in per_block.iter_batches(batch_format="pyarrow", batch_size=None):
+            arr = bb["node"].to_numpy(zero_copy_only=False)
+            parts.append(arr)
+            total += len(arr)
+            if total > 4 * cap:  # block-level uniques can overlap ≤ blocks×
+                overflow = True
+                break
+        node_ids = None
+        if not overflow:
+            node_ids = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+            if len(node_ids) > cap:
+                overflow = True
+        del parts
+        if overflow:
+            if mode == "dense":
+                raise ValueError(
+                    f"dense pagerank needs the node set on the driver; it exceeds "
+                    f"dense_limit={dense_limit} — raise it explicitly or use mode='shuffle'"
+                )
+            mode = "shuffle"
+        else:
+            n_nodes = len(node_ids)
+            base = (1.0 - damping) / n_nodes
+            ids_ref = ray.put(node_ids)
+
+            def _index(batch: pa.Table) -> pa.Table:
+                ids = ray.get(ids_ref)
+                return pa.table({
+                    "si": pa.array(np.searchsorted(
+                        ids, batch[src].to_numpy(zero_copy_only=False)).astype(np.int64)),
+                    "di": pa.array(np.searchsorted(
+                        ids, batch[dst].to_numpy(zero_copy_only=False)).astype(np.int64)),
+                })
+
+            eidx = edges.map_batches(
+                _index, batch_format="pyarrow", batch_size=batch_size
+            ).materialize()
+
+            # out-degree: one driver-folded bincount pass (same bound)
+            outdeg = np.zeros(n_nodes, dtype=np.int64)
+            for bb in eidx.map_batches(
+                lambda b: pa.table({"v": pa.array(
+                    [np.bincount(b["si"].to_numpy(zero_copy_only=False),
+                                 minlength=n_nodes).astype(np.int64).tobytes()],
+                    type=pa.binary())}),
+                batch_format="pyarrow", batch_size=None,
+            ).iter_batches(batch_format="pyarrow", batch_size=None):
+                for buf in bb["v"]:
+                    outdeg += np.frombuffer(buf.as_py(), dtype=np.int64)
+            od_ref = ray.put(np.maximum(outdeg, 1))  # guard: si rows imply outdeg ≥ 1
+
+            rank_vec = np.full(n_nodes, 1.0 / n_nodes)
+            for _ in range(num_iters):
+                rref = ray.put(rank_vec)
+
+                def _partial(batch: pa.Table) -> pa.Table:
+                    r = ray.get(rref)
+                    od = ray.get(od_ref)
+                    si = batch["si"].to_numpy(zero_copy_only=False)
+                    w = r[si] * damping / od[si]
+                    v = np.bincount(
+                        batch["di"].to_numpy(zero_copy_only=False),
+                        weights=w, minlength=n_nodes,
+                    )
+                    return pa.table({"v": pa.array([v.tobytes()], type=pa.binary())})
+
+                acc = np.full(n_nodes, base)
+                for bb in eidx.map_batches(
+                    _partial, batch_format="pyarrow", batch_size=None
+                ).iter_batches(batch_format="pyarrow", batch_size=None):
+                    for buf in bb["v"]:
+                        acc += np.frombuffer(buf.as_py(), dtype=np.float64)
+                rank_vec = acc
+
+            out = pa.table({"node": pa.array(node_ids), "rank": pa.array(rank_vec)})
+            return ray.data.from_arrow(out)
+
+    # --- shuffle path: everything bucketed, nothing driver-sized ------
+    def _deg_partial(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(batch[src].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({src: pa.array(u.astype(np.int64)),
+                         "__outdeg": pa.array(c.astype(np.int64))})
+
+    def _deg_sum(table: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(table)
+            .group_by(src)
+            .agg(pl.col("__outdeg").sum())
+            .to_arrow()
+        )
+
+    deg = bucketed_group_map(
+        edges.map_batches(_deg_partial, batch_format="pyarrow", batch_size=batch_size),
+        [src], _deg_sum, num_buckets, batch_size,
+    )
 
     # attach outdeg to edges once (small co-shuffle, reused every iter)
     def _attach(table: pa.Table) -> pa.Table:
@@ -276,26 +410,30 @@ def pagerank(
     )
     edges_deg = bucketed_group_map(routed, [src], _attach, num_buckets, batch_size).materialize()
 
-    # node set = {src} ∪ {dst}, distinct
+    # node set = {src} ∪ {dst}, bucketed distinct (NOT the native
+    # per-key groupby — 10^8-node graphs would hit the sort wall)
     def _both(batch: pa.Table) -> pa.Table:
-        a = batch[src].combine_chunks()
-        b = batch[dst].combine_chunks()
-        return pa.table({"node": pa.concat_arrays([a.cast(pa.int64()), b.cast(pa.int64())])})
+        u = np.unique(np.concatenate([
+            batch[src].to_numpy(zero_copy_only=False).astype(np.int64),
+            batch[dst].to_numpy(zero_copy_only=False).astype(np.int64),
+        ]))
+        return pa.table({"node": pa.array(u)})
 
-    from .aggregate import distinct
+    def _uniq_bucket(table: pa.Table) -> pa.Table:
+        return pl.from_arrow(table).unique(subset=["node"]).to_arrow()
 
-    nodes = distinct(
-        edges.map_batches(_both, batch_format="pyarrow", batch_size=batch_size), ["node"]
+    nodes = bucketed_group_map(
+        edges.map_batches(_both, batch_format="pyarrow", batch_size=batch_size),
+        ["node"], _uniq_bucket, num_buckets, batch_size,
     ).materialize()
     n_nodes = nodes.count()
+    base = (1.0 - damping) / n_nodes
 
     rank = nodes.map_batches(
         lambda b: b.append_column("rank", pa.array(np.full(len(b), 1.0 / n_nodes))),
         batch_format="pyarrow",
         batch_size=batch_size,
     ).materialize()
-
-    base = (1.0 - damping) / n_nodes
 
     def _tag_e(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -326,15 +464,29 @@ def pagerank(
                 pl.col(dst).alias("node"),
                 (pl.col("rank") * damping / pl.col("__outdeg")).alias("w"),
             )
+            # partial-sum by destination INSIDE the bucket: shrinks the
+            # second exchange to ≤ one row per (bucket, node)
+            .group_by("node")
+            .agg(pl.col("w").sum())
         )
         b = r.select(pl.col(src).alias("node"), pl.lit(base, dtype=pl.Float64).alias("w"))
         return pl.concat([c, b]).to_arrow()
+
+    def _sum_rank(table: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(table)
+            .group_by("node")
+            .agg(pl.col("w").sum().alias("rank"))
+            .to_arrow()
+        )
 
     for _ in range(num_iters):
         routed = edges_deg.map_batches(
             _tag_e, batch_format="pyarrow", batch_size=batch_size
         ).union(rank.map_batches(_tag_r, batch_format="pyarrow", batch_size=batch_size))
         msgs = bucketed_group_map(routed, [src], _contrib, num_buckets, batch_size)
-        rank = grouped_agg(msgs, ["node"], [("sum", "w", "rank")]).materialize()
+        rank = bucketed_group_map(
+            msgs, ["node"], _sum_rank, num_buckets, batch_size
+        ).materialize()
 
     return rank

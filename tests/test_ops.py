@@ -2461,17 +2461,32 @@ class TestPageRank:
             })
         )
 
-    def test_matches_numpy_reference(self, ray_session):
+    def test_matches_numpy_reference_both_modes(self, ray_session):
         from edkray.ops.graph import pagerank
 
         rng = np.random.default_rng(3)
         edges = [(int(a), int(b)) for a, b in zip(
             rng.integers(0, 40, 200), rng.integers(0, 40, 200))]
-        got = pagerank(self._edges_ds(edges), num_iters=5, num_buckets=4).to_pandas()
         exp = self._np_pagerank(edges)
-        assert len(got) == len(exp)
-        for node, rank in zip(got["node"], got["rank"]):
-            assert abs(rank - exp[node]) < 1e-9, node
+        for mode in ("dense", "shuffle"):
+            got = pagerank(
+                self._edges_ds(edges), num_iters=5, num_buckets=4, mode=mode
+            ).to_pandas()
+            assert len(got) == len(exp), mode
+            for node, rank in zip(got["node"], got["rank"]):
+                assert abs(rank - exp[node]) < 1e-9, (mode, node)
+
+    def test_dense_limit_enforced(self, ray_session):
+        import pytest as _pytest
+
+        from edkray.ops.graph import pagerank
+
+        ds = self._edges_ds([(0, 1), (1, 0)])
+        with _pytest.raises(ValueError):
+            pagerank(ds, num_iters=1, mode="dense", dense_limit=1)
+        # auto falls back to shuffle instead of raising
+        out = pagerank(ds, num_iters=1, mode="auto", dense_limit=1).to_pandas()
+        assert len(out) == 2
 
     def test_dangling_mass_dropped(self, ray_session):
         from edkray.ops.graph import pagerank
