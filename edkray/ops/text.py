@@ -780,3 +780,45 @@ def chunk_documents(
         .drop(["__ws", "__off", text_col])
     )
     return out.to_arrow()
+
+
+def group_split(
+    batch: pa.Table,
+    group_col: str,
+    fracs: tuple[float, ...] = (0.8, 0.1, 0.1),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    out_col: str = "split",
+) -> pa.Table:
+    """Leakage-safe train/val/test assignment: every row of a GROUP
+    (domain, source, author) lands in the same split, decided by the
+    pinned :func:`polyhash` of the group string mod 1000 against the
+    cumulative ``fracs`` thresholds — so near-duplicate documents from
+    one origin can't straddle the train/eval boundary (the standard
+    group-aware split rule). Deterministic, SQL-replayable (the dsir
+    polyhash-replay discipline).
+
+    The raw polynomial hash differs by 1 between names that differ only
+    in the last character (B^0 = 1), so sequential origins would land
+    in consecutive buckets; the splitmix64 finalizer (utils.fnv1a64_int,
+    itself HUGEINT-replayable in DuckDB) is applied on top before the
+    mod. Hashes are computed once per DISTINCT group value in the batch
+    and broadcast to rows (groups ≪ rows in any web corpus)."""
+    from edkray.utils import fnv1a64_int
+
+    if len(fracs) != len(names) or abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError("fracs must sum to 1 and pair with names")
+    df = pl.from_arrow(batch)
+    uniq = df[group_col].unique().to_list()
+    cuts = np.cumsum(np.array(fracs) * 1000.0).astype(np.int64)
+    mapping = {}
+    for g in uniq:
+        if g is None:
+            mapping[g] = names[0]
+            continue
+        h = fnv1a64_int(np.array([polyhash(str(g).encode())], dtype=np.uint64))[0]
+        b = int(h % np.uint64(1000))
+        mapping[g] = names[int(np.searchsorted(cuts, b, side="right"))]
+    out = df.with_columns(
+        df[group_col].replace_strict(mapping, return_dtype=pl.Utf8).alias(out_col)
+    )
+    return out.to_arrow()

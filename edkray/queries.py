@@ -2075,6 +2075,86 @@ FROM c GROUP BY url_canon
 
 
 # --------------------------------------------------------------------------
+# Q: group_split — leakage-safe train/val/test assignment
+
+
+def q_group_split(sf_dir: str):
+    """Group-aware 80/10/10 split (ops/text.py:group_split): every doc
+    of one source lands in the same split, decided by splitmix64(
+    polyhash(source)) mod 1000 — near-dups from one origin can't
+    straddle the train/eval boundary. The oracle replays the polynomial
+    hash (the dsir pows CTE) AND the splitmix64 finalizer in HUGEINT
+    arithmetic, stage by stage."""
+    from edkray.ops.text import group_split
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return ds.map_batches(
+        lambda b: group_split(b, "source"), batch_format="pyarrow"
+    )
+
+
+_SQL_GROUP_SPLIT = """
+WITH RECURSIVE pows(e, p) AS (
+  SELECT 0, CAST(1 AS UBIGINT)
+  UNION ALL
+  SELECT e + 1,
+         CAST((p::HUGEINT * 1099511628211::HUGEINT)
+              % 18446744073709551616::HUGEINT AS UBIGINT)
+  FROM pows
+  WHERE e < (SELECT max(length(source)) FROM documents)
+), srcs AS (
+  SELECT DISTINCT source FROM documents
+), chars AS (
+  SELECT source, unnest(range(1, length(source) + 1)) AS pos FROM srcs
+), ph AS (
+  SELECT c.source,
+         CAST(CAST(sum(ord(substr(c.source, c.pos, 1))::HUGEINT * pw.p::HUGEINT)
+                   % 18446744073709551616::HUGEINT AS UBIGINT) AS UBIGINT) AS h
+  FROM chars c JOIN pows pw ON pw.e = length(c.source) - c.pos
+  GROUP BY c.source
+), m1 AS (
+  SELECT source,
+         CAST((h::HUGEINT + 11400714819323198485::HUGEINT)
+              % 18446744073709551616::HUGEINT AS UBIGINT) AS x
+  FROM ph
+), m2y AS (
+  SELECT source, xor(x, x >> 30) AS y FROM m1
+), m2 AS (
+  -- y * 0xBF58476D1CE4E5B9 mod 2^64 via 32-bit split halves
+  -- (a full 64x64 HUGEINT multiply overflows INT128)
+  SELECT source,
+         CAST(((y % 4294967296)::HUGEINT * 484763065::HUGEINT
+               + 4294967296::HUGEINT *
+                 (((y % 4294967296)::HUGEINT * 3210233709::HUGEINT
+                   + (y >> 32)::HUGEINT * 484763065::HUGEINT)
+                  % 4294967296::HUGEINT))
+              % 18446744073709551616::HUGEINT AS UBIGINT) AS x
+  FROM m2y
+), m3y AS (
+  SELECT source, xor(x, x >> 27) AS y FROM m2
+), m3 AS (
+  -- y * 0x94D049BB133111EB mod 2^64, same split
+  SELECT source,
+         CAST(((y % 4294967296)::HUGEINT * 321982955::HUGEINT
+               + 4294967296::HUGEINT *
+                 (((y % 4294967296)::HUGEINT * 2496678331::HUGEINT
+                   + (y >> 32)::HUGEINT * 321982955::HUGEINT)
+                  % 4294967296::HUGEINT))
+              % 18446744073709551616::HUGEINT AS UBIGINT) AS x
+  FROM m3y
+), sp AS (
+  SELECT source,
+         CASE WHEN xor(x, x >> 31) % 1000 < 800 THEN 'train'
+              WHEN xor(x, x >> 31) % 1000 < 900 THEN 'val'
+              ELSE 'test' END AS split
+  FROM m3
+)
+SELECT d.doc_id, d.source, sp.split
+FROM documents d JOIN sp USING (source)
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: random_projection — JL dimensionality reduction of embeddings
 
 
@@ -3513,6 +3593,7 @@ def queries() -> dict:
         "robots_kept": q_robots_kept,
         "doc_chunks": q_doc_chunks,
         "random_projection": q_random_projection,
+        "group_split": q_group_split,
         "ccnet_buckets": q_ccnet_buckets,
         "packed_sequences": q_packed_sequences,
         "lm_scores": q_lm_scores,
@@ -3614,6 +3695,7 @@ def oracle_sql() -> dict:
         "robots_kept": _SQL_ROBOTS,
         "doc_chunks": _SQL_DOC_CHUNKS,
         "random_projection": _sql_random_projection(),
+        "group_split": _SQL_GROUP_SPLIT,
         # lm oracle + quantile_disc terciles + same bucket rule
         "ccnet_buckets": _sql_ccnet_buckets(30),
         # shuffle-shard SQL + per-shard window prefix sum

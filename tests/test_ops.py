@@ -2674,3 +2674,43 @@ class TestRandomProjection:
         assert len(out) == 120
         for _, row in out.iterrows():
             assert abs(row["proj"] - y[int(row["vec_id"]), int(row["dim"])]) < 1e-12
+
+
+class TestGroupSplit:
+    """ops/text.py:group_split — leakage-safe group-aware split."""
+
+    def _run(self, groups, **kw):
+        from edkray.ops.text import group_split
+
+        t = pa.table({"doc_id": list(range(len(groups))), "source": groups})
+        import polars as pl
+
+        return pl.from_arrow(group_split(t, "source", **kw))
+
+    def test_group_consistency(self):
+        out = self._run(["a", "b", "a", "c", "b", "a"])
+        by = dict(zip(out["source"], out["split"]))
+        for s, g in zip(out["split"], out["source"]):
+            assert s == by[g]
+
+    def test_deterministic_across_batches(self):
+        a = self._run(["g1", "g2", "g3"])
+        b = self._run(["g3", "g1", "g2"])
+        da = dict(zip(a["source"], a["split"]))
+        db = dict(zip(b["source"], b["split"]))
+        assert da == db
+
+    def test_distribution_roughly_matches_fracs(self):
+        out = self._run([f"dom{i}.example" for i in range(2000)])
+        frac_train = (out["split"] == "train").mean()
+        assert 0.75 < frac_train < 0.85
+
+    def test_null_group_goes_to_first(self):
+        out = self._run([None, "a"])
+        assert out["split"][0] == "train"
+
+    def test_bad_fracs_raise(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            self._run(["a"], fracs=(0.5, 0.2))
