@@ -2075,6 +2075,149 @@ FROM c GROUP BY url_canon
 
 
 # --------------------------------------------------------------------------
+# Q: web_ingest — composed ingest flagship (canon → robots → inc-dedup → quality)
+
+
+def q_web_ingest(sf_dir: str):
+    """The composed incremental web-ingest pipeline, chaining this
+    round's real ops end-to-end the way a crawler refresh runs them:
+
+    1. messy URLs (two spellings per page id, doc_id//2) →
+       ops/url.py:canonicalize_url;
+    2. ops/url.py:robots_filter (disallow /private/ on hosts 0-9; pages
+       with doc_id%3==0 land under /private/);
+    3. split: corpus = already-ingested docs (doc_id%5 != 0), new batch
+       = the rest; ops/bloom.py:incremental_dedup on url_canon — first
+       new doc per canonical url absent from the corpus;
+    4. ops/text.py:gopher_rules quality gate on the survivors.
+
+    Returns (doc_id, url_canon, keep). The oracle recomposes every
+    stage in SQL from the independent mirrors."""
+    import polars as pl
+
+    from edkray.ops.bloom import incremental_dedup
+    from edkray.ops.text import gopher_rules
+    from edkray.ops.url import canonicalize_url, robots_filter
+
+    def _mk(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        pid = (pl.col("doc_id") // 2).cast(pl.Utf8)
+        dom = ((pl.col("doc_id") // 2) % 20).cast(pl.Utf8)
+        tail = (
+            pl.when(pl.col("doc_id") % 3 == 0)
+            .then(pl.lit("/private/"))
+            .otherwise(pl.lit("/d/"))
+            + pid
+        )
+        clean = pl.lit("https://site") + dom + pl.lit(".example") + tail + pl.lit("?a=1&b=2")
+        messy = (
+            pl.lit("HTTPS://WWW.Site") + dom + pl.lit(".Example:443") + tail
+            + pl.lit("?b=2&utm_campaign=x&a=1#f")
+        )
+        return (
+            df.with_columns(
+                pl.when(pl.col("doc_id") % 2 == 0).then(clean).otherwise(messy).alias("url")
+            )
+            .select(["doc_id", "url", "text"])
+            .to_arrow()
+        )
+
+    rules = pa.table({
+        "host": [f"site{k}.example" for k in range(10)],
+        "disallow_prefix": ["/private/"] * 10,
+    })
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(_mk, batch_format="pyarrow")
+    ds = ds.map_batches(canonicalize_url, batch_format="pyarrow")
+    ds = robots_filter(ds, rules)
+
+    def _split(new_side: bool):
+        def _f(batch: pa.Table) -> pa.Table:
+            df = pl.from_arrow(batch)
+            m = pl.col("doc_id") % 5 == 0
+            return df.filter(m if new_side else ~m).to_arrow()
+
+        return _f
+
+    new = ds.map_batches(_split(True), batch_format="pyarrow")
+    corpus = ds.map_batches(_split(False), batch_format="pyarrow")
+    fresh = incremental_dedup(
+        new, corpus, ["url_canon"], ["doc_id"], num_bits=1 << 16, num_buckets=16
+    )
+    out = fresh.map_batches(gopher_rules, batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "url_canon", "keep"]), batch_format="pyarrow"
+    )
+
+
+def _sql_web_ingest() -> str:
+    from edkray.ops.url import sql_canonical_url
+
+    return f"""
+WITH u AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 2 = 0
+              THEN 'https://site' || CAST((doc_id // 2) % 20 AS VARCHAR) || '.example'
+                   || CASE WHEN doc_id % 3 = 0 THEN '/private/' ELSE '/d/' END
+                   || CAST(doc_id // 2 AS VARCHAR) || '?a=1&b=2'
+              ELSE 'HTTPS://WWW.Site' || CAST((doc_id // 2) % 20 AS VARCHAR) || '.Example:443'
+                   || CASE WHEN doc_id % 3 = 0 THEN '/private/' ELSE '/d/' END
+                   || CAST(doc_id // 2 AS VARCHAR) || '?b=2&utm_campaign=x&a=1#f'
+         END AS url
+  FROM documents
+), c AS (
+  SELECT doc_id, text, {sql_canonical_url('url')} AS url_canon,
+         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)) AS h,
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1) AS p
+  FROM u
+), allowed AS (
+  SELECT doc_id, text, url_canon FROM c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM (
+      SELECT 'site' || CAST(k AS VARCHAR) || '.example' AS host
+      FROM unnest(generate_series(0, 9)) AS t(k)
+    ) r
+    WHERE r.host = c.h  -- robots match the RAW host: www./port spellings
+      AND starts_with(c.p, '/private/')  -- pass, exactly as the engine's filter
+  )
+), newb AS (
+  SELECT * FROM allowed WHERE doc_id % 5 = 0
+), corpus AS (
+  SELECT * FROM allowed WHERE doc_id % 5 <> 0
+), first_new AS (
+  SELECT doc_id, text, url_canon FROM (
+    SELECT doc_id, text, url_canon,
+           row_number() OVER (PARTITION BY url_canon ORDER BY doc_id) AS rn
+    FROM newb
+  ) WHERE rn = 1
+), fresh AS (
+  SELECT doc_id, text, url_canon FROM first_new n
+  WHERE NOT EXISTS (SELECT 1 FROM corpus c2 WHERE c2.url_canon = n.url_canon)
+), l AS (
+  SELECT doc_id, url_canon, regexp_extract_all(text, '\\S+') AS t, text FROM fresh
+), s AS (
+  SELECT doc_id, url_canon,
+         CAST(len(t) AS BIGINT) AS n_words,
+         length(regexp_replace(text, '\\s', '', 'g')) * 1.0 AS nonws,
+         len(regexp_extract_all(text, '#|\\.\\.\\.')) * 1.0 AS sym,
+         len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 AS alpha,
+         len(list_distinct(list_filter(t,
+             x -> x IN ('the','be','to','of','and','that','have','with')))) AS nstop
+  FROM l
+)
+SELECT doc_id, url_canon,
+       ((n_words BETWEEN 50 AND 100000)
+        AND CASE WHEN n_words > 0
+                 THEN nonws / n_words >= 3.0 AND nonws / n_words <= 10.0
+                 ELSE FALSE END
+        AND CASE WHEN n_words > 0 THEN sym / n_words <= 0.1 ELSE FALSE END
+        AND CASE WHEN n_words > 0 THEN alpha / n_words >= 0.8 ELSE FALSE END
+        AND nstop >= 1) AS keep
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: group_split — leakage-safe train/val/test assignment
 
 
@@ -3594,6 +3737,7 @@ def queries() -> dict:
         "doc_chunks": q_doc_chunks,
         "random_projection": q_random_projection,
         "group_split": q_group_split,
+        "web_ingest": q_web_ingest,
         "ccnet_buckets": q_ccnet_buckets,
         "packed_sequences": q_packed_sequences,
         "lm_scores": q_lm_scores,
@@ -3696,6 +3840,7 @@ def oracle_sql() -> dict:
         "doc_chunks": _SQL_DOC_CHUNKS,
         "random_projection": _sql_random_projection(),
         "group_split": _SQL_GROUP_SPLIT,
+        "web_ingest": _sql_web_ingest(),
         # lm oracle + quantile_disc terciles + same bucket rule
         "ccnet_buckets": _sql_ccnet_buckets(30),
         # shuffle-shard SQL + per-shard window prefix sum
