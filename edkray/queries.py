@@ -2075,6 +2075,57 @@ FROM c GROUP BY url_canon
 
 
 # --------------------------------------------------------------------------
+# Q: warclike_scan — record-container engine end-to-end
+
+
+def q_warclike_scan(sf_dir: str):
+    """The WARC-like container engine (sources/warclike.py) end-to-end:
+    documents are serialized into a record container (url, warc_ts,
+    payload=utf-8 text), scanned back through the registry engine, and
+    reduced to (url, warc_ts, n_bytes). The oracle computes the same
+    three columns straight from the documents table — parity proves the
+    container writer/parser round-trips bytes and timestamps exactly."""
+    import datetime as _dt
+    import os
+    import tempfile
+
+    from edkray.sources.registry import get_source
+    from edkray.sources.warclike import write_warclike
+
+    tbl = _read(sf_dir, "documents", ["doc_id", "text"]).to_pandas()
+    recs = [
+        (f"https://w.example/{int(r.doc_id)}",
+         _dt.datetime(2017, 1, 1) + _dt.timedelta(seconds=int(r.doc_id)),
+         str(r.text).encode("utf-8"))
+        for r in tbl.itertuples()
+    ]
+    d = tempfile.mkdtemp(prefix="edkray_wrec_")
+    write_warclike(os.path.join(d, "part-20170101.wrec"), recs)
+
+    ds = get_source("warclike").scan(
+        d + "/part-%Y%m%d.wrec",
+        time_range=(_dt.datetime(2017, 1, 1), _dt.datetime(2017, 1, 2)),
+    )
+
+    def _reduce(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": batch["url"],
+            "warc_ts": batch["warc_ts"],
+            "n_bytes": pc.binary_length(batch["html"]).cast(pa.int64()),
+        })
+
+    return ds.map_batches(_reduce, batch_format="pyarrow")
+
+
+_SQL_WARCLIKE = """
+SELECT 'https://w.example/' || CAST(doc_id AS VARCHAR) AS url,
+       TIMESTAMP '2017-01-01' + doc_id * INTERVAL 1 SECOND AS warc_ts,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: web_ingest — composed ingest flagship (canon → robots → inc-dedup → quality)
 
 
@@ -3738,6 +3789,7 @@ def queries() -> dict:
         "random_projection": q_random_projection,
         "group_split": q_group_split,
         "web_ingest": q_web_ingest,
+        "warclike_scan": q_warclike_scan,
         "ccnet_buckets": q_ccnet_buckets,
         "packed_sequences": q_packed_sequences,
         "lm_scores": q_lm_scores,
@@ -3841,6 +3893,7 @@ def oracle_sql() -> dict:
         "random_projection": _sql_random_projection(),
         "group_split": _SQL_GROUP_SPLIT,
         "web_ingest": _sql_web_ingest(),
+        "warclike_scan": _SQL_WARCLIKE,
         # lm oracle + quantile_disc terciles + same bucket rule
         "ccnet_buckets": _sql_ccnet_buckets(30),
         # shuffle-shard SQL + per-shard window prefix sum

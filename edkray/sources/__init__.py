@@ -12,3 +12,6 @@ from edkray.sources import stac_json as _stac_json  # noqa: F401
 
 # import for side-effect: registers the "pushdown_parquet" engine
 from edkray.sources import pushdown as _pushdown  # noqa: F401
+
+# import for side-effect: registers the "warclike" record-container engine
+from edkray.sources import warclike as _warclike  # noqa: F401

@@ -724,3 +724,99 @@ class TestPlanetaryEngine:
         from edkray.sources.registry import _REGISTRY
 
         assert {"parquet", "stac_json", "pushdown_parquet", "pc_json"} <= set(_REGISTRY)
+
+
+class TestWarcLikeSource:
+    """sources/warclike.py — WARC-like record-container engine."""
+
+    @staticmethod
+    def _write(tmp_path, name, recs):
+        import os
+
+        from edkray.sources.warclike import write_warclike
+
+        p = os.path.join(str(tmp_path), name)
+        write_warclike(p, recs)
+        return p
+
+    def test_roundtrip_values(self, ray_session, tmp_path):
+        import datetime as dt
+
+        from edkray.sources.registry import get_source
+
+        recs = [
+            ("https://a.x/1", dt.datetime(2017, 1, 2, 3, 4, 5), b"<html>one</html>"),
+            ("https://b.y/ü", dt.datetime(2017, 1, 2, 0, 0, 0), b""),
+        ]
+        self._write(tmp_path, "part-20170102.wrec", recs)
+        ds = get_source("warclike").scan(str(tmp_path) + "/part-%Y%m%d.wrec",
+                                         time_range=(dt.datetime(2017, 1, 2),
+                                                     dt.datetime(2017, 1, 3)))
+        df = ds.to_pandas().sort_values("url").reset_index(drop=True)
+        assert list(df["url"]) == ["https://a.x/1", "https://b.y/ü"]
+        assert df["html"][0] == b"<html>one</html>" and df["html"][1] == b""
+        assert df["warc_ts"][0].to_pydatetime() == recs[0][1]
+        assert df["date"][0].to_pydatetime() == dt.datetime(2017, 1, 2)
+
+    def test_time_range_prunes_files(self, ray_session, tmp_path):
+        import datetime as dt
+
+        recs = [("u", dt.datetime(2017, 1, 1), b"x")]
+        self._write(tmp_path, "part-20170101.wrec", recs)
+        self._write(tmp_path, "part-20170105.wrec", recs)
+        from edkray.sources.registry import get_source
+
+        ds = get_source("warclike").scan(str(tmp_path) + "/part-%Y%m%d.wrec",
+                                         time_range=(dt.datetime(2017, 1, 1),
+                                                     dt.datetime(2017, 1, 2)))
+        assert ds.count() == 1
+
+    def test_columns_projection(self, ray_session, tmp_path):
+        import datetime as dt
+
+        from edkray.sources.registry import get_source
+
+        self._write(tmp_path, "part-20170101.wrec",
+                    [("u1", dt.datetime(2017, 1, 1), b"p")])
+        ds = get_source("warclike").scan(str(tmp_path) + "/part-%Y%m%d.wrec",
+                                         time_range=(dt.datetime(2017, 1, 1),
+                                                     dt.datetime(2017, 1, 2)),
+                                         columns=["url", "warc_ts"])
+        assert ds.schema().names == ["url", "warc_ts"]
+
+    def test_bad_magic_raises(self, ray_session, tmp_path):
+        import os
+
+        import pytest as _pytest
+
+        from edkray.sources.warclike import parse_warclike
+
+        with _pytest.raises(ValueError, match="bad magic"):
+            parse_warclike(b"NOPE", "f")
+
+    def test_truncated_raises(self):
+        import datetime as dt
+
+        import pytest as _pytest
+
+        from edkray.sources.warclike import MAGIC, parse_warclike, write_warclike
+        import io, os, tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, "x.wrec")
+            write_warclike(p, [("url", dt.datetime(2017, 1, 1), b"payload")])
+            data = open(p, "rb").read()[:-3]
+        with _pytest.raises(ValueError, match="truncated"):
+            parse_warclike(data, "x")
+
+    def test_zero_files_raises(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import pytest as _pytest
+
+        from edkray.sources.registry import get_source
+
+        with _pytest.raises(ValueError, match="no files matched"):
+            get_source("warclike").scan(str(tmp_path) + "/nope-%Y%m%d.wrec",
+                                        time_range=(dt.datetime(2017, 1, 1),
+                                                    dt.datetime(2017, 1, 2)))
