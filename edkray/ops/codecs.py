@@ -178,3 +178,32 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     if ch > 1:
         data = data.reshape(-1, ch)[:, 0]
     return data.copy(), rate
+
+
+def decode_gzip_column(batch, col: str = "html", out_col: str | None = None):
+    """Decompress a gzip/zlib/raw-deflate binary column — the transfer
+    encoding WARC response payloads actually carry. Sniffs per payload:
+    gzip magic (1f 8b) → ``gzip``-wrapper inflate; zlib header (78 xx)
+    → zlib inflate; anything else passes through unchanged (already
+    plain). Nulls stay null. Per-payload inflate is inherent to the
+    format (the multimodal-codec rule); run it as an actor-pool
+    map_batches stage for big corpora.
+    """
+    import pyarrow as pa
+
+    out_col = out_col or col
+    vals = batch[col].to_pylist()
+    out = []
+    for v in vals:
+        if v is None:
+            out.append(None)
+        elif len(v) >= 2 and v[0] == 0x1F and v[1] == 0x8B:
+            out.append(zlib.decompress(v, wbits=31))
+        elif len(v) >= 2 and v[0] == 0x78:
+            out.append(zlib.decompress(v))
+        else:
+            out.append(v)
+    arr = pa.array(out, type=pa.binary())
+    if out_col in batch.schema.names:
+        return batch.set_column(batch.schema.get_field_index(out_col), out_col, arr)
+    return batch.append_column(out_col, arr)

@@ -2075,6 +2075,46 @@ FROM c GROUP BY url_canon
 
 
 # --------------------------------------------------------------------------
+# Q: gzip_decode — transfer-encoding inflate stage
+
+
+def q_gzip_decode(sf_dir: str):
+    """Gzip payload decode (ops/codecs.py:decode_gzip_column): each
+    doc's text is gzip-compressed into an html:binary payload and
+    pushed through the sniffing inflate stage; the reduce emits the
+    decoded byte length. Oracle: the UTF-8 byte length of the original
+    text — parity proves the inflate restored the exact bytes."""
+    import gzip as _gzip
+
+    from edkray.ops.codecs import decode_gzip_column
+
+    def _pack(batch: pa.Table) -> pa.Table:
+        payloads = [_gzip.compress(t.encode("utf-8"), mtime=0)
+                    for t in batch["text"].to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "html": pa.array(payloads, type=pa.binary()),
+        })
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(_pack, batch_format="pyarrow")
+    ds = ds.map_batches(decode_gzip_column, batch_format="pyarrow")
+    return ds.map_batches(
+        lambda b: pa.table({
+            "doc_id": b["doc_id"],
+            "n_bytes": pc.binary_length(b["html"]).cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+_SQL_GZIP_DECODE = """
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: warclike_scan — record-container engine end-to-end
 
 
@@ -3790,6 +3830,7 @@ def queries() -> dict:
         "group_split": q_group_split,
         "web_ingest": q_web_ingest,
         "warclike_scan": q_warclike_scan,
+        "gzip_decode": q_gzip_decode,
         "ccnet_buckets": q_ccnet_buckets,
         "packed_sequences": q_packed_sequences,
         "lm_scores": q_lm_scores,
@@ -3894,6 +3935,7 @@ def oracle_sql() -> dict:
         "group_split": _SQL_GROUP_SPLIT,
         "web_ingest": _sql_web_ingest(),
         "warclike_scan": _SQL_WARCLIKE,
+        "gzip_decode": _SQL_GZIP_DECODE,
         # lm oracle + quantile_disc terciles + same bucket rule
         "ccnet_buckets": _sql_ccnet_buckets(30),
         # shuffle-shard SQL + per-shard window prefix sum

@@ -249,3 +249,35 @@ class TestStages:
 
         with pytest.raises(ValueError):
             AxisTranspose(order="xyz")
+
+
+class TestGzipDecode:
+    """ops/codecs.py:decode_gzip_column — sniffing inflate."""
+
+    def test_gzip_zlib_plain_null(self):
+        import gzip
+        import zlib
+
+        import pyarrow as pa
+
+        from edkray.ops.codecs import decode_gzip_column
+
+        t = pa.table({"html": pa.array(
+            [gzip.compress(b"abc"), zlib.compress(b"xyz" * 100), b"plain", None, b""],
+            type=pa.binary())})
+        out = decode_gzip_column(t)["html"].to_pylist()
+        assert out == [b"abc", b"xyz" * 100, b"plain", None, b""]
+
+    def test_upserts_in_place_and_out_col(self):
+        import gzip
+
+        import pyarrow as pa
+
+        from edkray.ops.codecs import decode_gzip_column
+
+        t = pa.table({"u": pa.array(["a"]), "html": pa.array([gzip.compress(b"x")], type=pa.binary())})
+        out = decode_gzip_column(t)
+        assert out.column_names == ["u", "html"]
+        out2 = decode_gzip_column(t, out_col="raw")
+        assert out2.column_names == ["u", "html", "raw"]
+        assert out2["raw"].to_pylist() == [b"x"]
