@@ -367,3 +367,50 @@ def random_projection(
         })
 
     return ds.map_batches(_proj, batch_format="pyarrow", batch_size=batch_size)
+
+
+def embedding_stats(
+    ds: ray.data.Dataset,
+    emb_col: str = "embedding",
+    batch_size: int = 4096,
+) -> ray.data.Dataset:
+    """Per-dimension mean/std of an embedding column — the feature
+    normalization pre-step before cosine/IVF search or clustering.
+
+    One streaming pass: each block emits d rows of (dim, partial sum,
+    partial sum-of-squares, count) from a single vectorized matrix
+    reduction; the final combine groups d keys (embedding dims, tiny)
+    — population std via sqrt(E[x²] − E[x]²), the same formula the SQL
+    oracle uses. Vectors never shuffle."""
+    import polars as pl
+
+    from edkray.utils import list_to_matrix
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        x = list_to_matrix(batch[emb_col], dtype=np.float64)
+        d = x.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "s": pa.array(x.sum(axis=0)),
+            "ss": pa.array((x * x).sum(axis=0)),
+            "n": pa.array(np.full(d, len(batch), dtype=np.int64)),
+        })
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow", batch_size=batch_size)
+
+    def _final(batch: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(batch)
+            .group_by("dim")
+            .agg(pl.col("s").sum(), pl.col("ss").sum(), pl.col("n").sum())
+        )
+        return df.select(
+            "dim",
+            (pl.col("s") / pl.col("n")).alias("mean_val"),
+            (pl.col("ss") / pl.col("n") - (pl.col("s") / pl.col("n")) ** 2)
+            .sqrt()
+            .alias("std_val"),
+        ).to_arrow()
+
+    # d keys total — one tiny final group (not a corpus-sized shuffle)
+    return parts.repartition(1).map_batches(_final, batch_format="pyarrow", batch_size=None)

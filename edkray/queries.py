@@ -2423,6 +2423,36 @@ GROUP BY x.vec_id, r.j
 
 
 # --------------------------------------------------------------------------
+# Q: embedding_stats — per-dimension mean/std of the embedding corpus
+
+
+def q_embedding_stats(sf_dir: str):
+    """Feature-normalization statistics (ops/search.py:embedding_stats):
+    one streaming pass emits d (sum, sum-of-squares, count) partials per
+    block from a vectorized matrix reduction; the final combine groups d
+    keys (64 dims — tiny). Population std via sqrt(E[x^2] - E[x]^2); the
+    oracle replays the identical formula so float order agrees to 1e-9.
+    Vectors never shuffle."""
+    from edkray.ops.search import embedding_stats
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    return embedding_stats(ds)
+
+
+_SQL_EMBEDDING_STATS = """
+WITH x AS (
+  SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS s(i)
+)
+SELECT dim,
+       sum(val) / count(*) AS mean_val,
+       sqrt(sum(val * val) / count(*)
+            - (sum(val) / count(*)) * (sum(val) / count(*))) AS std_val
+FROM x GROUP BY dim
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: doc_chunks — overlapping sliding-window chunking
 
 
@@ -3826,6 +3856,7 @@ def queries() -> dict:
         "pagerank_scores": q_pagerank,
         "robots_kept": q_robots_kept,
         "doc_chunks": q_doc_chunks,
+        "embedding_stats": q_embedding_stats,
         "random_projection": q_random_projection,
         "group_split": q_group_split,
         "web_ingest": q_web_ingest,
@@ -3931,6 +3962,7 @@ def oracle_sql() -> dict:
         "pagerank_scores": _sql_pagerank(),
         "robots_kept": _SQL_ROBOTS,
         "doc_chunks": _SQL_DOC_CHUNKS,
+        "embedding_stats": _SQL_EMBEDDING_STATS,
         "random_projection": _sql_random_projection(),
         "group_split": _SQL_GROUP_SPLIT,
         "web_ingest": _sql_web_ingest(),

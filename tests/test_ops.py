@@ -2676,6 +2676,26 @@ class TestRandomProjection:
             assert abs(row["proj"] - y[int(row["vec_id"]), int(row["dim"])]) < 1e-12
 
 
+class TestEmbeddingStats:
+    """ops/search.py:embedding_stats — streaming per-dim mean/std."""
+
+    def test_matches_numpy(self, ray_session):
+        import ray.data
+
+        from edkray.ops.search import embedding_stats
+
+        rng = np.random.default_rng(11)
+        x = rng.normal(loc=0.5, scale=2.0, size=(200, 6)).astype(np.float32)
+        ds = ray.data.from_arrow(pa.table({
+            "embedding": pa.array(list(x), type=pa.list_(pa.float32())),
+        })).repartition(5)  # force multi-block partial combine
+        out = embedding_stats(ds, batch_size=32).to_pandas().sort_values("dim")
+        xd = x.astype(np.float64)
+        np.testing.assert_allclose(out["mean_val"].to_numpy(), xd.mean(axis=0), atol=1e-10)
+        np.testing.assert_allclose(out["std_val"].to_numpy(), xd.std(axis=0), atol=1e-10)
+        assert list(out["dim"]) == list(range(6))
+
+
 class TestGroupSplit:
     """ops/text.py:group_split — leakage-safe group-aware split."""
 
