@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 import polars as pl
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -414,3 +415,119 @@ def embedding_stats(
 
     # d keys total — one tiny final group (not a corpus-sized shuffle)
     return parts.repartition(1).map_batches(_final, batch_format="pyarrow", batch_size=None)
+
+
+def _cov_partials(ds: ray.data.Dataset, emb_col: str, batch_size: int) -> ray.data.Dataset:
+    """One streaming pass emitting (n, sum-vector, flattened Gram) per
+    block — the sufficient statistics for covariance/PCA. Each partial
+    row is d + d² doubles (~33 KB at d=64) regardless of corpus size;
+    embeddings never shuffle."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        x = list_to_matrix(batch[emb_col], dtype=np.float64)
+        return pa.table({
+            "n": pa.array([len(batch)], type=pa.int64()),
+            "s": pa.array([x.sum(axis=0)], type=pa.list_(pa.float64())),
+            "g": pa.array([(x.T @ x).ravel()], type=pa.list_(pa.float64())),
+        })
+
+    return ds.map_batches(_partial, batch_format="pyarrow", batch_size=batch_size)
+
+
+def _cov_from_partials(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray, int]:
+    """Fold partial (n, s, g) rows → (mean vector, covariance matrix, n)."""
+    n = int(pc.sum(tbl["n"]).as_py()) if tbl.num_rows else 0
+    if n == 0:
+        raise ValueError("embedding_cov: empty input")
+    s = list_to_matrix(tbl["s"], dtype=np.float64).sum(axis=0)
+    g = list_to_matrix(tbl["g"], dtype=np.float64).sum(axis=0)
+    d = s.shape[0]
+    mean = s / n
+    cov = g.reshape(d, d) / n - np.outer(mean, mean)
+    return mean, cov, n
+
+
+def embedding_cov(
+    ds: ray.data.Dataset,
+    emb_col: str = "embedding",
+    batch_size: int = 4096,
+) -> ray.data.Dataset:
+    """Population covariance matrix of an embedding column as
+    (dim_i, dim_j, cov_val) rows — cov = E[xxᵀ] − E[x]E[x]ᵀ, the same
+    formula the SQL oracle replays via the exploded self-join.
+
+    Scale shape: the corpus reduces to one ~d² partial row per block
+    (never the vectors); the final fold touches #blocks rows."""
+
+    parts = _cov_partials(ds, emb_col, batch_size)
+
+    def _final(batch: pa.Table) -> pa.Table:
+        _, cov, _ = _cov_from_partials(batch)
+        d = cov.shape[0]
+        ii, jj = np.divmod(np.arange(d * d, dtype=np.int64), d)
+        return pa.table({
+            "dim_i": pa.array(ii),
+            "dim_j": pa.array(jj),
+            "cov_val": pa.array(cov.ravel()),
+        })
+
+    return parts.repartition(1).map_batches(_final, batch_format="pyarrow", batch_size=None)
+
+
+def pca_fit(
+    ds: ray.data.Dataset,
+    emb_col: str = "embedding",
+    k: int = 8,
+    batch_size: int = 4096,
+) -> dict:
+    """Fit PCA over the embedding column: distributed covariance fold
+    (see :func:`embedding_cov`) then a DRIVER-side eigendecomposition of
+    the d×d matrix — d is the embedding width (64 here), so the driver
+    work is O(d³) and independent of corpus size; only #blocks × d²
+    partial doubles ever reach the driver.
+
+    Returns {"mean": (d,), "components": (k, d) rows = top eigenvectors
+    by descending eigenvalue, "eigenvalues": (k,), "explained": (k,)
+    fraction of total variance, "n": row count}. Eigenvector sign is
+    pinned (largest-|coefficient| entry made positive) so results are
+    deterministic across LAPACK builds."""
+    tbl = _cov_partials(ds, emb_col, batch_size).to_arrow_refs()
+    tbl = pa.concat_tables([ray.get(r) for r in tbl])
+    mean, cov, n = _cov_from_partials(tbl)
+    w, v = np.linalg.eigh(cov)          # ascending eigenvalues
+    order = np.argsort(w)[::-1][:k]
+    w, v = w[order], v[:, order].T      # (k, d)
+    flip = np.sign(v[np.arange(len(v)), np.abs(v).argmax(axis=1)])
+    flip[flip == 0] = 1.0
+    v = v * flip[:, None]
+    total = np.trace(cov)
+    return {"mean": mean, "components": v, "eigenvalues": w,
+            "explained": w / total if total > 0 else np.zeros_like(w), "n": n}
+
+
+def pca_transform(
+    ds: ray.data.Dataset,
+    model: dict,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    batch_size: int = 4096,
+) -> ray.data.Dataset:
+    """Project embeddings onto fitted PCA components: long-format
+    (id, component, score) rows, score = (x − mean) · componentᵀ.
+    The (k, d) model broadcasts once via ``ray.put``; each batch is one
+    centered matmul."""
+    ref = ray.put((np.asarray(model["mean"]), np.asarray(model["components"])))
+
+    def _proj(batch: pa.Table) -> pa.Table:
+        mean, comp = ray.get(ref)
+        x = list_to_matrix(batch[emb_col], dtype=np.float64)
+        y = (x - mean) @ comp.T                      # (rows, k)
+        rows, k = y.shape
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, k)),
+            "component": pa.array(np.tile(np.arange(k, dtype=np.int64), rows)),
+            "score": pa.array(y.ravel()),
+        })
+
+    return ds.map_batches(_proj, batch_format="pyarrow", batch_size=batch_size)

@@ -2453,6 +2453,55 @@ FROM x GROUP BY dim
 
 
 # --------------------------------------------------------------------------
+# Q: embedding_cov — population covariance matrix of the embedding corpus
+
+
+def q_embedding_cov(sf_dir: str):
+    """Covariance fold (ops/search.py:embedding_cov): each block reduces
+    to one (n, sum, Gram) partial row (~d² doubles); the driver-free
+    final fold emits d² (dim_i, dim_j, cov) rows via
+    cov = E[xxᵀ] − E[x]E[x]ᵀ. The oracle replays the identical formula
+    through the exploded self-join on vec_id."""
+    from edkray.ops.search import embedding_cov
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    return embedding_cov(ds)
+
+
+_SQL_EMBEDDING_COV = """
+WITH x AS (
+  SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS s(i)
+)
+SELECT a.dim AS dim_i, b.dim AS dim_j,
+       sum(a.val * b.val) / count(*)
+         - (sum(a.val) / count(*)) * (sum(b.val) / count(*)) AS cov_val
+FROM x a JOIN x b USING (vec_id)
+GROUP BY a.dim, b.dim
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: pca_scores — fit PCA on the covariance fold, project the corpus
+
+
+def q_pca_scores(sf_dir: str, k: int = 4):
+    """PCA fit + transform (ops/search.py:pca_fit/pca_transform):
+    distributed covariance fold → driver eigh of the d×d matrix (O(d³),
+    corpus-size independent) → broadcast (k,d) components → one centered
+    matmul per batch, long-format (vec_id, component, score) rows.
+    Eigendecomposition is not SQL-expressible, so this entry is
+    rows-only for the driver; exactness vs numpy's full-data PCA is
+    pinned by TestPca (orthonormal components, descending eigenvalues,
+    sign-canonical scores)."""
+    from edkray.ops.search import pca_fit, pca_transform
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    model = pca_fit(ds, k=k)
+    return pca_transform(ds, model)
+
+
+# --------------------------------------------------------------------------
 # Q: doc_chunks — overlapping sliding-window chunking
 
 
@@ -3857,6 +3906,8 @@ def queries() -> dict:
         "robots_kept": q_robots_kept,
         "doc_chunks": q_doc_chunks,
         "embedding_stats": q_embedding_stats,
+        "embedding_cov": q_embedding_cov,
+        "pca_scores": q_pca_scores,
         "random_projection": q_random_projection,
         "group_split": q_group_split,
         "web_ingest": q_web_ingest,
@@ -3963,6 +4014,7 @@ def oracle_sql() -> dict:
         "robots_kept": _SQL_ROBOTS,
         "doc_chunks": _SQL_DOC_CHUNKS,
         "embedding_stats": _SQL_EMBEDDING_STATS,
+        "embedding_cov": _SQL_EMBEDDING_COV,
         "random_projection": _sql_random_projection(),
         "group_split": _SQL_GROUP_SPLIT,
         "web_ingest": _sql_web_ingest(),

@@ -2696,6 +2696,68 @@ class TestEmbeddingStats:
         assert list(out["dim"]) == list(range(6))
 
 
+class TestPca:
+    """ops/search.py:embedding_cov / pca_fit / pca_transform."""
+
+    def _ds(self, x):
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(np.arange(len(x), dtype=np.int64)),
+            "embedding": pa.array(list(x), type=pa.list_(pa.float32())),
+        })).repartition(4)  # force the multi-partial fold
+
+    def test_cov_matches_numpy(self, ray_session):
+        from edkray.ops.search import embedding_cov
+
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(150, 5)).astype(np.float32)
+        out = embedding_cov(self._ds(x), batch_size=40).to_pandas()
+        ref = np.cov(x.astype(np.float64).T, bias=True)
+        assert len(out) == 25
+        for _, r in out.iterrows():
+            assert abs(r["cov_val"] - ref[int(r["dim_i"]), int(r["dim_j"])]) < 1e-10
+
+    def test_fit_matches_numpy_eig(self, ray_session):
+        from edkray.ops.search import pca_fit
+
+        rng = np.random.default_rng(7)
+        # anisotropic so eigenvalues are well separated
+        x = (rng.normal(size=(200, 6)) * np.array([5, 3, 2, 1, 0.5, 0.1])).astype(np.float32)
+        m = pca_fit(self._ds(x), k=3, batch_size=64)
+        xd = x.astype(np.float64)
+        ref_cov = np.cov(xd.T, bias=True)
+        w, v = np.linalg.eigh(ref_cov)
+        order = np.argsort(w)[::-1][:3]
+        np.testing.assert_allclose(m["eigenvalues"], w[order], atol=1e-9)
+        # components match up to the pinned sign convention
+        for i, col in enumerate(order):
+            ref = v[:, col]
+            ref = ref * np.sign(ref[np.abs(ref).argmax()])
+            np.testing.assert_allclose(m["components"][i], ref, atol=1e-9)
+        # orthonormal rows, descending eigenvalues, explained sums <= 1
+        np.testing.assert_allclose(m["components"] @ m["components"].T, np.eye(3), atol=1e-9)
+        assert np.all(np.diff(m["eigenvalues"]) <= 1e-12)
+        assert 0 < m["explained"].sum() <= 1 + 1e-12
+
+    def test_transform_scores(self, ray_session):
+        from edkray.ops.search import pca_fit, pca_transform
+
+        rng = np.random.default_rng(9)
+        x = (rng.normal(size=(120, 4)) * np.array([4, 2, 1, 0.2])).astype(np.float32)
+        ds = self._ds(x)
+        m = pca_fit(ds, k=2, batch_size=50)
+        out = pca_transform(ds, m, batch_size=50).to_pandas()
+        assert len(out) == 240
+        xd = x.astype(np.float64)
+        ref = (xd - m["mean"]) @ np.asarray(m["components"]).T
+        for _, r in out.iterrows():
+            assert abs(r["score"] - ref[int(r["vec_id"]), int(r["component"])]) < 1e-9
+        # per-component score variance reproduces the eigenvalue
+        var0 = ref[:, 0].var()
+        np.testing.assert_allclose(var0, m["eigenvalues"][0], atol=1e-9)
+
+
 class TestGroupSplit:
     """ops/text.py:group_split — leakage-safe group-aware split."""
 
