@@ -167,3 +167,88 @@ def robots_filter(
         return df.join(hit, on="__rowid", how="anti").drop("__rowid").to_arrow()
 
     return ds.map_batches(_filter, batch_format="pyarrow", batch_size=batch_size)
+
+
+def extract_host_expr(col: str) -> pl.Expr:
+    """Polars expression: lowercased, ``www.``-stripped host of ``col``
+    (the per-domain rollup key — a registrable-domain approximation).
+    Unparseable URLs yield null."""
+    return (
+        pl.col(col).str.strip_chars().str.extract(_AUTH, 1)
+        .str.to_lowercase().str.replace(r"^www\.", "")
+    )
+
+
+def sql_extract_host(col: str) -> str:
+    """DuckDB mirror of :func:`extract_host_expr` (independent regexp)."""
+    return (
+        f"regexp_replace(lower(regexp_extract(trim({col}), '{_AUTH}', 1)), "
+        f"'^www\\.', '')"
+    )
+
+
+def domain_rollup(
+    ds,
+    url_col: str = "url",
+    size_col: str | None = "n_chars",
+    blocklist: list[str] | None = None,
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+):
+    """Per-domain corpus statistics with an optional host blocklist —
+    the per-host rollup every web pipeline runs before curation
+    (CC-style domain stats, UT1-style blocklist gating).
+
+    Emits one row per surviving host: ``domain``, ``n_pages``,
+    ``total_chars`` (sum of ``size_col``; 0-filled when absent/null).
+    Blocked hosts are dropped BEFORE aggregation.
+
+    Scale shape: the blocklist broadcasts once via ``ray.put`` (host
+    blocklists are ~10^5-10^6 entries, pages 10^10+); each batch
+    extracts hosts vectorized, drops blocked rows, and PRE-AGGREGATES
+    per batch (polars group_by), so only narrow
+    (domain, count, sum) partials — one per distinct host per batch —
+    enter the shuffle. The final combine is a hash-bucketed vectorized
+    sum (:func:`~edkray.ops.shuffle.bucketed_group_map`), never a
+    per-key ``map_groups``: at web scale hosts are ~10^7 keys, far
+    past the per-group-task regime.
+    """
+    import ray
+
+    from edkray.ops.shuffle import bucketed_group_map
+
+    blocked_ref = ray.put(
+        pl.Series("__blocked", sorted({h.lower() for h in blocklist}))
+        if blocklist else None
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        blocked = ray.get(blocked_ref)
+        df = pl.from_arrow(batch).with_columns(
+            extract_host_expr(url_col).alias("domain")
+        )
+        df = df.filter(pl.col("domain").is_not_null())
+        if blocked is not None:
+            df = df.filter(~pl.col("domain").is_in(blocked))
+        size = (
+            pl.col(size_col).cast(pl.Int64).fill_null(0)
+            if size_col and size_col in df.columns
+            else pl.lit(0, dtype=pl.Int64)
+        )
+        return (
+            df.group_by("domain")
+            .agg(pl.len().cast(pl.Int64).alias("n_pages"), size.sum().alias("total_chars"))
+            .to_arrow()
+        )
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow", batch_size=batch_size)
+
+    def _combine(tbl: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(tbl)
+            .group_by("domain")
+            .agg(pl.col("n_pages").sum(), pl.col("total_chars").sum())
+            .to_arrow()
+        )
+
+    return bucketed_group_map(parts, ["domain"], _combine, num_buckets=num_buckets)

@@ -2423,6 +2423,62 @@ GROUP BY x.vec_id, r.j
 
 
 # --------------------------------------------------------------------------
+# Q: domain_rollup — per-domain stats with a host blocklist
+
+_ROLLUP_BLOCKLIST = ["site3.example", "site7.example"]
+
+
+def q_domain_rollup(sf_dir: str):
+    """Per-domain rollup (ops/url.py:domain_rollup): documents get
+    deterministic urls (1/4 with a www. prefix to exercise host
+    normalization), the blocklist drops two hosts BEFORE aggregation,
+    per-batch polars pre-aggregation keeps the shuffle to narrow
+    (domain, count, sum) partials, and the final sums run hash-bucketed
+    (never per-key map_groups). Oracle replays the url synthesis and the
+    independent regexp host extraction."""
+    import polars as pl
+
+    from edkray.ops.url import domain_rollup
+
+    def _mk_url(batch):
+        df = pl.from_arrow(batch)
+        return df.with_columns(
+            (
+                pl.lit("https://")
+                + pl.when(pl.col("doc_id") % 4 == 0).then(pl.lit("www.")).otherwise(pl.lit(""))
+                + pl.lit("site") + (pl.col("doc_id") % 20).cast(pl.String)
+                + pl.lit(".example/d/") + pl.col("doc_id").cast(pl.String)
+            ).alias("url")
+        ).to_arrow()
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        _mk_url, batch_format="pyarrow"
+    )
+    return domain_rollup(ds, blocklist=_ROLLUP_BLOCKLIST, num_buckets=8)
+
+
+def _sql_domain_rollup() -> str:
+    from edkray.ops.url import sql_extract_host
+
+    blocked = ", ".join(f"'{h}'" for h in _ROLLUP_BLOCKLIST)
+    return f"""
+WITH u AS (
+  SELECT doc_id, n_chars,
+         'https://' || CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END
+         || 'site' || CAST(doc_id % 20 AS VARCHAR) || '.example/d/'
+         || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), h AS (
+  SELECT doc_id, n_chars, {sql_extract_host('url')} AS domain FROM u
+)
+SELECT domain, CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM h WHERE domain NOT IN ({blocked})
+GROUP BY domain
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: embedding_stats — per-dimension mean/std of the embedding corpus
 
 
@@ -3905,6 +3961,7 @@ def queries() -> dict:
         "pagerank_scores": q_pagerank,
         "robots_kept": q_robots_kept,
         "doc_chunks": q_doc_chunks,
+        "domain_rollup": q_domain_rollup,
         "embedding_stats": q_embedding_stats,
         "embedding_cov": q_embedding_cov,
         "pca_scores": q_pca_scores,
@@ -4013,6 +4070,7 @@ def oracle_sql() -> dict:
         "pagerank_scores": _sql_pagerank(),
         "robots_kept": _SQL_ROBOTS,
         "doc_chunks": _SQL_DOC_CHUNKS,
+        "domain_rollup": _sql_domain_rollup(),
         "embedding_stats": _SQL_EMBEDDING_STATS,
         "embedding_cov": _SQL_EMBEDDING_COV,
         "random_projection": _sql_random_projection(),

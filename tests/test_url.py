@@ -116,3 +116,41 @@ class TestRobotsFilter:
             [("a.x", "/p1/"), ("a.x", "/p2/")],
         )
         assert kept == {2}
+
+
+class TestDomainRollup:
+    """ops/url.py:domain_rollup — per-domain stats + blocklist."""
+
+    def _run(self, ray_session, urls, sizes=None, **kw):
+        import pyarrow as pa
+        import ray.data
+
+        from edkray.ops.url import domain_rollup
+
+        t = pa.table({
+            "url": pa.array(urls, type=pa.string()),
+            "n_chars": pa.array(sizes or [10] * len(urls), type=pa.int64()),
+        })
+        ds = ray.data.from_arrow(t).repartition(2)  # force multi-partial combine
+        out = domain_rollup(ds, num_buckets=4, **kw).to_pandas()
+        return {r["domain"]: (r["n_pages"], r["total_chars"]) for _, r in out.iterrows()}
+
+    def test_counts_and_sums(self, ray_session):
+        got = self._run(
+            ray_session,
+            ["https://a.x/1", "https://a.x/2", "https://b.y/1"],
+            sizes=[5, 7, 11],
+        )
+        assert got == {"a.x": (2, 12), "b.y": (1, 11)}
+
+    def test_www_strip_and_case_fold(self, ray_session):
+        got = self._run(ray_session, ["https://WWW.A.X/1", "http://a.x/2"])
+        assert set(got) == {"a.x"} and got["a.x"][0] == 2
+
+    def test_blocklist_and_unparseable(self, ray_session):
+        got = self._run(
+            ray_session,
+            ["https://bad.x/1", "https://ok.y/1", "not a url"],
+            blocklist=["BAD.X"],
+        )
+        assert set(got) == {"ok.y"}
