@@ -531,3 +531,43 @@ def pca_transform(
         })
 
     return ds.map_batches(_proj, batch_format="pyarrow", batch_size=batch_size)
+
+
+def standardize_embeddings(
+    ds: ray.data.Dataset,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    batch_size: int = 4096,
+    eps: float = 0.0,
+) -> ray.data.Dataset:
+    """Z-score each embedding dimension: (x − mean) / std, the feature
+    normalization step before cosine/IVF/k-means stages.
+
+    Two passes, both streaming: the :func:`embedding_stats`-style fold
+    reduces the corpus to d (sum, sum-of-squares, count) partials per
+    block, the driver materializes only the 2·d floats (corpus-size
+    independent) and broadcasts them via ``ray.put``; pass two is one
+    vectorized centered divide per batch. Zero-variance dims pass
+    through as 0 (std clamped to 1). Long-format output
+    (id, dim, std_val) so the SQL oracle can replay it with window
+    functions over the exploded form."""
+    parts = _cov_partials(ds, emb_col, batch_size)
+    tbl = pa.concat_tables([ray.get(r) for r in parts.to_arrow_refs()])
+    mean, cov, _ = _cov_from_partials(tbl)
+    std = np.sqrt(np.clip(np.diag(cov), 0.0, None))
+    std = np.where(std <= eps, 1.0, std)
+    ref = ray.put((mean, std))
+
+    def _z(batch: pa.Table) -> pa.Table:
+        m, s = ray.get(ref)
+        x = list_to_matrix(batch[emb_col], dtype=np.float64)
+        z = (x - m) / s
+        rows, d = z.shape
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), rows)),
+            "z_val": pa.array(z.ravel()),
+        })
+
+    return ds.map_batches(_z, batch_format="pyarrow", batch_size=batch_size)

@@ -2538,6 +2538,39 @@ GROUP BY a.dim, b.dim
 
 
 # --------------------------------------------------------------------------
+# Q: zscore_embeddings — per-dimension standardization of the corpus
+
+
+def q_zscore_embeddings(sf_dir: str):
+    """Feature standardization (ops/search.py:standardize_embeddings):
+    the stats fold reduces the corpus to d-float partials, the 2·d
+    (mean, std) floats broadcast once, pass two is a vectorized
+    centered divide per batch. Long-format (vec_id, dim, z_val) so the
+    oracle replays it by joining the exploded values to per-dim
+    population stats (identical E[x²]−E[x]² formula)."""
+    from edkray.ops.search import standardize_embeddings
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return standardize_embeddings(ds)
+
+
+_SQL_ZSCORE_EMBEDDINGS = """
+WITH x AS (
+  SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS s(i)
+), st AS (
+  SELECT dim, sum(val) / count(*) AS m,
+         sqrt(sum(val * val) / count(*)
+              - (sum(val) / count(*)) * (sum(val) / count(*))) AS sd
+  FROM x GROUP BY dim
+)
+SELECT x.vec_id, x.dim,
+       (x.val - st.m) / CASE WHEN st.sd <= 0 THEN 1.0 ELSE st.sd END AS z_val
+FROM x JOIN st USING (dim)
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: pca_scores — fit PCA on the covariance fold, project the corpus
 
 
@@ -3965,6 +3998,7 @@ def queries() -> dict:
         "embedding_stats": q_embedding_stats,
         "embedding_cov": q_embedding_cov,
         "pca_scores": q_pca_scores,
+        "zscore_embeddings": q_zscore_embeddings,
         "random_projection": q_random_projection,
         "group_split": q_group_split,
         "web_ingest": q_web_ingest,
@@ -4073,6 +4107,7 @@ def oracle_sql() -> dict:
         "domain_rollup": _sql_domain_rollup(),
         "embedding_stats": _SQL_EMBEDDING_STATS,
         "embedding_cov": _SQL_EMBEDDING_COV,
+        "zscore_embeddings": _SQL_ZSCORE_EMBEDDINGS,
         "random_projection": _sql_random_projection(),
         "group_split": _SQL_GROUP_SPLIT,
         "web_ingest": _sql_web_ingest(),
