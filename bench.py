@@ -213,7 +213,8 @@ BENCH_QUERIES = [
 
 # round-4 training-data additions, timed separately so `suite_r3_sec`
 # stays like-for-like comparable with BENCH_r02/r03
-BENCH_QUERIES_R4 = ["paragraph_dedup", "semdedup", "bm25_topk", "dsir_resample"]
+BENCH_QUERIES_R4 = ["paragraph_dedup", "semdedup", "bm25_topk", "dsir_resample",
+                    "web_ingest", "pagerank_scores", "domain_rollup"]
 
 
 _CALIB_WORK = """

@@ -2423,6 +2423,85 @@ GROUP BY x.vec_id, r.j
 
 
 # --------------------------------------------------------------------------
+# Q: inlink_counts — href extraction → link edges → in-degree rollup
+
+
+def q_inlink_counts(sf_dir: str):
+    """Link-graph extraction (ops/html.py:extract_links): documents get
+    deterministic urls + html with planted anchors — one absolute, one
+    root-relative, a CAPS-tag root-relative on doc_id%3==0, plus a
+    single-quoted href and a #fragment that the pinned spec drops.
+    Edges explode vectorized (extract_all, no shuffle); the in-degree
+    rollup pre-aggregates per batch and finishes hash-bucketed. Oracle
+    replays the synthesis, the href regex and the resolution rule."""
+    import polars as pl
+
+    from edkray.ops.html import extract_links
+    from edkray.ops.shuffle import bucketed_group_map
+
+    def _mk(batch):
+        df = pl.from_arrow(batch)
+        d = pl.col("doc_id")
+        url = (pl.lit("https://site") + (d % 20).cast(pl.String)
+               + pl.lit(".example/d/") + d.cast(pl.String))
+        html = (
+            pl.lit('<html><body><a href="https://site')
+            + ((d + 1) % 20).cast(pl.String) + pl.lit('.example/d/')
+            + (d + 1).cast(pl.String) + pl.lit('">n</a><a href="/rel/')
+            + (d % 7).cast(pl.String) + pl.lit('">r</a>')
+            + pl.when(d % 3 == 0).then(pl.lit('<A HREF="/caps/1">c</A>'))
+              .otherwise(pl.lit(""))
+            + pl.lit("<a href='skip.html'>s</a><a href=\"#frag\">f</a></body></html>")
+        )
+        return df.select(url.alias("url"), html.alias("html")).to_arrow()
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(_mk, batch_format="pyarrow")
+    edges = extract_links(ds)
+
+    def _pre(b: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(b).group_by("dst")
+            .agg(pl.len().cast(pl.Int64).alias("n_inlinks")).to_arrow()
+        )
+
+    parts = edges.map_batches(_pre, batch_format="pyarrow")
+    return bucketed_group_map(
+        parts, ["dst"],
+        lambda t: pl.from_arrow(t).group_by("dst")
+                    .agg(pl.col("n_inlinks").sum()).to_arrow(),
+        num_buckets=8,
+    )
+
+
+_SQL_INLINK_COUNTS = r"""
+WITH u AS (
+  SELECT doc_id,
+         'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example/d/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         '<html><body><a href="https://site' || CAST((doc_id + 1) % 20 AS VARCHAR)
+           || '.example/d/' || CAST(doc_id + 1 AS VARCHAR)
+           || '">n</a><a href="/rel/' || CAST(doc_id % 7 AS VARCHAR) || '">r</a>'
+           || CASE WHEN doc_id % 3 = 0 THEN '<A HREF="/caps/1">c</A>' ELSE '' END
+           || '<a href=''skip.html''>s</a><a href="#frag">f</a></body></html>' AS html
+  FROM documents
+), e AS (
+  SELECT url AS src,
+         regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)', 1) AS base,
+         unnest(regexp_extract_all(html,
+             '<[aA]\s[^>]*[hH][rR][eE][fF]="([^"]*)"', 1)) AS href
+  FROM u
+), d AS (
+  SELECT CASE WHEN regexp_matches(href, '^https?://') THEN href
+              WHEN starts_with(href, '/') THEN base || href
+              ELSE NULL END AS dst
+  FROM e
+)
+SELECT dst, CAST(count(*) AS BIGINT) AS n_inlinks
+FROM d WHERE dst IS NOT NULL GROUP BY dst
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: domain_rollup — per-domain stats with a host blocklist
 
 _ROLLUP_BLOCKLIST = ["site3.example", "site7.example"]
@@ -3994,6 +4073,7 @@ def queries() -> dict:
         "pagerank_scores": q_pagerank,
         "robots_kept": q_robots_kept,
         "doc_chunks": q_doc_chunks,
+        "inlink_counts": q_inlink_counts,
         "domain_rollup": q_domain_rollup,
         "embedding_stats": q_embedding_stats,
         "embedding_cov": q_embedding_cov,
@@ -4104,6 +4184,7 @@ def oracle_sql() -> dict:
         "pagerank_scores": _sql_pagerank(),
         "robots_kept": _SQL_ROBOTS,
         "doc_chunks": _SQL_DOC_CHUNKS,
+        "inlink_counts": _SQL_INLINK_COUNTS,
         "domain_rollup": _sql_domain_rollup(),
         "embedding_stats": _SQL_EMBEDDING_STATS,
         "embedding_cov": _SQL_EMBEDDING_COV,

@@ -77,3 +77,53 @@ class TestHtmlExtract:
         out = HtmlExtract()(t)
         assert out["extracted"].to_pylist() == ["x"]
         assert out.column_names.count("extracted") == 1
+
+
+class TestExtractLinks:
+    """ops/html.py:extract_links — pinned href spec."""
+
+    def _run(self, ray_session, rows):
+        import pyarrow as pa
+        import ray.data
+
+        from edkray.ops.html import extract_links
+
+        t = pa.table({
+            "url": pa.array([r[0] for r in rows], type=pa.string()),
+            "html": pa.array([r[1].encode() for r in rows], type=pa.binary()),
+        })
+        out = extract_links(ray.data.from_arrow(t)).to_pandas()
+        if len(out) == 0:
+            return []
+        return list(zip(out["src"], out["dst"]))
+
+    def test_absolute_and_root_relative(self, ray_session):
+        got = self._run(ray_session, [(
+            "https://a.x/p",
+            '<a href="https://b.y/1">n</a><a href="/r/2">r</a>',
+        )])
+        assert got == [("https://a.x/p", "https://b.y/1"),
+                       ("https://a.x/p", "https://a.x/r/2")]
+
+    def test_dropped_variants(self, ray_session):
+        got = self._run(ray_session, [(
+            "https://a.x/p",
+            "<a href='sq.html'>s</a><a href=\"#f\">f</a>"
+            '<a href="mailto:z@y">m</a><a href="rel.html">p</a>',
+        )])
+        # mailto: is not http(s):// and not root-relative -> dropped
+        assert got == []
+
+    def test_caps_tag_and_duplicates(self, ray_session):
+        got = self._run(ray_session, [(
+            "https://a.x/p",
+            '<A HREF="/c/1">c</A><a id="z" href="/c/1">again</a>',
+        )])
+        assert got == [("https://a.x/p", "https://a.x/c/1")] * 2
+
+    def test_unparseable_src_drops_relative_keeps_absolute(self, ray_session):
+        got = self._run(ray_session, [(
+            "not a url",
+            '<a href="/r/1">r</a><a href="https://b.y/1">n</a>',
+        )])
+        assert got == [("not a url", "https://b.y/1")]
