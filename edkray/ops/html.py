@@ -186,3 +186,64 @@ def extract_links(
         )
 
     return ds.map_batches(_edges, batch_format="pyarrow", batch_size=batch_size)
+
+
+_ANCHOR_RE = r'<[aA]\s[^>]*[hH][rR][eE][fF]="([^"]*)"[^>]*>([^<]*)</[aA]>'
+
+
+def extract_anchor_texts(
+    ds,
+    html_col: str = "html",
+    url_col: str = "url",
+    batch_size: int = 16384,
+):
+    """``(dst, anchor)`` pairs from an ``html`` column — anchor text
+    aggregated per link target is a classic web ranking / retrieval
+    training signal (it describes the TARGET page).
+
+    Same pinned resolution rule as :func:`extract_links` (absolute
+    http(s) kept, root-relative resolved against the source host, rest
+    dropped) with the additional pinned constraint that only anchors
+    whose inner text contains no nested tag (``[^<]*``) match — the
+    regex-replayable subset. Vectorized: ``extract_all`` of full
+    anchors → explode → per-group re-extract (each match is a complete
+    anchor, so the re-extract is exact)."""
+    import polars as pl
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        html = (
+            pl.col(html_col).cast(pl.Binary).cast(pl.String)
+            if df.schema[html_col] == pl.Binary
+            else pl.col(html_col).cast(pl.String)
+        )
+        base = pl.col(url_col).str.extract(
+            r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1
+        )
+        out = (
+            df.select(
+                base.alias("__base"),
+                html.str.extract_all(_ANCHOR_RE).alias("__m"),
+            )
+            .explode("__m")
+            .drop_nulls("__m")
+            .with_columns(
+                pl.col("__m").str.extract(_ANCHOR_RE, 1).alias("__href"),
+                pl.col("__m").str.extract(_ANCHOR_RE, 2).alias("anchor"),
+            )
+        )
+        dst = (
+            pl.when(pl.col("__href").str.contains(r"^https?://"))
+            .then(pl.col("__href"))
+            .when(pl.col("__href").str.starts_with("/") & pl.col("__base").is_not_null())
+            .then(pl.col("__base") + pl.col("__href"))
+            .otherwise(None)
+        )
+        return (
+            out.with_columns(dst.alias("dst"))
+            .drop_nulls("dst")
+            .select("dst", "anchor")
+            .to_arrow()
+        )
+
+    return ds.map_batches(_pairs, batch_format="pyarrow", batch_size=batch_size)

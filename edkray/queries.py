@@ -2502,6 +2502,85 @@ FROM d WHERE dst IS NOT NULL GROUP BY dst
 
 
 # --------------------------------------------------------------------------
+# Q: anchor_texts — per-(target, anchor-text) rollup
+
+
+def q_anchor_texts(sf_dir: str):
+    """Anchor-text aggregation (ops/html.py:extract_anchor_texts): html
+    plants anchors WITH inner text — absolute ('to site k'), relative
+    ('rel j'), a nested-tag anchor that the pinned [^<]* contract skips
+    — pairs explode vectorized and the (dst, anchor) counts finish
+    hash-bucketed. Oracle replays the two-group regex via
+    list_zip(regexp_extract_all(...,1), ...,2))."""
+    import polars as pl
+
+    from edkray.ops.html import extract_anchor_texts
+    from edkray.ops.shuffle import bucketed_group_map
+
+    def _mk(batch):
+        df = pl.from_arrow(batch)
+        d = pl.col("doc_id")
+        url = (pl.lit("https://site") + (d % 20).cast(pl.String)
+               + pl.lit(".example/d/") + d.cast(pl.String))
+        html = (
+            pl.lit('<p><a href="https://site') + ((d + 1) % 20).cast(pl.String)
+            + pl.lit('.example/home" rel="next">to site ')
+            + ((d + 1) % 20).cast(pl.String)
+            + pl.lit('</a><a href="/rel/') + (d % 7).cast(pl.String)
+            + pl.lit('">rel ') + (d % 7).cast(pl.String)
+            + pl.lit('</a><a href="/skip"><b>nested</b></a></p>')
+        )
+        return df.select(url.alias("url"), html.alias("html")).to_arrow()
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(_mk, batch_format="pyarrow")
+    pairs = extract_anchor_texts(ds)
+
+    def _agg(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t).group_by("dst", "anchor")
+            .agg(pl.col("n").sum()).to_arrow()
+        )
+
+    parts = pairs.map_batches(
+        lambda b: pl.from_arrow(b).group_by("dst", "anchor")
+                    .agg(pl.len().cast(pl.Int64).alias("n")).to_arrow(),
+        batch_format="pyarrow",
+    )
+    return bucketed_group_map(parts, ["dst", "anchor"], _agg, num_buckets=8)
+
+
+def _sql_anchor_texts() -> str:
+    from edkray.ops.html import _ANCHOR_RE
+
+    return rf"""
+WITH u AS (
+  SELECT doc_id,
+         'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example/d/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         '<p><a href="https://site' || CAST((doc_id + 1) % 20 AS VARCHAR)
+           || '.example/home" rel="next">to site ' || CAST((doc_id + 1) % 20 AS VARCHAR)
+           || '</a><a href="/rel/' || CAST(doc_id % 7 AS VARCHAR)
+           || '">rel ' || CAST(doc_id % 7 AS VARCHAR)
+           || '</a><a href="/skip"><b>nested</b></a></p>' AS html
+  FROM documents
+), m AS (
+  SELECT regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)', 1) AS base,
+         unnest(list_zip(regexp_extract_all(html, '{_ANCHOR_RE}', 1),
+                         regexp_extract_all(html, '{_ANCHOR_RE}', 2))) AS z
+  FROM u
+), p AS (
+  SELECT CASE WHEN regexp_matches(z[1], '^https?://') THEN z[1]
+              WHEN starts_with(z[1], '/') THEN base || z[1]
+              ELSE NULL END AS dst,
+         z[2] AS anchor
+  FROM m
+)
+SELECT dst, anchor, CAST(count(*) AS BIGINT) AS n
+FROM p WHERE dst IS NOT NULL GROUP BY dst, anchor
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: domain_rollup — per-domain stats with a host blocklist
 
 _ROLLUP_BLOCKLIST = ["site3.example", "site7.example"]
@@ -4074,6 +4153,7 @@ def queries() -> dict:
         "robots_kept": q_robots_kept,
         "doc_chunks": q_doc_chunks,
         "inlink_counts": q_inlink_counts,
+        "anchor_texts": q_anchor_texts,
         "domain_rollup": q_domain_rollup,
         "embedding_stats": q_embedding_stats,
         "embedding_cov": q_embedding_cov,
@@ -4185,6 +4265,7 @@ def oracle_sql() -> dict:
         "robots_kept": _SQL_ROBOTS,
         "doc_chunks": _SQL_DOC_CHUNKS,
         "inlink_counts": _SQL_INLINK_COUNTS,
+        "anchor_texts": _sql_anchor_texts(),
         "domain_rollup": _sql_domain_rollup(),
         "embedding_stats": _SQL_EMBEDDING_STATS,
         "embedding_cov": _SQL_EMBEDDING_COV,

@@ -127,3 +127,40 @@ class TestExtractLinks:
             '<a href="/r/1">r</a><a href="https://b.y/1">n</a>',
         )])
         assert got == [("not a url", "https://b.y/1")]
+
+
+class TestExtractAnchorTexts:
+    """ops/html.py:extract_anchor_texts — (dst, anchor) pinned spec."""
+
+    def _run(self, ray_session, rows):
+        import pyarrow as pa
+        import ray.data
+
+        from edkray.ops.html import extract_anchor_texts
+
+        t = pa.table({
+            "url": pa.array([r[0] for r in rows], type=pa.string()),
+            "html": pa.array([r[1].encode() for r in rows], type=pa.binary()),
+        })
+        out = extract_anchor_texts(ray.data.from_arrow(t)).to_pandas()
+        if len(out) == 0:
+            return []
+        return list(zip(out["dst"], out["anchor"]))
+
+    def test_pairs_and_resolution(self, ray_session):
+        got = self._run(ray_session, [(
+            "https://a.x/p",
+            '<a href="https://b.y/1" rel="next">one</a><a href="/r">two</a>',
+        )])
+        assert got == [("https://b.y/1", "one"), ("https://a.x/r", "two")]
+
+    def test_nested_tag_anchor_skipped(self, ray_session):
+        got = self._run(ray_session, [(
+            "https://a.x/p",
+            '<a href="/n"><b>bold</b></a><a href="/ok">plain</a>',
+        )])
+        assert got == [("https://a.x/ok", "plain")]
+
+    def test_empty_anchor_text_kept(self, ray_session):
+        got = self._run(ray_session, [("https://a.x/p", '<a href="/e"></a>')])
+        assert got == [("https://a.x/e", "")]
