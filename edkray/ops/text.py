@@ -14,6 +14,7 @@ import re
 import numpy as np
 import polars as pl
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
 
@@ -822,3 +823,160 @@ def group_split(
         df[group_col].replace_strict(mapping, return_dtype=pl.Utf8).alias(out_col)
     )
     return out.to_arrow()
+
+
+def token_cooccurrence(
+    ds,
+    text_col: str = "text",
+    window: int = 2,
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+):
+    """Windowed token co-occurrence counts — the word2vec/GloVe-style
+    corpus statistic. Pinned spec (the SQL oracle replays it): tokens
+    are ``\\S+`` runs (no case folding), a pair is counted once per
+    ordered position pair (i, j) with ``0 < j − i ≤ window`` inside one
+    document, emitted with its members lexicographically ordered
+    (``wa ≤ wb``; same-token pairs kept).
+
+    Scale shape: per batch, tokens explode once and the k = 1..window
+    pairings are vectorized polars shifts (document-boundary pairs
+    masked by a doc-id equality filter — no per-doc loop); counts
+    PRE-AGGREGATE per batch so only (wa, wb, n) partials — bounded by
+    the batch's distinct-pair count, not its token count — enter the
+    hash-bucketed final sum. Vocabulary² never materializes anywhere;
+    output size is the corpus's distinct co-occurring pair count."""
+    import polars as pl
+
+    from edkray.ops.shuffle import bucketed_group_map
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        ex = (
+            df.with_row_index("__d")
+            .select("__d", pl.col(text_col).str.extract_all(r"\S+").alias("w"))
+            .explode("w")
+            .drop_nulls("w")
+        )
+        parts = []
+        for k in range(1, window + 1):
+            p = ex.select(
+                "__d",
+                pl.col("w").alias("x"),
+                pl.col("__d").shift(-k).alias("__d2"),
+                pl.col("w").shift(-k).alias("y"),
+            ).filter(pl.col("__d") == pl.col("__d2"))
+            parts.append(p.select(
+                pl.when(pl.col("x") <= pl.col("y")).then(pl.col("x"))
+                  .otherwise(pl.col("y")).alias("wa"),
+                pl.when(pl.col("x") <= pl.col("y")).then(pl.col("y"))
+                  .otherwise(pl.col("x")).alias("wb"),
+            ))
+        if not parts:
+            return pa.table({"wa": pa.array([], pa.large_string()),
+                             "wb": pa.array([], pa.large_string()),
+                             "n": pa.array([], pa.int64())})
+        return (
+            pl.concat(parts)
+            .group_by("wa", "wb")
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .to_arrow()
+        )
+
+    partials = ds.map_batches(_pairs, batch_format="pyarrow", batch_size=batch_size)
+    return bucketed_group_map(
+        partials, ["wa", "wb"],
+        lambda t: __import__("polars").from_arrow(t)
+            .group_by("wa", "wb").agg(__import__("polars").col("n").sum()).to_arrow(),
+        num_buckets=num_buckets,
+    )
+
+
+def token_counts(
+    ds,
+    text_col: str = "text",
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+):
+    """Global unigram counts over ``\\S+`` tokens (no case folding) —
+    per-batch pre-aggregation, hash-bucketed final sums."""
+    import polars as pl
+
+    from edkray.ops.shuffle import bucketed_group_map
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch)
+            .select(pl.col(text_col).str.extract_all(r"\S+").alias("w"))
+            .explode("w").drop_nulls("w")
+            .group_by("w").agg(pl.len().cast(pl.Int64).alias("c"))
+            .to_arrow()
+        )
+
+    partials = ds.map_batches(_counts, batch_format="pyarrow", batch_size=batch_size)
+    return bucketed_group_map(
+        partials, ["w"],
+        lambda t: __import__("polars").from_arrow(t)
+            .group_by("w").agg(__import__("polars").col("c").sum()).to_arrow(),
+        num_buckets=num_buckets,
+    )
+
+
+def pmi_scores(
+    ds,
+    text_col: str = "text",
+    window: int = 2,
+    min_pair_count: int = 2,
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+):
+    """Pointwise mutual information per co-occurring token pair:
+    ``pmi = ln( (n_pair / P) / ((c_a / T) · (c_b / T)) )`` with P =
+    total pair slots, T = total tokens — the pinned, SQL-replayable
+    normalization. Pairs below ``min_pair_count`` are dropped (the
+    standard noise floor, and it bounds the output).
+
+    Composition: :func:`token_cooccurrence` + :func:`token_counts`
+    (both distributed, pre-aggregated, bucketed), then the unigram
+    table broadcasts once via ``ray.put`` for a vectorized polars join
+    per pair-batch. The broadcast is the documented bound: fine to
+    ~10^8-token vocabularies (~GBs); past that, swap the join for a
+    second hash-bucketed co-shuffle on the word key (same machinery,
+    two passes) — pair counts themselves never concentrate anywhere."""
+    import polars as pl
+    import ray
+
+    pairs = token_cooccurrence(ds, text_col, window, num_buckets, batch_size)
+    uni = token_counts(ds, text_col, num_buckets, batch_size)
+    uni_tbl = pa.concat_tables(
+        [t for t in ray.get(uni.to_arrow_refs()) if t.num_columns]
+    )
+    total_tokens = int(pc.sum(uni_tbl["c"]).as_py() or 0)
+    uni_ref = ray.put(uni_tbl)
+
+    # total pair slots: one streaming count over the pair partials
+    pairs = pairs.materialize()
+    total_pairs = sum(
+        int(pc.sum(t["n"]).as_py() or 0)
+        for t in ray.get(pairs.select_columns(["n"]).to_arrow_refs())
+        if t.num_columns
+    )
+    state = ray.put((total_pairs, total_tokens))
+
+    def _pmi(batch: pa.Table) -> pa.Table:
+        u = pl.from_arrow(ray.get(uni_ref))
+        p_tot, t_tot = ray.get(state)
+        df = pl.from_arrow(batch).filter(pl.col("n") >= min_pair_count)
+        df = (
+            df.join(u.rename({"w": "wa", "c": "ca"}), on="wa", how="inner")
+            .join(u.rename({"w": "wb", "c": "cb"}), on="wb", how="inner")
+        )
+        return df.select(
+            "wa", "wb", "n",
+            (
+                ((pl.col("n").cast(pl.Float64) / p_tot)
+                 / ((pl.col("ca") / t_tot) * (pl.col("cb") / t_tot))).log()
+            ).alias("pmi"),
+        ).to_arrow()
+
+    return pairs.map_batches(_pmi, batch_format="pyarrow", batch_size=batch_size)

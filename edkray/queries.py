@@ -2502,6 +2502,84 @@ FROM d WHERE dst IS NOT NULL GROUP BY dst
 
 
 # --------------------------------------------------------------------------
+# Q: cooc_pairs / pmi_pairs — windowed co-occurrence and PMI
+
+
+def q_cooc_pairs(sf_dir: str, window: int = 2):
+    """Windowed token co-occurrence (ops/text.py:token_cooccurrence):
+    \\S+ tokens, position pairs 0 < j−i ≤ window within a doc, members
+    lexicographically ordered. Pairings are vectorized shifts over the
+    exploded token stream (doc-boundary pairs masked); per-batch
+    pre-aggregation, hash-bucketed sums. Oracle replays via the
+    exploded self-join on (doc, position-range)."""
+    from edkray.ops.text import token_cooccurrence
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return token_cooccurrence(ds, window=window, num_buckets=16)
+
+
+def _sql_cooc(window: int = 2) -> str:
+    return rf"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
+), x AS (
+  SELECT doc_id, i, ws[i] AS tok
+  FROM t, unnest(generate_series(1, len(ws))) AS s(i)
+), p AS (
+  SELECT CASE WHEN a.tok <= b.tok THEN a.tok ELSE b.tok END AS wa,
+         CASE WHEN a.tok <= b.tok THEN b.tok ELSE a.tok END AS wb
+  FROM x a JOIN x b ON a.doc_id = b.doc_id
+                   AND b.i > a.i AND b.i <= a.i + {window}
+)
+SELECT wa, wb, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY wa, wb
+"""
+
+
+def q_pmi_pairs(sf_dir: str, window: int = 2, min_pair_count: int = 2):
+    """PMI over the co-occurrence counts (ops/text.py:pmi_scores):
+    pmi = ln((n/P) / ((ca/T)·(cb/T))) with P = total pair slots and
+    T = total tokens; pairs with n < 2 dropped. Unigram counts join
+    broadcast (documented vocab bound; bucketed co-shuffle is the
+    stated scale path). Oracle recomposes the identical arithmetic."""
+    from edkray.ops.text import pmi_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return pmi_scores(ds, window=window, min_pair_count=min_pair_count,
+                      num_buckets=16)
+
+
+def _sql_pmi(window: int = 2, min_pair_count: int = 2) -> str:
+    return rf"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
+), x AS (
+  SELECT doc_id, i, ws[i] AS tok
+  FROM t, unnest(generate_series(1, len(ws))) AS s(i)
+), u AS (
+  SELECT tok AS w, CAST(count(*) AS BIGINT) AS c FROM x GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS t_tot FROM u
+), p AS (
+  SELECT CASE WHEN a.tok <= b.tok THEN a.tok ELSE b.tok END AS wa,
+         CASE WHEN a.tok <= b.tok THEN b.tok ELSE a.tok END AS wb
+  FROM x a JOIN x b ON a.doc_id = b.doc_id
+                   AND b.i > a.i AND b.i <= a.i + {window}
+), pc_ AS (
+  SELECT wa, wb, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY wa, wb
+), ptot AS (
+  SELECT CAST(sum(n) AS DOUBLE) AS p_tot FROM pc_
+)
+SELECT pc_.wa, pc_.wb, pc_.n,
+       ln((CAST(pc_.n AS DOUBLE) / ptot.p_tot)
+          / ((CAST(ua.c AS DOUBLE) / tot.t_tot) * (CAST(ub.c AS DOUBLE) / tot.t_tot))) AS pmi
+FROM pc_, ptot, tot
+JOIN u ua ON ua.w = pc_.wa
+JOIN u ub ON ub.w = pc_.wb
+WHERE pc_.n >= {min_pair_count}
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: anchor_texts — per-(target, anchor-text) rollup
 
 
@@ -4154,6 +4232,8 @@ def queries() -> dict:
         "doc_chunks": q_doc_chunks,
         "inlink_counts": q_inlink_counts,
         "anchor_texts": q_anchor_texts,
+        "cooc_pairs": q_cooc_pairs,
+        "pmi_pairs": q_pmi_pairs,
         "domain_rollup": q_domain_rollup,
         "embedding_stats": q_embedding_stats,
         "embedding_cov": q_embedding_cov,
@@ -4266,6 +4346,8 @@ def oracle_sql() -> dict:
         "doc_chunks": _SQL_DOC_CHUNKS,
         "inlink_counts": _SQL_INLINK_COUNTS,
         "anchor_texts": _sql_anchor_texts(),
+        "cooc_pairs": _sql_cooc(),
+        "pmi_pairs": _sql_pmi(),
         "domain_rollup": _sql_domain_rollup(),
         "embedding_stats": _SQL_EMBEDDING_STATS,
         "embedding_cov": _SQL_EMBEDDING_COV,

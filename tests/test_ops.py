@@ -2796,3 +2796,45 @@ class TestGroupSplit:
 
         with _pytest.raises(ValueError):
             self._run(["a"], fracs=(0.5, 0.2))
+
+
+class TestCooccurrence:
+    """ops/text.py:token_cooccurrence / pmi_scores."""
+
+    def _pairs(self, ray_session, texts, window=2):
+        import ray.data
+
+        from edkray.ops.text import token_cooccurrence
+
+        ds = ray.data.from_arrow(pa.table({"text": texts})).repartition(2)
+        out = token_cooccurrence(ds, window=window, num_buckets=4).to_pandas()
+        return {(r["wa"], r["wb"]): r["n"] for _, r in out.iterrows()}
+
+    def test_window_and_ordering(self, ray_session):
+        got = self._pairs(ray_session, ["c a b a"], window=2)
+        # pairs (i<j, j-i<=2): (c,a) (c,b) (a,b) (a,a) (b,a) -> ordered
+        assert got == {("a", "c"): 1, ("b", "c"): 1, ("a", "b"): 2, ("a", "a"): 1}
+
+    def test_doc_boundary_not_crossed(self, ray_session):
+        got = self._pairs(ray_session, ["x y", "z w"], window=2)
+        assert got == {("x", "y"): 1, ("w", "z"): 1}
+
+    def test_window_one(self, ray_session):
+        got = self._pairs(ray_session, ["a b c"], window=1)
+        assert got == {("a", "b"): 1, ("b", "c"): 1}
+
+    def test_pmi_matches_hand_formula(self, ray_session):
+        import math
+
+        import ray.data
+
+        from edkray.ops.text import pmi_scores
+
+        ds = ray.data.from_arrow(pa.table({"text": ["a b a b a"]}))
+        out = pmi_scores(ds, window=1, min_pair_count=2, num_buckets=4).to_pandas()
+        # tokens: a×3 b×2 (T=5); window-1 pairs: (a,b)×4 (P=4)
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert (r["wa"], r["wb"], r["n"]) == ("a", "b", 4)
+        expect = math.log((4 / 4) / ((3 / 5) * (2 / 5)))
+        assert abs(r["pmi"] - expect) < 1e-12
