@@ -2502,6 +2502,76 @@ FROM d WHERE dst IS NOT NULL GROUP BY dst
 
 
 # --------------------------------------------------------------------------
+# Q: jsonl_scan — JSONL web-corpus engine round-trip
+
+
+def q_jsonl_scan(sf_dir: str):
+    """The JSONL engine (sources/jsonl.py) end-to-end: documents are
+    written as two date-sharded ``.jsonl.gz`` files (doc_id parity picks
+    the day), scanned back through the registry engine with a time
+    template (gz inflated in the read tasks, date re-parsed from each
+    path), and rolled up per (date, lang). The oracle computes the same
+    rollup straight from the documents table with the same parity-day
+    rule — parity proves the write→expand→read→date-attach loop is
+    lossless."""
+    import datetime as _dt
+    import os
+    import tempfile
+
+    from edkray.sources.registry import get_source
+    from edkray.sources.jsonl import write_jsonl
+
+    tbl = _read(sf_dir, "documents", ["doc_id", "text", "lang"]).to_pandas()
+    d = tempfile.mkdtemp(prefix="edkray_jsonl_")
+    for day in (1, 2):
+        rows = [
+            {"doc_id": int(r.doc_id), "text": str(r.text), "lang": str(r.lang)}
+            for r in tbl.itertuples() if int(r.doc_id) % 2 == day - 1
+        ]
+        write_jsonl(os.path.join(d, f"docs-2017010{day}.jsonl.gz"), rows)
+
+    ds = get_source("jsonl").scan(
+        d + "/docs-%Y%m%d.jsonl.gz",
+        time_range=(_dt.datetime(2017, 1, 1), _dt.datetime(2017, 1, 3)),
+    )
+
+    def _rollup(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(batch)
+            .group_by("date", "lang")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_docs"),
+                pl.col("text").str.len_chars().cast(pl.Int64).sum().alias("total_chars"),
+            )
+            .to_arrow()
+        )
+
+    from edkray.ops.shuffle import bucketed_group_map
+    import polars as pl
+
+    parts = ds.map_batches(_rollup, batch_format="pyarrow")
+    return bucketed_group_map(
+        parts, ["date", "lang"],
+        lambda t: pl.from_arrow(t).group_by("date", "lang")
+            .agg(pl.col("n_docs").sum(), pl.col("total_chars").sum()).to_arrow(),
+        num_buckets=4,
+    )
+
+
+_SQL_JSONL_SCAN = """
+SELECT CAST('2017-01-01' AS TIMESTAMP)
+         + to_days(CAST(doc_id % 2 AS INTEGER)) AS date,
+       lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: cooc_pairs / pmi_pairs — windowed co-occurrence and PMI
 
 
@@ -4232,6 +4302,7 @@ def queries() -> dict:
         "doc_chunks": q_doc_chunks,
         "inlink_counts": q_inlink_counts,
         "anchor_texts": q_anchor_texts,
+        "jsonl_scan": q_jsonl_scan,
         "cooc_pairs": q_cooc_pairs,
         "pmi_pairs": q_pmi_pairs,
         "domain_rollup": q_domain_rollup,
@@ -4346,6 +4417,7 @@ def oracle_sql() -> dict:
         "doc_chunks": _SQL_DOC_CHUNKS,
         "inlink_counts": _SQL_INLINK_COUNTS,
         "anchor_texts": _sql_anchor_texts(),
+        "jsonl_scan": _SQL_JSONL_SCAN,
         "cooc_pairs": _sql_cooc(),
         "pmi_pairs": _sql_pmi(),
         "domain_rollup": _sql_domain_rollup(),

@@ -15,3 +15,6 @@ from edkray.sources import pushdown as _pushdown  # noqa: F401
 
 # import for side-effect: registers the "warclike" record-container engine
 from edkray.sources import warclike as _warclike  # noqa: F401
+
+# import for side-effect: registers the "jsonl" web-corpus engine
+from edkray.sources import jsonl as _jsonl  # noqa: F401

@@ -820,3 +820,62 @@ class TestWarcLikeSource:
             get_source("warclike").scan(str(tmp_path) + "/nope-%Y%m%d.wrec",
                                         time_range=(dt.datetime(2017, 1, 1),
                                                     dt.datetime(2017, 1, 2)))
+
+
+class TestJsonlSource:
+    """sources/jsonl.py — sixth registered engine."""
+
+    def _write(self, tmp_path, name, rows):
+        from edkray.sources.jsonl import write_jsonl
+
+        p = str(tmp_path / name)
+        write_jsonl(p, rows)
+        return p
+
+    def test_registered(self):
+        from edkray.sources.registry import get_source
+
+        assert type(get_source("jsonl")).__name__ == "JsonlSource"
+
+    def test_round_trip_with_projection_and_dates(self, ray_session, tmp_path):
+        import datetime as dt
+
+        from edkray.sources.registry import get_source
+
+        self._write(tmp_path, "d-20170101.jsonl",
+                    [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}])
+        self._write(tmp_path, "d-20170102.jsonl", [{"a": 3, "b": "z"}])
+        ds = get_source("jsonl").scan(
+            str(tmp_path) + "/d-%Y%m%d.jsonl",
+            time_range=(dt.datetime(2017, 1, 1), dt.datetime(2017, 1, 3)),
+            columns=["a"],
+        )
+        df = ds.to_pandas().sort_values("a").reset_index(drop=True)
+        assert list(df.columns) == ["a", "date"]
+        assert list(df["a"]) == [1, 2, 3]
+        assert [d.day for d in df["date"]] == [1, 1, 2]
+
+    def test_gzip_shards(self, ray_session, tmp_path):
+        import datetime as dt
+
+        from edkray.sources.registry import get_source
+
+        self._write(tmp_path, "g-20170101.jsonl.gz", [{"v": 7}])
+        ds = get_source("jsonl").scan(
+            str(tmp_path) + "/g-%Y%m%d.jsonl.gz",
+            time_range=(dt.datetime(2017, 1, 1), dt.datetime(2017, 1, 2)),
+        )
+        assert ds.to_pandas()["v"].tolist() == [7]
+
+    def test_no_match_raises(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import pytest
+
+        from edkray.sources.registry import get_source
+
+        with pytest.raises(ValueError, match="no files matched"):
+            get_source("jsonl").scan(
+                str(tmp_path) + "/none-%Y%m%d.jsonl",
+                time_range=(dt.datetime(2017, 1, 1), dt.datetime(2017, 1, 2)),
+            )
