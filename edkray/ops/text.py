@@ -922,6 +922,67 @@ def token_counts(
     )
 
 
+def _scalar_sum(dataset, col: str) -> int:
+    """Streaming driver fold of one int column — per-ref gets so only
+    one block's table is ever resident on the driver."""
+    import ray
+
+    total = 0
+    for ref in dataset.select_columns([col]).to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_columns:
+            total += int(pc.sum(t[col]).as_py() or 0)
+    return total
+
+
+def _bucketed_count_join(pairs, uni, key: str, out_name: str,
+                         num_buckets: int, batch_size: int):
+    """Attach the unigram count of ``key``'s word to every pair row via
+    ONE hash-bucketed co-shuffle (tagged union → per-bucket polars
+    join) — no broadcast, no driver materialization. The winner-filter
+    / _bucketed_verify pattern applied to a count join."""
+    import polars as pl
+
+    from edkray.ops.shuffle import bucketed_group_map
+
+    carry = [c for c in pairs.schema().names if c != key]
+
+    def _tag_pairs(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        return df.select(
+            pl.col(key).alias("__key"),
+            *[pl.col(c) for c in carry],
+            pl.lit(None, dtype=pl.Int64).alias("__c"),
+        ).to_arrow()
+
+    def _tag_uni(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        cols = [pl.col("w").alias("__key")]
+        for c in carry:
+            cols.append(pl.lit(None, dtype=pl.Int64).alias(c)
+                        if c == "n" or c.startswith("c")
+                        else pl.lit(None, dtype=pl.String).alias(c))
+        cols.append(pl.col("c").alias("__c"))
+        return df.select(cols).to_arrow()
+
+    tagged = pairs.map_batches(_tag_pairs, batch_format="pyarrow",
+                               batch_size=batch_size).union(
+        uni.map_batches(_tag_uni, batch_format="pyarrow", batch_size=batch_size)
+    )
+
+    def _join(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        u = df.filter(pl.col("__c").is_not_null()).select("__key", "__c")
+        p = df.filter(pl.col("__c").is_null()).drop("__c")
+        return (
+            p.join(u, on="__key", how="inner")
+            .rename({"__key": key, "__c": out_name})
+            .to_arrow()
+        )
+
+    return bucketed_group_map(tagged, ["__key"], _join, num_buckets=num_buckets)
+
+
 def pmi_scores(
     ds,
     text_col: str = "text",
@@ -929,6 +990,7 @@ def pmi_scores(
     min_pair_count: int = 2,
     num_buckets: int = 64,
     batch_size: int = 65536,
+    join_mode: str = "broadcast",
 ):
     """Pointwise mutual information per co-occurring token pair:
     ``pmi = ln( (n_pair / P) / ((c_a / T) · (c_b / T)) )`` with P =
@@ -938,45 +1000,70 @@ def pmi_scores(
 
     Composition: :func:`token_cooccurrence` + :func:`token_counts`
     (both distributed, pre-aggregated, bucketed), then the unigram
-    table broadcasts once via ``ray.put`` for a vectorized polars join
-    per pair-batch. The broadcast is the documented bound: fine to
-    ~10^8-token vocabularies (~GBs); past that, swap the join for a
-    second hash-bucketed co-shuffle on the word key (same machinery,
-    two passes) — pair counts themselves never concentrate anywhere."""
+    counts attach per pair. ``join_mode``:
+
+    - ``"broadcast"`` (default) — the unigram table ships once via
+      ``ray.put`` and each pair-batch does a local polars join; right
+      while the vocabulary fits the object store (~10^8 words ≈ GBs).
+    - ``"bucketed"`` — NO broadcast and no driver materialization of
+      the vocabulary: two hash-bucketed co-shuffles (tagged union →
+      per-bucket join, :func:`_bucketed_count_join`) attach ``ca`` then
+      ``cb`` — the 10^9-word path. Totals P and T are streaming scalar
+      folds either way. Outputs are identical (equivalence-tested).
+    """
     import polars as pl
     import ray
 
+    if join_mode not in ("broadcast", "bucketed"):
+        raise ValueError(f"join_mode must be broadcast|bucketed, got {join_mode!r}")
+
     pairs = token_cooccurrence(ds, text_col, window, num_buckets, batch_size)
     uni = token_counts(ds, text_col, num_buckets, batch_size)
+
+    pairs = pairs.materialize()
+    total_pairs = _scalar_sum(pairs, "n")  # BEFORE the noise floor
+    # the floor cuts the co-shuffled/broadcast-joined volume early
+    pairs = pairs.filter(expr=f"n >= {min_pair_count}")
+
+    def _finish(with_counts, p_tot: int, t_tot: int):
+        state = ray.put((p_tot, t_tot))
+
+        def _pmi(batch: pa.Table) -> pa.Table:
+            pt, tt = ray.get(state)
+            df = pl.from_arrow(batch)
+            return df.select(
+                "wa", "wb", "n",
+                (
+                    ((pl.col("n").cast(pl.Float64) / pt)
+                     / ((pl.col("ca") / tt) * (pl.col("cb") / tt))).log()
+                ).alias("pmi"),
+            ).to_arrow()
+
+        return with_counts.map_batches(_pmi, batch_format="pyarrow",
+                                       batch_size=batch_size)
+
+    if join_mode == "bucketed":
+        uni = uni.materialize()
+        total_tokens = _scalar_sum(uni, "c")
+        j1 = _bucketed_count_join(pairs, uni, "wa", "ca", num_buckets, batch_size)
+        j2 = _bucketed_count_join(j1, uni, "wb", "cb", num_buckets, batch_size)
+        return _finish(j2, total_pairs, total_tokens)
+
     uni_tbl = pa.concat_tables(
         [t for t in ray.get(uni.to_arrow_refs()) if t.num_columns]
     )
     total_tokens = int(pc.sum(uni_tbl["c"]).as_py() or 0)
     uni_ref = ray.put(uni_tbl)
 
-    # total pair slots: one streaming count over the pair partials
-    pairs = pairs.materialize()
-    total_pairs = sum(
-        int(pc.sum(t["n"]).as_py() or 0)
-        for t in ray.get(pairs.select_columns(["n"]).to_arrow_refs())
-        if t.num_columns
-    )
-    state = ray.put((total_pairs, total_tokens))
-
-    def _pmi(batch: pa.Table) -> pa.Table:
+    def _attach(batch: pa.Table) -> pa.Table:
         u = pl.from_arrow(ray.get(uni_ref))
-        p_tot, t_tot = ray.get(state)
-        df = pl.from_arrow(batch).filter(pl.col("n") >= min_pair_count)
-        df = (
+        df = pl.from_arrow(batch)
+        return (
             df.join(u.rename({"w": "wa", "c": "ca"}), on="wa", how="inner")
             .join(u.rename({"w": "wb", "c": "cb"}), on="wb", how="inner")
+            .to_arrow()
         )
-        return df.select(
-            "wa", "wb", "n",
-            (
-                ((pl.col("n").cast(pl.Float64) / p_tot)
-                 / ((pl.col("ca") / t_tot) * (pl.col("cb") / t_tot))).log()
-            ).alias("pmi"),
-        ).to_arrow()
 
-    return pairs.map_batches(_pmi, batch_format="pyarrow", batch_size=batch_size)
+    with_counts = pairs.map_batches(_attach, batch_format="pyarrow",
+                                    batch_size=batch_size)
+    return _finish(with_counts, total_pairs, total_tokens)

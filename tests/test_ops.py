@@ -2838,3 +2838,19 @@ class TestCooccurrence:
         assert (r["wa"], r["wb"], r["n"]) == ("a", "b", 4)
         expect = math.log((4 / 4) / ((3 / 5) * (2 / 5)))
         assert abs(r["pmi"] - expect) < 1e-12
+
+    def test_pmi_bucketed_equals_broadcast(self, ray_session):
+        import ray.data
+
+        from edkray.ops.text import pmi_scores
+
+        texts = ["a b a b a c", "b c b c", "d a d a d"]
+        ds = ray.data.from_arrow(pa.table({"text": texts})).repartition(3)
+        key = ["wa", "wb"]
+        bc = pmi_scores(ds, window=2, min_pair_count=2, num_buckets=4) \
+            .to_pandas().sort_values(key).reset_index(drop=True)
+        bk = pmi_scores(ds, window=2, min_pair_count=2, num_buckets=4,
+                        join_mode="bucketed") \
+            .to_pandas().sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(bc, bk[bc.columns], check_dtype=False)
+        assert len(bc) > 0
