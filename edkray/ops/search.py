@@ -571,3 +571,41 @@ def standardize_embeddings(
         })
 
     return ds.map_batches(_z, batch_format="pyarrow", batch_size=batch_size)
+
+
+def mahalanobis_scores(
+    ds: ray.data.Dataset,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    batch_size: int = 4096,
+    ridge: float = 1e-9,
+) -> ray.data.Dataset:
+    """Squared Mahalanobis distance of every embedding to the corpus
+    distribution — the embedding-space outlier signal used to filter
+    corrupt/off-distribution samples before training.
+
+    d² = (x − μ)ᵀ Σ⁻¹ (x − μ): the covariance fold reduces the corpus
+    to #blocks × d² partial doubles (see :func:`embedding_cov`), the
+    driver inverts the d×d matrix once (O(d³), corpus-independent;
+    ``ridge``·I added for numerical safety), the (μ, Σ⁻¹) pair
+    broadcasts via ``ray.put``, and scoring is one centered matmul +
+    rowwise dot per batch. Matrix inversion is not SQL-expressible, so
+    the driver check is rows-only; exactness vs numpy's full-data
+    computation is pinned by TestMahalanobis."""
+    tbl = pa.concat_tables(
+        [ray.get(r) for r in _cov_partials(ds, emb_col, batch_size).to_arrow_refs()]
+    )
+    mean, cov, _ = _cov_from_partials(tbl)
+    prec = np.linalg.inv(cov + ridge * np.eye(cov.shape[0]))
+    ref = ray.put((mean, prec))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        m, p = ray.get(ref)
+        x = list_to_matrix(batch[emb_col], dtype=np.float64) - m
+        d2 = np.einsum("ij,jk,ik->i", x, p, x)
+        return pa.table({
+            id_col: batch[id_col],
+            "mahalanobis_sq": pa.array(d2),
+        })
+
+    return ds.map_batches(_score, batch_format="pyarrow", batch_size=batch_size)

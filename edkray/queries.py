@@ -2897,6 +2897,23 @@ def q_pca_scores(sf_dir: str, k: int = 4):
 
 
 # --------------------------------------------------------------------------
+# Q: mahalanobis — embedding-space outlier scores
+
+
+def q_mahalanobis(sf_dir: str):
+    """Embedding outlier scoring (ops/search.py:mahalanobis_scores):
+    covariance fold → driver d×d inverse → broadcast (μ, Σ⁻¹) → one
+    einsum quadratic form per batch. Matrix inversion is not
+    SQL-expressible, so this entry is rows-only for the driver;
+    numpy parity (including the chi-square-ish mean property
+    E[d²] = d on the fitting corpus) is pinned by TestMahalanobis."""
+    from edkray.ops.search import mahalanobis_scores
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return mahalanobis_scores(ds)
+
+
+# --------------------------------------------------------------------------
 # Q: doc_chunks — overlapping sliding-window chunking
 
 
@@ -4309,6 +4326,7 @@ def queries() -> dict:
         "embedding_stats": q_embedding_stats,
         "embedding_cov": q_embedding_cov,
         "pca_scores": q_pca_scores,
+        "mahalanobis": q_mahalanobis,
         "zscore_embeddings": q_zscore_embeddings,
         "random_projection": q_random_projection,
         "group_split": q_group_split,

@@ -2854,3 +2854,43 @@ class TestCooccurrence:
             .to_pandas().sort_values(key).reset_index(drop=True)
         pd.testing.assert_frame_equal(bc, bk[bc.columns], check_dtype=False)
         assert len(bc) > 0
+
+
+class TestMahalanobis:
+    """ops/search.py:mahalanobis_scores — embedding outlier signal."""
+
+    def test_matches_numpy(self, ray_session):
+        import ray.data
+
+        from edkray.ops.search import mahalanobis_scores
+
+        rng = np.random.default_rng(13)
+        x = (rng.normal(size=(300, 5)) * np.array([3, 2, 1, 0.5, 0.2])).astype(np.float32)
+        ds = ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(np.arange(300, dtype=np.int64)),
+            "embedding": pa.array(list(x), type=pa.list_(pa.float32())),
+        })).repartition(4)
+        out = mahalanobis_scores(ds, batch_size=64).to_pandas().sort_values("vec_id")
+        xd = x.astype(np.float64)
+        mu = xd.mean(axis=0)
+        prec = np.linalg.inv(np.cov(xd.T, bias=True) + 1e-9 * np.eye(5))
+        c = xd - mu
+        ref = np.einsum("ij,jk,ik->i", c, prec, c)
+        np.testing.assert_allclose(out["mahalanobis_sq"].to_numpy(), ref, rtol=1e-8)
+        # on the fitting corpus E[d^2] = d exactly (population cov)
+        assert abs(out["mahalanobis_sq"].mean() - 5.0) < 1e-6
+
+    def test_flags_planted_outlier(self, ray_session):
+        import ray.data
+
+        from edkray.ops.search import mahalanobis_scores
+
+        rng = np.random.default_rng(17)
+        x = rng.normal(size=(200, 4)).astype(np.float32)
+        x[7] = 40.0  # far outside the cloud
+        ds = ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(np.arange(200, dtype=np.int64)),
+            "embedding": pa.array(list(x), type=pa.list_(pa.float32())),
+        }))
+        out = mahalanobis_scores(ds).to_pandas()
+        assert int(out.loc[out["mahalanobis_sq"].idxmax(), "vec_id"]) == 7
