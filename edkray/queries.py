@@ -2502,6 +2502,62 @@ FROM d WHERE dst IS NOT NULL GROUP BY dst
 
 
 # --------------------------------------------------------------------------
+# Q: snapshot_diff — added/removed/changed between two corpus versions
+
+
+def q_snapshot_diff(sf_dir: str):
+    """Corpus snapshot diff (ops/diff.py:snapshot_diff): old = docs with
+    doc_id%5≠0, new = docs with doc_id%7≠0 and text prefixed 'v2 ' on
+    doc_id%3==0 — so the three statuses all occur. Both sides reduce to
+    narrow (url, min(text)) rows per batch, co-shuffle once via tagged
+    union, and classify per bucket with a vectorized full-outer join.
+    Oracle: the same min()-collapse + FULL OUTER JOIN in SQL."""
+    import polars as pl
+
+    from edkray.ops.diff import snapshot_diff
+
+    base = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _old(b):
+        df = pl.from_arrow(b).filter(pl.col("doc_id") % 5 != 0)
+        return df.select(
+            ("u" + pl.col("doc_id").cast(pl.String)).alias("url"), "text"
+        ).to_arrow()
+
+    def _new(b):
+        df = pl.from_arrow(b).filter(pl.col("doc_id") % 7 != 0)
+        return df.select(
+            ("u" + pl.col("doc_id").cast(pl.String)).alias("url"),
+            pl.when(pl.col("doc_id") % 3 == 0)
+            .then(pl.lit("v2 ") + pl.col("text"))
+            .otherwise(pl.col("text"))
+            .alias("text"),
+        ).to_arrow()
+
+    old = base.map_batches(_old, batch_format="pyarrow")
+    new = base.map_batches(_new, batch_format="pyarrow")
+    return snapshot_diff(old, new, num_buckets=8)
+
+
+_SQL_SNAPSHOT_DIFF = """
+WITH o AS (
+  SELECT 'u' || CAST(doc_id AS VARCHAR) AS url, min(text) AS v
+  FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1
+), n AS (
+  SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+         min(CASE WHEN doc_id % 3 = 0 THEN 'v2 ' || text ELSE text END) AS v
+  FROM documents WHERE doc_id % 7 <> 0 GROUP BY 1
+)
+SELECT coalesce(o.url, n.url) AS url,
+       CASE WHEN o.url IS NULL THEN 'added'
+            WHEN n.url IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM o FULL OUTER JOIN n ON o.url = n.url
+WHERE o.url IS NULL OR n.url IS NULL OR o.v <> n.v
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: jsonl_scan — JSONL web-corpus engine round-trip
 
 
@@ -4319,6 +4375,7 @@ def queries() -> dict:
         "doc_chunks": q_doc_chunks,
         "inlink_counts": q_inlink_counts,
         "anchor_texts": q_anchor_texts,
+        "snapshot_diff": q_snapshot_diff,
         "jsonl_scan": q_jsonl_scan,
         "cooc_pairs": q_cooc_pairs,
         "pmi_pairs": q_pmi_pairs,
@@ -4435,6 +4492,7 @@ def oracle_sql() -> dict:
         "doc_chunks": _SQL_DOC_CHUNKS,
         "inlink_counts": _SQL_INLINK_COUNTS,
         "anchor_texts": _sql_anchor_texts(),
+        "snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "jsonl_scan": _SQL_JSONL_SCAN,
         "cooc_pairs": _sql_cooc(),
         "pmi_pairs": _sql_pmi(),

@@ -2894,3 +2894,41 @@ class TestMahalanobis:
         }))
         out = mahalanobis_scores(ds).to_pandas()
         assert int(out.loc[out["mahalanobis_sq"].idxmax(), "vec_id"]) == 7
+
+
+class TestSnapshotDiff:
+    """ops/diff.py:snapshot_diff — corpus churn classification."""
+
+    def _run(self, ray_session, old_rows, new_rows):
+        import ray.data
+
+        from edkray.ops.diff import snapshot_diff
+
+        mk = lambda rows: ray.data.from_arrow(pa.table({
+            "url": [r[0] for r in rows], "text": [r[1] for r in rows],
+        })).repartition(2)
+        out = snapshot_diff(mk(old_rows), mk(new_rows), num_buckets=4).to_pandas()
+        if len(out) == 0:
+            return {}
+        return dict(zip(out["url"], out["status"]))
+
+    def test_all_statuses(self, ray_session):
+        got = self._run(
+            ray_session,
+            [("a", "x"), ("b", "y"), ("c", "z")],
+            [("b", "y"), ("c", "z2"), ("d", "w")],
+        )
+        # a removed, b unchanged (dropped), c changed, d added
+        assert got == {"a": "removed", "c": "changed", "d": "added"}
+
+    def test_duplicate_keys_collapse_to_min(self, ray_session):
+        got = self._run(
+            ray_session,
+            [("a", "m"), ("a", "zzz")],   # min = "m"
+            [("a", "m"), ("a", "qqq")],   # min = "m" -> unchanged
+        )
+        assert got == {}
+
+    def test_empty_new_side(self, ray_session):
+        got = self._run(ray_session, [("a", "x")], [])
+        assert got == {"a": "removed"}
