@@ -189,3 +189,60 @@ def normalize_uri(batch: pa.Table, col: str = "url") -> pa.Table:
     u = pc.replace_substring_regex(u, pattern=r"^s3://", replacement="vfs/s3/")
     u = pc.replace_substring_regex(u, pattern=r"^https?://", replacement="vfs/http/")
     return batch.set_column(batch.schema.get_field_index(col), col, u)
+
+
+def validate_pages(
+    batch: pa.Table,
+    url_col: str = "url",
+    ts_col: str | None = "warc_ts",
+    text_col: str | None = "text",
+    max_text_chars: int = 1_000_000,
+    ts_range: tuple[str, str] = ("1990-01-01", "2100-01-01"),
+) -> pa.Table:
+    """Ingest validation with quarantine REASONS instead of crashes —
+    the web-corpus upgrade of the reference's hard property validation
+    (dataset.py:446-448 raises on heterogeneity; a 100-TB crawl ingest
+    must instead route bad rows aside and keep streaming).
+
+    Appends ``reject_reason`` (null = valid; first matching rule wins,
+    rule order pinned and SQL-replayable):
+
+    1. ``null_url``      — url missing or empty after trim
+    2. ``bad_url``       — url does not parse as ``scheme://host``
+    3. ``null_ts``       — timestamp missing (when ``ts_col`` given)
+    4. ``ts_out_of_range`` — outside [1990, 2100) (clock garbage)
+    5. ``null_text``     — text missing (when ``text_col`` given)
+    6. ``oversized_text`` — > ``max_text_chars`` chars (parser bombs)
+
+    Vectorized single pass (polars when-chain); callers split the
+    stream with two cheap filters (``reject_reason IS NULL`` /
+    ``IS NOT NULL``) — Ray Data has no multi-output stages, and two
+    narrow filters over one pass beat one pass per destination."""
+    import datetime as _dt
+
+    import polars as pl
+
+    df = pl.from_arrow(batch)
+    u = pl.col(url_col)
+    cond = (
+        pl.when(u.is_null() | (u.str.strip_chars() == ""))
+        .then(pl.lit("null_url"))
+        .when(~u.str.strip_chars().str.contains(r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+"))
+        .then(pl.lit("bad_url"))
+    )
+    if ts_col is not None and ts_col in df.columns:
+        lo = _dt.datetime.fromisoformat(ts_range[0])
+        hi = _dt.datetime.fromisoformat(ts_range[1])
+        t = pl.col(ts_col)
+        cond = (
+            cond.when(t.is_null()).then(pl.lit("null_ts"))
+            .when((t < lo) | (t >= hi)).then(pl.lit("ts_out_of_range"))
+        )
+    if text_col is not None and text_col in df.columns:
+        x = pl.col(text_col)
+        cond = (
+            cond.when(x.is_null()).then(pl.lit("null_text"))
+            .when(x.str.len_chars() > max_text_chars).then(pl.lit("oversized_text"))
+        )
+    out = df.with_columns(cond.otherwise(None).alias("reject_reason"))
+    return out.to_arrow()

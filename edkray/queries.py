@@ -2502,6 +2502,105 @@ FROM d WHERE dst IS NOT NULL GROUP BY dst
 
 
 # --------------------------------------------------------------------------
+# Q: quarantine_counts — ingest validation reason rollup
+
+
+def q_quarantine_counts(sf_dir: str, max_text_chars: int = 100):
+    """Ingest quarantine (ops/stages.py:validate_pages): documents get
+    planted defects by doc_id%10 — 0: empty url, 1: unparseable url,
+    2: null ts, 3: 1970 ts (out of range), 4: null text, 5: oversized
+    text, 6: empty url AND null ts (precedence — null_url wins) — one
+    vectorized when-chain pass, then a reason rollup ('valid' for null).
+    Oracle replays the synthesis and the pinned rule order as a CASE
+    chain."""
+    import datetime as _dt
+
+    import polars as pl
+
+    from edkray.ops.stages import validate_pages
+
+    def _mk(b):
+        df = pl.from_arrow(b)
+        d = pl.col("doc_id")
+        m = d % 10
+        url = (
+            pl.when((m == 0) | (m == 6)).then(pl.lit(""))
+            .when(m == 1).then(pl.lit("not a url"))
+            .otherwise(pl.lit("https://site") + (d % 20).cast(pl.String)
+                       + pl.lit(".example/d/") + d.cast(pl.String))
+        )
+        ts = (
+            pl.when((m == 2) | (m == 6)).then(pl.lit(None, dtype=pl.Datetime("us")))
+            .when(m == 3).then(pl.lit(_dt.datetime(1970, 1, 1)).cast(pl.Datetime("us")))
+            .otherwise(pl.lit(_dt.datetime(2017, 1, 1)).cast(pl.Datetime("us")))
+        )
+        text = (
+            pl.when(m == 4).then(pl.lit(None, dtype=pl.String))
+            .when(m == 5).then(pl.lit("x").repeat_by(max_text_chars + 1).list.join(""))
+            .otherwise(pl.col("text"))
+        )
+        return df.select(d, url.alias("url"), ts.alias("warc_ts"),
+                         text.alias("text")).to_arrow()
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _mk, batch_format="pyarrow"
+    )
+    ds = ds.map_batches(
+        lambda b: validate_pages(b, max_text_chars=max_text_chars),
+        batch_format="pyarrow",
+    )
+
+    def _rollup(b: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(b)
+            .with_columns(pl.col("reject_reason").fill_null("valid").alias("reason"))
+            .group_by("reason").agg(pl.len().cast(pl.Int64).alias("n"))
+            .to_arrow()
+        )
+
+    from edkray.ops.shuffle import bucketed_group_map
+
+    parts = ds.map_batches(_rollup, batch_format="pyarrow")
+    return bucketed_group_map(
+        parts, ["reason"],
+        lambda t: pl.from_arrow(t).group_by("reason").agg(pl.col("n").sum()).to_arrow(),
+        num_buckets=4,
+    )
+
+
+def _sql_quarantine(max_text_chars: int = 100) -> str:
+    return rf"""
+WITH s AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 10 IN (0, 6) THEN ''
+         WHEN doc_id % 10 = 1 THEN 'not a url'
+         ELSE 'https://site' || CAST(doc_id % 20 AS VARCHAR)
+              || '.example/d/' || CAST(doc_id AS VARCHAR) END AS url,
+    CASE WHEN doc_id % 10 IN (2, 6) THEN NULL
+         WHEN doc_id % 10 = 3 THEN TIMESTAMP '1970-01-01'
+         ELSE TIMESTAMP '2017-01-01' END AS warc_ts,
+    CASE WHEN doc_id % 10 = 4 THEN NULL
+         WHEN doc_id % 10 = 5 THEN repeat('x', {max_text_chars + 1})
+         ELSE text END AS text
+  FROM documents
+), r AS (
+  SELECT CASE
+    WHEN url IS NULL OR trim(url) = '' THEN 'null_url'
+    WHEN NOT regexp_matches(trim(url), '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+')
+      THEN 'bad_url'
+    WHEN warc_ts IS NULL THEN 'null_ts'
+    WHEN warc_ts < TIMESTAMP '1990-01-01' OR warc_ts >= TIMESTAMP '2100-01-01'
+      THEN 'ts_out_of_range'
+    WHEN text IS NULL THEN 'null_text'
+    WHEN length(text) > {max_text_chars} THEN 'oversized_text'
+    ELSE 'valid' END AS reason
+  FROM s
+)
+SELECT reason, CAST(count(*) AS BIGINT) AS n FROM r GROUP BY reason
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: snapshot_diff — added/removed/changed between two corpus versions
 
 
@@ -4376,6 +4475,7 @@ def queries() -> dict:
         "inlink_counts": q_inlink_counts,
         "anchor_texts": q_anchor_texts,
         "snapshot_diff": q_snapshot_diff,
+        "quarantine_counts": q_quarantine_counts,
         "jsonl_scan": q_jsonl_scan,
         "cooc_pairs": q_cooc_pairs,
         "pmi_pairs": q_pmi_pairs,
@@ -4493,6 +4593,7 @@ def oracle_sql() -> dict:
         "inlink_counts": _SQL_INLINK_COUNTS,
         "anchor_texts": _sql_anchor_texts(),
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,
+        "quarantine_counts": _sql_quarantine(),
         "jsonl_scan": _SQL_JSONL_SCAN,
         "cooc_pairs": _sql_cooc(),
         "pmi_pairs": _sql_pmi(),

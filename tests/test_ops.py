@@ -2932,3 +2932,46 @@ class TestSnapshotDiff:
     def test_empty_new_side(self, ray_session):
         got = self._run(ray_session, [("a", "x")], [])
         assert got == {"a": "removed"}
+
+
+class TestValidatePages:
+    """ops/stages.py:validate_pages — quarantine reasons, pinned order."""
+
+    def _reasons(self, urls, ts=None, texts=None, **kw):
+        import datetime as dt
+
+        from edkray.ops.stages import validate_pages
+
+        n = len(urls)
+        t = pa.table({
+            "url": pa.array(urls, type=pa.string()),
+            "warc_ts": pa.array(ts or [dt.datetime(2017, 1, 1)] * n,
+                                type=pa.timestamp("us")),
+            "text": pa.array(texts or ["ok"] * n, type=pa.string()),
+        })
+        return validate_pages(t, **kw)["reject_reason"].to_pylist()
+
+    def test_each_rule(self):
+        import datetime as dt
+
+        assert self._reasons([""])[0] == "null_url"
+        assert self._reasons([None])[0] == "null_url"
+        assert self._reasons(["no scheme"])[0] == "bad_url"
+        assert self._reasons(["https://a.x/p"], ts=[None])[0] == "null_ts"
+        assert self._reasons(["https://a.x/p"],
+                             ts=[dt.datetime(1970, 1, 1)])[0] == "ts_out_of_range"
+        assert self._reasons(["https://a.x/p"], texts=[None])[0] == "null_text"
+        assert self._reasons(["https://a.x/p"], texts=["y" * 11],
+                             max_text_chars=10)[0] == "oversized_text"
+        assert self._reasons(["https://a.x/p"])[0] is None
+
+    def test_precedence_first_rule_wins(self):
+        # empty url + null ts + null text -> null_url
+        assert self._reasons([""], ts=[None], texts=[None])[0] == "null_url"
+
+    def test_optional_columns_skipped(self):
+        from edkray.ops.stages import validate_pages
+
+        t = pa.table({"url": pa.array(["https://a.x/p"], type=pa.string())})
+        out = validate_pages(t, ts_col=None, text_col=None)
+        assert out["reject_reason"].to_pylist() == [None]
