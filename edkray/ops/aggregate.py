@@ -17,6 +17,8 @@ from __future__ import annotations
 import numpy as np
 import polars as pl
 import pyarrow as pa
+import pyarrow.compute as pc
+import ray
 import ray.data
 from ray.data.aggregate import Max, Min, Sum
 
@@ -791,3 +793,144 @@ def pack_sequences(
     return bucketed_group_map(
         ds, [shard_col], _pack, num_buckets=num_buckets, batch_size=batch_size
     )
+
+
+# ----------------------------------------------------------------------
+# KLL-style quantile sketch — the rank-error sibling of the HLL distinct
+# sketch above: bounded memory, mergeable, values never fully shuffle.
+
+
+def _kll_compact(levels: list[np.ndarray], k: int) -> list[np.ndarray]:
+    """Deterministic KLL compaction: any level holding > k items is
+    sorted and its EVEN-indexed items promote to the next level (weight
+    doubles); the rest drop. (Classic KLL randomizes the even/odd
+    choice; pinning 'even' trades a deterministic bias — verified
+    within the advertised bound by the oracle — for reproducibility.)"""
+    i = 0
+    while i < len(levels):
+        if len(levels[i]) > k:
+            a = np.sort(levels[i], kind="stable")
+            if i + 1 == len(levels):
+                levels.append(np.empty(0, dtype=np.float64))
+            levels[i + 1] = np.concatenate([levels[i + 1], a[::2]])
+            levels[i] = np.empty(0, dtype=np.float64)
+        i += 1
+    return levels
+
+
+def _kll_rows(levels: list[np.ndarray]) -> pa.Table:
+    lv = [i for i, a in enumerate(levels) if len(a)]
+    return pa.table({
+        "level": pa.array(lv, type=pa.int64()),
+        "vals": pa.array([levels[i] for i in lv], type=pa.list_(pa.float64())),
+    })
+
+
+def _kll_merge_rows(tbl: pa.Table, k: int) -> list[np.ndarray]:
+    levels: list[np.ndarray] = []
+    lv = tbl["level"].to_pylist()
+    va = tbl["vals"].to_pylist()
+    for i, v in zip(lv, va):
+        while len(levels) <= i:
+            levels.append(np.empty(0, dtype=np.float64))
+        levels[i] = np.concatenate([levels[i], np.asarray(v, dtype=np.float64)])
+    return _kll_compact(levels, k)
+
+
+def _kll_quantile(levels: list[np.ndarray], q: float) -> float:
+    vals = np.concatenate([a for a in levels if len(a)] or [np.empty(0)])
+    wts = np.concatenate([
+        np.full(len(a), 1 << i, dtype=np.int64)
+        for i, a in enumerate(levels) if len(a)
+    ] or [np.empty(0, dtype=np.int64)])
+    order = np.argsort(vals, kind="stable")
+    cum = np.cumsum(wts[order])
+    target = q * cum[-1]
+    return float(vals[order][np.searchsorted(cum, target, side="left")])
+
+
+def approx_quantiles(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+    k: int = 512,
+    rank_bound: float = 0.02,
+    num_buckets: int = 16,
+    batch_size: int = 65536,
+) -> "pd.DataFrame":
+    """Approximate quantiles via a deterministic mergeable KLL sketch,
+    WITH a measured rank-error certificate (the HLL ``hll_ok`` pattern,
+    `approx_count_distinct` above): a second streaming pass counts
+    ``#{x ≤ estimate}`` exactly and emits per q the true total ``n``
+    and ``kll_ok = |rank(est)/n − q| ≤ rank_bound``, so an
+    out-of-bound sketch is a hard oracle mismatch, not a silent skew.
+
+    Scale shape: each block reduces to a ≤ k·log-levels float sketch
+    (few KB regardless of block size); sketches hash-bucket into
+    ``num_buckets`` intermediate merges so the driver folds
+    ``num_buckets`` sketches, never #blocks; the certificate pass is a
+    broadcast of len(qs) floats + one vectorized count per batch.
+    Returns a pandas DataFrame (len(qs) rows) — driver-sized."""
+    import pandas as pd
+    import polars as pl
+
+    from edkray.ops.shuffle import bucketed_group_map
+
+    def _block_sketch(batch: pa.Table) -> pa.Table:
+        x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        x = x[~np.isnan(x)]
+        levels = _kll_compact([x], k)
+        t = _kll_rows(levels)
+        # n rides on the first row only (summed once downstream)
+        nn = np.zeros(t.num_rows, dtype=np.int64)
+        if t.num_rows:
+            nn[0] = len(x)
+        return t.append_column("n", pa.array(nn))
+
+    parts = ds.map_batches(_block_sketch, batch_format="pyarrow",
+                           batch_size=batch_size)
+
+    # intermediate merge: spread sketch rows over num_buckets by a
+    # row-index hash so each merge task folds ~#blocks/num_buckets
+    def _spread(b: pa.Table) -> pa.Table:
+        h = (np.arange(len(b), dtype=np.int64) * 2654435761) % num_buckets
+        return b.append_column("mb", pa.array(h))
+
+    spread = parts.map_batches(_spread, batch_format="pyarrow")
+
+    def _merge(t: pa.Table) -> pa.Table:
+        levels = _kll_merge_rows(t.select(["level", "vals"]), k)
+        out = _kll_rows(levels)
+        n = int(pl.from_arrow(t.select(["n"]))["n"].sum()) if t.num_rows else 0
+        # n rides on the first row only (summed once at the driver)
+        nn = np.zeros(out.num_rows, dtype=np.int64)
+        if out.num_rows:
+            nn[0] = n
+        return out.append_column("n", pa.array(nn))
+
+    merged = bucketed_group_map(spread, ["mb"], _merge, num_buckets=num_buckets)
+    tabs = [t for t in ray.get(merged.to_arrow_refs()) if t.num_columns]
+    allrows = pa.concat_tables(tabs) if tabs else _kll_rows([np.empty(0)])
+    n_total = int(pc.sum(allrows["n"]).as_py() or 0) if "n" in allrows.schema.names else 0
+    final = _kll_merge_rows(allrows.select(["level", "vals"]), k)
+    ests = {q: _kll_quantile(final, q) for q in qs}
+
+    # certificate pass: exact rank of each estimate
+    est_ref = ray.put(np.array([ests[q] for q in qs], dtype=np.float64))
+
+    def _rank_counts(batch: pa.Table) -> pa.Table:
+        e = ray.get(est_ref)
+        x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        x = x[~np.isnan(x)]
+        c = (x[:, None] <= e[None, :]).sum(axis=0).astype(np.int64)
+        return pa.table({"qi": pa.array(np.arange(len(e), dtype=np.int64)),
+                         "le": pa.array(c)})
+
+    rc = ds.map_batches(_rank_counts, batch_format="pyarrow",
+                        batch_size=batch_size).to_pandas()
+    ranks = rc.groupby("qi")["le"].sum()
+    rows = []
+    for i, q in enumerate(qs):
+        err = abs(ranks[i] / n_total - q) if n_total else 0.0
+        rows.append({"q": q, "n": n_total, "kll_ok": bool(err <= rank_bound)})
+    return pd.DataFrame(rows)

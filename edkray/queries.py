@@ -2502,6 +2502,33 @@ FROM d WHERE dst IS NOT NULL GROUP BY dst
 
 
 # --------------------------------------------------------------------------
+# Q: approx_quantiles — KLL quantile sketch with rank-error certificate
+
+
+def q_approx_quantiles(sf_dir: str):
+    """KLL quantile sketch (ops/aggregate.py:approx_quantiles) over
+    lineitem.l_extendedprice — the rank-error sibling of the HLL
+    distinct sketch, same oracle teeth: the query runs the sketch AND
+    an exact streaming rank count of each estimate, emitting per q the
+    true row count and ``kll_ok`` = |rank(est)/n − q| ≤ 0.02, so an
+    out-of-bound sketch hash-mismatches instead of passing rows-only.
+    Sketches are ≤ k·log-levels floats per block; values never fully
+    shuffle."""
+    from edkray.ops.aggregate import approx_quantiles
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    return approx_quantiles(ds, "l_extendedprice")
+
+
+_SQL_APPROX_QUANTILES = """
+SELECT CAST(q AS DOUBLE) AS q,
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n,
+       TRUE AS kll_ok
+FROM (VALUES (0.25), (0.5), (0.75), (0.9)) t(q)
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: quarantine_counts — ingest validation reason rollup
 
 
@@ -4476,6 +4503,7 @@ def queries() -> dict:
         "anchor_texts": q_anchor_texts,
         "snapshot_diff": q_snapshot_diff,
         "quarantine_counts": q_quarantine_counts,
+        "approx_quantiles": q_approx_quantiles,
         "jsonl_scan": q_jsonl_scan,
         "cooc_pairs": q_cooc_pairs,
         "pmi_pairs": q_pmi_pairs,
@@ -4594,6 +4622,7 @@ def oracle_sql() -> dict:
         "anchor_texts": _sql_anchor_texts(),
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "quarantine_counts": _sql_quarantine(),
+        "approx_quantiles": _SQL_APPROX_QUANTILES,
         "jsonl_scan": _SQL_JSONL_SCAN,
         "cooc_pairs": _sql_cooc(),
         "pmi_pairs": _sql_pmi(),

@@ -2975,3 +2975,53 @@ class TestValidatePages:
         t = pa.table({"url": pa.array(["https://a.x/p"], type=pa.string())})
         out = validate_pages(t, ts_col=None, text_col=None)
         assert out["reject_reason"].to_pylist() == [None]
+
+
+class TestApproxQuantiles:
+    """ops/aggregate.py — KLL sketch kernels + certificate op."""
+
+    def test_kernel_rank_error_bound(self):
+        from edkray.ops.aggregate import _kll_compact, _kll_quantile
+
+        rng = np.random.default_rng(2)
+        x = rng.lognormal(size=50000)  # skewed on purpose
+        levels = _kll_compact([x.astype(np.float64)], 512)
+        for q in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+            est = _kll_quantile(levels, q)
+            assert abs((x <= est).mean() - q) <= 0.02
+
+    def test_kernel_deterministic(self):
+        from edkray.ops.aggregate import _kll_compact, _kll_quantile
+
+        x = np.random.default_rng(3).normal(size=20000).astype(np.float64)
+        a = _kll_quantile(_kll_compact([x.copy()], 256), 0.5)
+        b = _kll_quantile(_kll_compact([x.copy()], 256), 0.5)
+        assert a == b
+
+    def test_merge_equals_whole_within_bound(self):
+        from edkray.ops.aggregate import _kll_compact, _kll_merge_rows, _kll_quantile, _kll_rows
+
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=40000).astype(np.float64)
+        parts = [
+            _kll_rows(_kll_compact([c.copy()], 256))
+            for c in np.array_split(x, 7)
+        ]
+        merged = _kll_merge_rows(pa.concat_tables(parts), 256)
+        for q in (0.25, 0.5, 0.75):
+            est = _kll_quantile(merged, q)
+            assert abs((x <= est).mean() - q) <= 0.02
+
+    def test_op_certificate(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import approx_quantiles
+
+        rng = np.random.default_rng(7)
+        ds = ray.data.from_arrow(pa.table({
+            "v": rng.normal(size=30000).astype(np.float64),
+        })).repartition(6)
+        out = approx_quantiles(ds, "v", num_buckets=4)
+        assert list(out["q"]) == [0.25, 0.5, 0.75, 0.9]
+        assert (out["n"] == 30000).all()
+        assert out["kll_ok"].all()
