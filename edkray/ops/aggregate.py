@@ -912,6 +912,10 @@ def approx_quantiles(
     tabs = [t for t in ray.get(merged.to_arrow_refs()) if t.num_columns]
     allrows = pa.concat_tables(tabs) if tabs else _kll_rows([np.empty(0)])
     n_total = int(pc.sum(allrows["n"]).as_py() or 0) if "n" in allrows.schema.names else 0
+    if n_total == 0:
+        raise ValueError(
+            f"approx_quantiles: no non-null values in {col!r} — quantiles undefined"
+        )
     final = _kll_merge_rows(allrows.select(["level", "vals"]), k)
     ests = {q: _kll_quantile(final, q) for q in qs}
 

@@ -3025,3 +3025,13 @@ class TestApproxQuantiles:
         assert list(out["q"]) == [0.25, 0.5, 0.75, 0.9]
         assert (out["n"] == 30000).all()
         assert out["kll_ok"].all()
+
+    def test_empty_input_raises(self, ray_session):
+        import pytest
+        import ray.data
+
+        from edkray.ops.aggregate import approx_quantiles
+
+        ds = ray.data.from_arrow(pa.table({"v": pa.array([], type=pa.float64())}))
+        with pytest.raises(ValueError, match="no non-null values"):
+            approx_quantiles(ds, "v", num_buckets=2)
