@@ -609,3 +609,59 @@ def mahalanobis_scores(
         })
 
     return ds.map_batches(_score, batch_format="pyarrow", batch_size=batch_size)
+
+
+def grouped_centroids(
+    ds: ray.data.Dataset,
+    group_col: str,
+    emb_col: str = "embedding",
+    num_buckets: int = 16,
+    batch_size: int = 4096,
+) -> ray.data.Dataset:
+    """Per-group embedding centroids (mean vectors) — the grouped
+    VECTOR aggregation behind per-language/per-source embedding
+    analysis and per-cluster prototypes. Long-format output
+    (group, dim, centroid_val).
+
+    Scale shape: each batch sorts once and `np.add.reduceat`-folds to
+    one (group, n, sum-vector) partial per distinct group in the batch
+    (the grouped_agg combiner contract, vector-valued); partials
+    hash-bucket on the group key and the in-bucket fold repeats the
+    same reduceat — embeddings never shuffle, the exchange carries
+    d floats per (group, batch)."""
+
+    def _fold(tbl: pa.Table, vec_col: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        x = list_to_matrix(tbl[vec_col], dtype=np.float64)
+        g = tbl[group_col].to_numpy(zero_copy_only=False)
+        n = (tbl["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+             if "n" in tbl.schema.names else np.ones(len(g), dtype=np.int64))
+        order = np.argsort(g, kind="stable")
+        gs, xs, ns = g[order], x[order], n[order]
+        starts = np.flatnonzero(np.concatenate([[True], gs[1:] != gs[:-1]]))
+        sums = np.add.reduceat(xs, starts, axis=0)
+        counts = np.add.reduceat(ns, starts)
+        return gs[starts], counts, sums
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        gkeys, counts, sums = _fold(batch, emb_col)
+        return pa.table({
+            group_col: pa.array(gkeys),
+            "n": pa.array(counts),
+            "s": pa.array(list(sums), type=pa.list_(pa.float64())),
+        })
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow", batch_size=batch_size)
+
+    def _final(tbl: pa.Table) -> pa.Table:
+        gkeys, counts, sums = _fold(tbl, "s")
+        cent = sums / counts[:, None]
+        k, d = cent.shape
+        return pa.table({
+            group_col: pa.array(np.repeat(gkeys, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+            "centroid_val": pa.array(cent.ravel()),
+        })
+
+    from edkray.ops.shuffle import bucketed_group_map
+
+    return bucketed_group_map(parts, [group_col], _final, num_buckets=num_buckets)

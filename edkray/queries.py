@@ -3079,6 +3079,51 @@ def q_pca_scores(sf_dir: str, k: int = 4):
 
 
 # --------------------------------------------------------------------------
+# Q: lang_centroids — per-language embedding centroids
+
+
+def q_lang_centroids(sf_dir: str):
+    """Grouped VECTOR aggregation (ops/search.py:grouped_centroids):
+    the narrow (doc_id → lang) map broadcasts once and tags each
+    embedding batch; per batch one argsort + np.add.reduceat folds to
+    (lang, n, sum-vector) partials — d floats per (lang, batch) enter
+    the bucketed exchange, embeddings never shuffle. Oracle: exploded
+    join + per-(lang, dim) sum/count."""
+    import polars as pl
+    import ray as _ray
+
+    from edkray.ops.search import grouped_centroids
+
+    langs = _read(sf_dir, "documents", ["doc_id", "lang"]).to_pandas()
+    lang_ref = _ray.put(pl.from_pandas(langs))
+
+    def _tag(b: pa.Table) -> pa.Table:
+        lm = _ray.get(lang_ref)
+        return (
+            pl.from_arrow(b)
+            .join(lm, left_on="vec_id", right_on="doc_id", how="inner")
+            .to_arrow()
+        )
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        _tag, batch_format="pyarrow"
+    )
+    return grouped_centroids(ds, "lang", num_buckets=4)
+
+
+_SQL_LANG_CENTROIDS = """
+WITH x AS (
+  SELECT d.lang, i - 1 AS dim, CAST(e.embedding[i] AS DOUBLE) AS val
+  FROM embeddings e
+  JOIN documents d ON d.doc_id = e.vec_id,
+       unnest(generate_series(1, len(e.embedding))) AS s(i)
+)
+SELECT lang, dim, sum(val) / count(*) AS centroid_val
+FROM x GROUP BY lang, dim
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: mahalanobis — embedding-space outlier scores
 
 
@@ -4512,6 +4557,7 @@ def queries() -> dict:
         "embedding_cov": q_embedding_cov,
         "pca_scores": q_pca_scores,
         "mahalanobis": q_mahalanobis,
+        "lang_centroids": q_lang_centroids,
         "zscore_embeddings": q_zscore_embeddings,
         "random_projection": q_random_projection,
         "group_split": q_group_split,
@@ -4629,6 +4675,7 @@ def oracle_sql() -> dict:
         "domain_rollup": _sql_domain_rollup(),
         "embedding_stats": _SQL_EMBEDDING_STATS,
         "embedding_cov": _SQL_EMBEDDING_COV,
+        "lang_centroids": _SQL_LANG_CENTROIDS,
         "zscore_embeddings": _SQL_ZSCORE_EMBEDDINGS,
         "random_projection": _sql_random_projection(),
         "group_split": _SQL_GROUP_SPLIT,

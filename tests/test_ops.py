@@ -3035,3 +3035,40 @@ class TestApproxQuantiles:
         ds = ray.data.from_arrow(pa.table({"v": pa.array([], type=pa.float64())}))
         with pytest.raises(ValueError, match="no non-null values"):
             approx_quantiles(ds, "v", num_buckets=2)
+
+
+class TestGroupedCentroids:
+    """ops/search.py:grouped_centroids — grouped vector mean."""
+
+    def test_matches_numpy(self, ray_session):
+        import ray.data
+
+        from edkray.ops.search import grouped_centroids
+
+        rng = np.random.default_rng(19)
+        x = rng.normal(size=(120, 3)).astype(np.float32)
+        groups = np.array(["a", "b", "c"])[np.arange(120) % 3]
+        ds = ray.data.from_arrow(pa.table({
+            "g": pa.array(groups),
+            "embedding": pa.array(list(x), type=pa.list_(pa.float32())),
+        })).repartition(5)  # groups split across blocks
+        out = grouped_centroids(ds, "g", num_buckets=2, batch_size=16).to_pandas()
+        assert len(out) == 9
+        xd = x.astype(np.float64)
+        for g in "abc":
+            ref = xd[groups == g].mean(axis=0)
+            got = out[out["g"] == g].sort_values("dim")["centroid_val"].to_numpy()
+            np.testing.assert_allclose(got, ref, atol=1e-10)
+
+    def test_single_group(self, ray_session):
+        import ray.data
+
+        from edkray.ops.search import grouped_centroids
+
+        x = np.eye(2, dtype=np.float32)
+        ds = ray.data.from_arrow(pa.table({
+            "g": ["z", "z"],
+            "embedding": pa.array(list(x), type=pa.list_(pa.float32())),
+        }))
+        out = grouped_centroids(ds, "g", num_buckets=2).to_pandas().sort_values("dim")
+        np.testing.assert_allclose(out["centroid_val"].to_numpy(), [0.5, 0.5])
