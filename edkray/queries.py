@@ -4490,7 +4490,65 @@ def q_ivf_topk(sf_dir: str):
 
 
 def queries() -> dict:
+    # Ordering note: the correctness driver checks the FIRST 50 entries in
+    # insertion order.  The window below front-loads (a) queries that never
+    # had a driver row in rounds 1-4, (b) queries whose semantics changed in
+    # round 5, and (c) new round-5 queries; previously-green entries follow.
     return {
+        # -- (a) never driver-checked before round 5 ------------------------
+        "pagerank_scores": q_pagerank,
+        "robots_kept": q_robots_kept,
+        "doc_chunks": q_doc_chunks,
+        "inlink_counts": q_inlink_counts,
+        "anchor_texts": q_anchor_texts,
+        "snapshot_diff": q_snapshot_diff,
+        "quarantine_counts": q_quarantine_counts,
+        "approx_quantiles": q_approx_quantiles,
+        "jsonl_scan": q_jsonl_scan,
+        "cooc_pairs": q_cooc_pairs,
+        "pmi_pairs": q_pmi_pairs,
+        "domain_rollup": q_domain_rollup,
+        "embedding_stats": q_embedding_stats,
+        "embedding_cov": q_embedding_cov,
+        "pca_scores": q_pca_scores,
+        "mahalanobis": q_mahalanobis,
+        "lang_centroids": q_lang_centroids,
+        "zscore_embeddings": q_zscore_embeddings,
+        "random_projection": q_random_projection,
+        "group_split": q_group_split,
+        "web_ingest": q_web_ingest,
+        "warclike_scan": q_warclike_scan,
+        "gzip_decode": q_gzip_decode,
+        "ccnet_buckets": q_ccnet_buckets,
+        "packed_sequences": q_packed_sequences,
+        "lm_scores": q_lm_scores,
+        "curation": q_curation,
+        "dedup_clusters": q_dedup_clusters,
+        "paragraph_dedup": q_paragraph_dedup,
+        # -- (b) semantics/harness changed in round 5 -----------------------
+        "semdedup": q_semdedup,
+        "minhash_jaccard_pairs": q_minhash_jaccard_pairs,
+        "ivf_topk": q_ivf_topk,
+        # -- (c) new round-5 queries ----------------------------------------
+        # -- last driver row in rounds 1-3 ----------------------------------
+        "bbox_customers": q_bbox_customers,
+        "catalog": q_catalog,
+        "users_per_type": q_users_per_type,
+        "suppliers_by_nation": q_suppliers_by_nation,
+        "top_orders_per_priority": q_top_orders_per_priority,
+        "customers_without_orders": q_customers_without_orders,
+        "mercator_customers": q_mercator_customers,
+        "scaled_quantity": q_scaled_quantity,
+        "approx_users_per_type": q_approx_users_per_type,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "lsh_embedding_pairs": q_lsh_embedding_pairs,
+        "fingerprints": q_fingerprints,
+        "s2_cells": q_s2_cells,
+        "hex_cells": q_hex_cells,
+        "sample_orders": q_sample_orders,
+        "cosine_dup_pairs": q_cosine_dup_pairs,
+        # -- green in CORRECTNESS_r04 (past the 50-query window) ------------
         "pricing_summary": q_pricing_summary,
         "region_rollup": q_region_rollup,
         "top_revenue_orders": q_top_revenue_orders,
@@ -4528,7 +4586,6 @@ def queries() -> dict:
         "embedding_topk": q_embedding_topk,
         "kmeans_clusters": q_kmeans_clusters,
         "cluster_sample": q_cluster_sample,
-        "semdedup": q_semdedup,
         "bm25_topk": q_bm25_topk,
         "dsir_scores": q_dsir_scores,
         "temperature_mix": q_temperature_mix,
@@ -4541,56 +4598,6 @@ def queries() -> dict:
         "incremental_dedup": q_incremental_dedup,
         "url_canon": q_url_canon,
         "gopher_quality": q_gopher_quality,
-        "pagerank_scores": q_pagerank,
-        "robots_kept": q_robots_kept,
-        "doc_chunks": q_doc_chunks,
-        "inlink_counts": q_inlink_counts,
-        "anchor_texts": q_anchor_texts,
-        "snapshot_diff": q_snapshot_diff,
-        "quarantine_counts": q_quarantine_counts,
-        "approx_quantiles": q_approx_quantiles,
-        "jsonl_scan": q_jsonl_scan,
-        "cooc_pairs": q_cooc_pairs,
-        "pmi_pairs": q_pmi_pairs,
-        "domain_rollup": q_domain_rollup,
-        "embedding_stats": q_embedding_stats,
-        "embedding_cov": q_embedding_cov,
-        "pca_scores": q_pca_scores,
-        "mahalanobis": q_mahalanobis,
-        "lang_centroids": q_lang_centroids,
-        "zscore_embeddings": q_zscore_embeddings,
-        "random_projection": q_random_projection,
-        "group_split": q_group_split,
-        "web_ingest": q_web_ingest,
-        "warclike_scan": q_warclike_scan,
-        "gzip_decode": q_gzip_decode,
-        "ccnet_buckets": q_ccnet_buckets,
-        "packed_sequences": q_packed_sequences,
-        "lm_scores": q_lm_scores,
-        "curation": q_curation,
-        "cosine_dup_pairs": q_cosine_dup_pairs,
-        "bbox_customers": q_bbox_customers,
-        "catalog": q_catalog,
-        "users_per_type": q_users_per_type,
-        "suppliers_by_nation": q_suppliers_by_nation,
-        "top_orders_per_priority": q_top_orders_per_priority,
-        "customers_without_orders": q_customers_without_orders,
-        "mercator_customers": q_mercator_customers,
-        "scaled_quantity": q_scaled_quantity,
-        "sample_orders": q_sample_orders,
-        "minhash_jaccard_pairs": q_minhash_jaccard_pairs,
-        "dedup_clusters": q_dedup_clusters,
-        "paragraph_dedup": q_paragraph_dedup,
-        # rows-only (approximate / hash-based; no SQL oracle)
-        "approx_users_per_type": q_approx_users_per_type,
-        "minhash_pairs": q_minhash_pairs,
-        "simhash_pairs": q_simhash_pairs,
-        "lsh_embedding_pairs": q_lsh_embedding_pairs,
-        "fingerprints": q_fingerprints,
-        "s2_cells": q_s2_cells,
-        # SQL-oracled despite living near the rows-only block:
-        "hex_cells": q_hex_cells,
-        "ivf_topk": q_ivf_topk,
     }
 
 
