@@ -40,7 +40,15 @@ def snapshot_diff(
     columns (``key``, ``status``) with status ∈ {added, removed,
     changed}. Duplicate keys within one side (non-deduped snapshots)
     collapse to the side's MINIMUM comparison value — a pinned,
-    order-free rule the SQL oracle replays with ``min()``."""
+    order-free rule the SQL oracle replays with ``min()``.
+
+    Presence is tracked with explicit per-side markers, NOT by null
+    ``cmp_col`` values — a key present on one side with a null
+    comparison value is still "present" (so a null-content url that
+    exists only in ``old`` classifies as removed, not added), and a
+    key present on both sides is "changed" iff the values differ
+    null-safely (``IS DISTINCT FROM``: null vs non-null is a change,
+    null vs null is not)."""
 
     def _narrow(side: str):
         def _fn(b: pa.Table) -> pa.Table:
@@ -62,13 +70,17 @@ def snapshot_diff(
     def _classify(t: pa.Table) -> pa.Table:
         df = pl.from_arrow(t)
         sides = df.group_by("__key", "__side").agg(pl.col("__v").min())
-        o = sides.filter(pl.col("__side") == "o").select("__key", pl.col("__v").alias("__vo"))
-        n = sides.filter(pl.col("__side") == "n").select("__key", pl.col("__v").alias("__vn"))
+        o = sides.filter(pl.col("__side") == "o").select(
+            "__key", pl.col("__v").alias("__vo"), pl.lit(True).alias("__po")
+        )
+        n = sides.filter(pl.col("__side") == "n").select(
+            "__key", pl.col("__v").alias("__vn"), pl.lit(True).alias("__pn")
+        )
         j = o.join(n, on="__key", how="full", coalesce=True)
         j = j.with_columns(
-            pl.when(pl.col("__vo").is_null()).then(pl.lit("added"))
-            .when(pl.col("__vn").is_null()).then(pl.lit("removed"))
-            .when(pl.col("__vo") != pl.col("__vn")).then(pl.lit("changed"))
+            pl.when(pl.col("__po").is_null()).then(pl.lit("added"))
+            .when(pl.col("__pn").is_null()).then(pl.lit("removed"))
+            .when(pl.col("__vo").ne_missing(pl.col("__vn"))).then(pl.lit("changed"))
             .otherwise(None)
             .alias("status")
         ).drop_nulls("status")

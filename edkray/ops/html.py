@@ -137,10 +137,11 @@ def extract_links(
       ``<a\\s...href="..."`` (case-insensitive tag/attr; single-quoted
       and unquoted hrefs are out of contract),
     - ``http://`` / ``https://`` targets kept as-is,
-    - root-relative ``/path`` targets resolved against the source URL's
-      ``scheme://host``,
-    - everything else (fragments, mailto:, protocol-relative, relative
-      paths) dropped.
+    - root-relative ``/path`` targets (single leading slash) resolved
+      against the source URL's ``scheme://host``,
+    - everything else — fragments, mailto:, protocol-relative ``//host``
+      (explicitly excluded from the root-relative branch), relative
+      paths — dropped.
 
     One vectorized ``map_batches`` pass: polars ``extract_all`` +
     explode; no shuffle — downstream rollups (in-degree, PageRank)
@@ -174,7 +175,11 @@ def extract_links(
         dst = (
             pl.when(pl.col("__href").str.contains(r"^https?://"))
             .then(pl.col("__href"))
-            .when(pl.col("__href").str.starts_with("/") & pl.col("__base").is_not_null())
+            .when(
+                pl.col("__href").str.starts_with("/")
+                & ~pl.col("__href").str.starts_with("//")
+                & pl.col("__base").is_not_null()
+            )
             .then(pl.col("__base") + pl.col("__href"))
             .otherwise(None)
         )
@@ -235,7 +240,11 @@ def extract_anchor_texts(
         dst = (
             pl.when(pl.col("__href").str.contains(r"^https?://"))
             .then(pl.col("__href"))
-            .when(pl.col("__href").str.starts_with("/") & pl.col("__base").is_not_null())
+            .when(
+                pl.col("__href").str.starts_with("/")
+                & ~pl.col("__href").str.starts_with("//")
+                & pl.col("__base").is_not_null()
+            )
             .then(pl.col("__base") + pl.col("__href"))
             .otherwise(None)
         )

@@ -230,7 +230,15 @@ def validate_pages(
         .when(~u.str.strip_chars().str.contains(r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+"))
         .then(pl.lit("bad_url"))
     )
-    if ts_col is not None and ts_col in df.columns:
+    # Skipping the ts/text rules is only allowed via the explicit
+    # ts_col=None / text_col=None contract — a named-but-absent column
+    # is a caller bug (typo) and must not silently validate every row.
+    if ts_col is not None:
+        if ts_col not in df.columns:
+            raise KeyError(
+                f"validate_pages: ts_col={ts_col!r} not in batch columns "
+                f"{df.columns}; pass ts_col=None to skip the ts rules"
+            )
         lo = _dt.datetime.fromisoformat(ts_range[0])
         hi = _dt.datetime.fromisoformat(ts_range[1])
         t = pl.col(ts_col)
@@ -238,7 +246,12 @@ def validate_pages(
             cond.when(t.is_null()).then(pl.lit("null_ts"))
             .when((t < lo) | (t >= hi)).then(pl.lit("ts_out_of_range"))
         )
-    if text_col is not None and text_col in df.columns:
+    if text_col is not None:
+        if text_col not in df.columns:
+            raise KeyError(
+                f"validate_pages: text_col={text_col!r} not in batch columns "
+                f"{df.columns}; pass text_col=None to skip the text rules"
+            )
         x = pl.col(text_col)
         cond = (
             cond.when(x.is_null()).then(pl.lit("null_text"))

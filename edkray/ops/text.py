@@ -945,7 +945,18 @@ def _bucketed_count_join(pairs, uni, key: str, out_name: str,
 
     from edkray.ops.shuffle import bucketed_group_map
 
-    carry = [c for c in pairs.schema().names if c != key]
+    sch = pairs.schema()
+    carry = [c for c in sch.names if c != key]
+    # Placeholder dtypes for the union's null columns come from the pair
+    # side's actual schema (arrow -> polars via an empty table), never
+    # from a column-name heuristic.
+    carry_dtypes = dict(
+        pl.from_arrow(
+            pa.schema(
+                [pa.field(n, t) for n, t in zip(sch.names, sch.types)]
+            ).empty_table()
+        ).schema
+    )
 
     def _tag_pairs(b: pa.Table) -> pa.Table:
         df = pl.from_arrow(b)
@@ -959,9 +970,7 @@ def _bucketed_count_join(pairs, uni, key: str, out_name: str,
         df = pl.from_arrow(b)
         cols = [pl.col("w").alias("__key")]
         for c in carry:
-            cols.append(pl.lit(None, dtype=pl.Int64).alias(c)
-                        if c == "n" or c.startswith("c")
-                        else pl.lit(None, dtype=pl.String).alias(c))
+            cols.append(pl.lit(None, dtype=carry_dtypes[c]).alias(c))
         cols.append(pl.col("c").alias("__c"))
         return df.select(cols).to_arrow()
 

@@ -60,6 +60,32 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data
     return ray.data.read_parquet(path, columns=columns, schema=sch)
 
 
+def _scratch_cache(tag: str, sf_dir: str, populate) -> str:
+    """Deterministic per-(tag, sf_dir) scratch dir under /tmp, populated
+    once and reused across invocations — queries that must round-trip
+    through files (jsonl/warclike engines) would otherwise leak a fresh
+    ``mkdtemp`` copy of the table per sweep/bench run. ``populate(dir)``
+    writes the files into a work dir that is atomically renamed into
+    place, so a crashed populate never leaves a half-built cache."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    h = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    parent = os.path.join(tempfile.gettempdir(), "edkray_scratch")
+    os.makedirs(parent, exist_ok=True)
+    final = os.path.join(parent, f"{tag}_{h}")
+    if not os.path.isdir(final):
+        work = tempfile.mkdtemp(prefix=f".{tag}_{h}.", dir=parent)
+        populate(work)
+        try:
+            os.rename(work, final)
+        except OSError:  # lost a populate race; keep the winner's copy
+            shutil.rmtree(work, ignore_errors=True)
+    return final
+
+
 def round_half_away(x: np.ndarray, decimals: int) -> np.ndarray:
     """Match DuckDB ROUND(double, n): round-half-away-from-zero."""
     m = 10.0**decimals
@@ -2127,21 +2153,21 @@ def q_warclike_scan(sf_dir: str):
     container writer/parser round-trips bytes and timestamps exactly."""
     import datetime as _dt
     import os
-    import tempfile
 
     from edkray.sources.registry import get_source
     from edkray.sources.warclike import write_warclike
 
-    tbl = _read(sf_dir, "documents", ["doc_id", "text"]).to_pandas()
-    recs = [
-        (f"https://w.example/{int(r.doc_id)}",
-         _dt.datetime(2017, 1, 1) + _dt.timedelta(seconds=int(r.doc_id)),
-         str(r.text).encode("utf-8"))
-        for r in tbl.itertuples()
-    ]
-    d = tempfile.mkdtemp(prefix="edkray_wrec_")
-    write_warclike(os.path.join(d, "part-20170101.wrec"), recs)
+    def _populate(work: str) -> None:
+        tbl = _read(sf_dir, "documents", ["doc_id", "text"]).to_pandas()
+        recs = [
+            (f"https://w.example/{int(r.doc_id)}",
+             _dt.datetime(2017, 1, 1) + _dt.timedelta(seconds=int(r.doc_id)),
+             str(r.text).encode("utf-8"))
+            for r in tbl.itertuples()
+        ]
+        write_warclike(os.path.join(work, "part-20170101.wrec"), recs)
 
+    d = _scratch_cache("wrec", sf_dir, _populate)
     ds = get_source("warclike").scan(
         d + "/part-%Y%m%d.wrec",
         time_range=(_dt.datetime(2017, 1, 1), _dt.datetime(2017, 1, 2)),
@@ -2492,7 +2518,7 @@ WITH u AS (
   FROM u
 ), d AS (
   SELECT CASE WHEN regexp_matches(href, '^https?://') THEN href
-              WHEN starts_with(href, '/') THEN base || href
+              WHEN starts_with(href, '/') AND NOT starts_with(href, '//') THEN base || href
               ELSE NULL END AS dst
   FROM e
 )
@@ -2679,7 +2705,7 @@ SELECT coalesce(o.url, n.url) AS url,
             WHEN n.url IS NULL THEN 'removed'
             ELSE 'changed' END AS status
 FROM o FULL OUTER JOIN n ON o.url = n.url
-WHERE o.url IS NULL OR n.url IS NULL OR o.v <> n.v
+WHERE o.url IS NULL OR n.url IS NULL OR o.v IS DISTINCT FROM n.v
 """
 
 
@@ -2698,20 +2724,20 @@ def q_jsonl_scan(sf_dir: str):
     lossless."""
     import datetime as _dt
     import os
-    import tempfile
 
     from edkray.sources.registry import get_source
     from edkray.sources.jsonl import write_jsonl
 
-    tbl = _read(sf_dir, "documents", ["doc_id", "text", "lang"]).to_pandas()
-    d = tempfile.mkdtemp(prefix="edkray_jsonl_")
-    for day in (1, 2):
-        rows = [
-            {"doc_id": int(r.doc_id), "text": str(r.text), "lang": str(r.lang)}
-            for r in tbl.itertuples() if int(r.doc_id) % 2 == day - 1
-        ]
-        write_jsonl(os.path.join(d, f"docs-2017010{day}.jsonl.gz"), rows)
+    def _populate(work: str) -> None:
+        tbl = _read(sf_dir, "documents", ["doc_id", "text", "lang"]).to_pandas()
+        for day in (1, 2):
+            rows = [
+                {"doc_id": int(r.doc_id), "text": str(r.text), "lang": str(r.lang)}
+                for r in tbl.itertuples() if int(r.doc_id) % 2 == day - 1
+            ]
+            write_jsonl(os.path.join(work, f"docs-2017010{day}.jsonl.gz"), rows)
 
+    d = _scratch_cache("jsonl", sf_dir, _populate)
     ds = get_source("jsonl").scan(
         d + "/docs-%Y%m%d.jsonl.gz",
         time_range=(_dt.datetime(2017, 1, 1), _dt.datetime(2017, 1, 3)),
@@ -2900,7 +2926,7 @@ WITH u AS (
   FROM u
 ), p AS (
   SELECT CASE WHEN regexp_matches(z[1], '^https?://') THEN z[1]
-              WHEN starts_with(z[1], '/') THEN base || z[1]
+              WHEN starts_with(z[1], '/') AND NOT starts_with(z[1], '//') THEN base || z[1]
               ELSE NULL END AS dst,
          z[2] AS anchor
   FROM m

@@ -128,6 +128,15 @@ class TestExtractLinks:
         )])
         assert got == [("not a url", "https://b.y/1")]
 
+    def test_protocol_relative_dropped(self, ray_session):
+        # '//cdn.example/x' must NOT resolve as root-relative (it would
+        # produce a malformed 'https://a.x//cdn.example/x' dst).
+        got = self._run(ray_session, [(
+            "https://a.x/p",
+            '<a href="//cdn.example/x">c</a><a href="/ok">k</a>',
+        )])
+        assert got == [("https://a.x/p", "https://a.x/ok")]
+
 
 class TestExtractAnchorTexts:
     """ops/html.py:extract_anchor_texts — (dst, anchor) pinned spec."""
@@ -164,3 +173,10 @@ class TestExtractAnchorTexts:
     def test_empty_anchor_text_kept(self, ray_session):
         got = self._run(ray_session, [("https://a.x/p", '<a href="/e"></a>')])
         assert got == [("https://a.x/e", "")]
+
+    def test_protocol_relative_dropped(self, ray_session):
+        got = self._run(ray_session, [(
+            "https://a.x/p",
+            '<a href="//cdn.example/x">cdn</a><a href="/ok">k</a>',
+        )])
+        assert got == [("https://a.x/ok", "k")]

@@ -2933,6 +2933,19 @@ class TestSnapshotDiff:
         got = self._run(ray_session, [("a", "x")], [])
         assert got == {"a": "removed"}
 
+    def test_null_content_presence(self, ray_session):
+        # Presence is tracked by side markers, not null cmp values:
+        # a: only-old with null content -> removed (NOT added)
+        # b: both sides, null vs value   -> changed (IS DISTINCT FROM)
+        # c: both sides, null vs null    -> unchanged (dropped)
+        # d: only-new with null content  -> added
+        got = self._run(
+            ray_session,
+            [("a", None), ("b", None), ("c", None)],
+            [("b", "v"), ("c", None), ("d", None)],
+        )
+        assert got == {"a": "removed", "b": "changed", "d": "added"}
+
 
 class TestValidatePages:
     """ops/stages.py:validate_pages — quarantine reasons, pinned order."""
@@ -2975,6 +2988,18 @@ class TestValidatePages:
         t = pa.table({"url": pa.array(["https://a.x/p"], type=pa.string())})
         out = validate_pages(t, ts_col=None, text_col=None)
         assert out["reject_reason"].to_pylist() == [None]
+
+    def test_missing_named_column_raises(self):
+        # A typo'd column name must error, not validate everything clean.
+        import pytest
+
+        from edkray.ops.stages import validate_pages
+
+        t = pa.table({"url": pa.array(["https://a.x/p"], type=pa.string())})
+        with pytest.raises(KeyError, match="ts_col"):
+            validate_pages(t, ts_col="wrac_ts", text_col=None)
+        with pytest.raises(KeyError, match="text_col"):
+            validate_pages(t, ts_col=None, text_col="body")
 
 
 class TestApproxQuantiles:
