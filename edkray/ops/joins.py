@@ -723,6 +723,86 @@ def hash_join(
     )
 
 
+def bucketed_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: list[str],
+    right_on: list[str] | None = None,
+    how: str = "inner",
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Large↔large equi-join via ONE tagged-union hash-bucketed
+    co-shuffle and a per-bucket vectorized polars join.
+
+    The path for schemas the native :func:`hash_join` cannot shuffle —
+    Ray's hash-shuffle join rejects list-typed non-key fields (e.g. an
+    ``embedding: list<float>`` carry column), polars joins them fine.
+    Both sides move exactly once, hash-partitioned on the key; no
+    broadcast, no driver materialization; ``num_buckets`` bounds task
+    memory exactly like every other winner-filter co-shuffle here.
+
+    Keys join positionally (``on[i] == right_on[i]``; right keys are
+    renamed to the left names). Output = left columns + right non-key
+    columns; non-key column names must not collide. ``how`` ∈ {inner,
+    left}.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"bucketed_join: how={how!r} not in (inner, left)")
+    right_on = list(right_on or on)
+    if len(right_on) != len(on):
+        raise ValueError("bucketed_join: on/right_on length mismatch")
+
+    from edkray.ops.shuffle import bucketed_group_map
+
+    def _pl_dtypes(sch) -> dict:
+        empty = pa.schema(
+            [pa.field(n, t) for n, t in zip(sch.names, sch.types)]
+        ).empty_table()
+        return dict(pl.from_arrow(empty).schema)
+
+    lsch, rsch = left.schema(), right.schema()
+    lcarry = [c for c in lsch.names if c not in on]
+    rcarry = [c for c in rsch.names if c not in right_on]
+    clash = set(lcarry) & set(rcarry)
+    if clash:
+        raise ValueError(f"bucketed_join: non-key column collision {sorted(clash)}")
+    ldt, rdt = _pl_dtypes(lsch), _pl_dtypes(rsch)
+    rename = dict(zip(right_on, on))
+
+    def _tag_left(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        return df.select(
+            *[pl.col(c) for c in on],
+            *[pl.col(c) for c in lcarry],
+            *[pl.lit(None, dtype=rdt[c]).alias(c) for c in rcarry],
+            pl.lit(0, dtype=pl.Int8).alias("__side"),
+        ).to_arrow()
+
+    def _tag_right(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).rename(rename)
+        return df.select(
+            *[pl.col(c) for c in on],
+            *[pl.lit(None, dtype=ldt[c]).alias(c) for c in lcarry],
+            *[pl.col(c) for c in rcarry],
+            pl.lit(1, dtype=pl.Int8).alias("__side"),
+        ).to_arrow()
+
+    tagged = left.map_batches(
+        _tag_left, batch_format="pyarrow", batch_size=batch_size
+    ).union(
+        right.map_batches(_tag_right, batch_format="pyarrow", batch_size=batch_size)
+    )
+
+    def _join(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        l = df.filter(pl.col("__side") == 0).select(list(on) + lcarry)
+        r = df.filter(pl.col("__side") == 1).select(list(on) + rcarry)
+        return l.join(r, on=list(on), how=how, coalesce=True).to_arrow()
+
+    return bucketed_group_map(tagged, list(on), _join, num_buckets=num_buckets)
+
+
 def range_join_broadcast(
     ds: ray.data.Dataset,
     intervals: pa.Table,

@@ -3110,30 +3110,20 @@ def q_pca_scores(sf_dir: str, k: int = 4):
 
 def q_lang_centroids(sf_dir: str):
     """Grouped VECTOR aggregation (ops/search.py:grouped_centroids):
-    the narrow (doc_id → lang) map broadcasts once and tags each
-    embedding batch; per batch one argsort + np.add.reduceat folds to
-    (lang, n, sum-vector) partials — d floats per (lang, batch) enter
-    the bucketed exchange, embeddings never shuffle. Oracle: exploded
+    the (doc_id → lang) tag column attaches via ONE hash-bucketed
+    large↔large co-shuffle join (ops/joins.py:bucketed_join — no driver
+    materialization, no O(corpus) broadcast; the native hash_join
+    rejects list<float> carry columns); then per batch one argsort +
+    np.add.reduceat folds to (lang, n, sum-vector) partials — d floats
+    per (lang, batch) enter the bucketed exchange. Oracle: exploded
     join + per-(lang, dim) sum/count."""
-    import polars as pl
-    import ray as _ray
-
+    from edkray.ops.joins import bucketed_join
     from edkray.ops.search import grouped_centroids
 
-    langs = _read(sf_dir, "documents", ["doc_id", "lang"]).to_pandas()
-    lang_ref = _ray.put(pl.from_pandas(langs))
-
-    def _tag(b: pa.Table) -> pa.Table:
-        lm = _ray.get(lang_ref)
-        return (
-            pl.from_arrow(b)
-            .join(lm, left_on="vec_id", right_on="doc_id", how="inner")
-            .to_arrow()
-        )
-
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
-        _tag, batch_format="pyarrow"
-    )
+    langs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = bucketed_join(emb, langs, on=["vec_id"], right_on=["doc_id"],
+                       how="inner", num_buckets=8)
     return grouped_centroids(ds, "lang", num_buckets=4)
 
 
@@ -4502,11 +4492,15 @@ def q_ivf_topk(sf_dir: str):
     recall-vs-exact test (tests/test_ops.py)."""
     from edkray.ops.search import IvfIndex, ivf_topk
 
-    emb = pq.read_table(_p(sf_dir, "embeddings"))
-    mat = np.stack(emb.to_pandas().sort_values("vec_id")["embedding"].to_numpy()).astype(np.float64)
-    index = IvfIndex(nlist=8).fit(mat[: min(len(mat), 2000)])
-    queries = mat[:5]
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # Bounded driver pulls only — a 2000-row fit sample via limit() and
+    # the 5 query vectors by id — never the whole embeddings table.
+    # The fit sample steers routing, not results (exhaustive probe).
+    fit_df = ds.limit(2000).to_pandas()
+    fit = np.stack(fit_df["embedding"].to_numpy()).astype(np.float64)
+    q_df = ds.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+    queries = np.stack(q_df["embedding"].to_numpy()).astype(np.float64)
+    index = IvfIndex(nlist=8).fit(fit)
     out = ivf_topk(ds, index, queries, k=5, nprobe=8)
     return out.map_batches(lambda b: b.select(["query_id", "vec_id", "rank"]), batch_format="pyarrow")
 

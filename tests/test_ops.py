@@ -313,6 +313,42 @@ class TestJoins:
         exp = rand_table.to_pandas()[["k", "x"]].merge(rt.to_pandas(), on="k")
         _df_eq(got, exp, float_cols={"x"})
 
+    def test_bucketed_join(self, ray_session, rand_table):
+        import ray.data
+
+        from edkray.ops.joins import bucketed_join
+
+        left = ray.data.from_arrow(rand_table.select(["k", "x"]))
+        # right carries a list<float> column — the case hash_join rejects
+        rng = np.random.default_rng(3)
+        ks = np.arange(400)
+        rt = pa.table({
+            "rk": pa.array(ks),
+            "lbl": pa.array([f"n{i}" for i in ks]),
+            "vec": pa.array(rng.normal(size=(400, 3)).tolist(),
+                            type=pa.list_(pa.float64())),
+        })
+        right = ray.data.from_arrow(rt)
+        got = bucketed_join(
+            left, right, on=["k"], right_on=["rk"], num_buckets=4
+        ).to_pandas().sort_values(["k", "x"]).reset_index(drop=True)
+        exp = (
+            rand_table.to_pandas()[["k", "x"]]
+            .merge(rt.to_pandas().rename(columns={"rk": "k"}), on="k")
+            .sort_values(["k", "x"]).reset_index(drop=True)
+        )
+        _df_eq(got[["k", "x", "lbl"]], exp[["k", "x", "lbl"]], float_cols={"x"})
+        assert all(
+            np.allclose(a, b) for a, b in zip(got["vec"], exp["vec"])
+        )
+        # left join keeps unmatched left rows with null right columns
+        lj = bucketed_join(
+            left, right, on=["k"], right_on=["rk"], how="left", num_buckets=4
+        ).to_pandas()
+        assert len(lj) == len(exp) + (rand_table.to_pandas()["k"] >= 400).sum()
+        with pytest.raises(ValueError):
+            bucketed_join(left, right, on=["k"], how="outer")
+
     def test_pip_join_matches_index(self, ray_session):
         import ray
         import ray.data
