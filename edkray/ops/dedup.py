@@ -166,6 +166,16 @@ class MinHasher:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_pylist()
         texts = batch[self.text_col].to_pylist()
+        # Docs with an EMPTY k-gram set (null/empty text — any non-empty
+        # doc gets at least its whole-string gram) emit NO band rows:
+        # their all-zero signatures would otherwise collide pairwise and
+        # surface every empty doc as every other's est_jaccard=1.0
+        # duplicate (VERDICT r4 #5). Empty docs are simply never
+        # near-dup candidates, here and in both verify kernels.
+        nonempty = np.array([bool(t) for t in texts], dtype=bool)
+        if not nonempty.all():
+            ids = [i for i, m in zip(ids, nonempty) if m]
+            texts = [t for t, m in zip(texts, nonempty) if m]
         n = len(ids)
         sigs = _batch_signatures(texts, self.num_perm, self.k, self.a, self.b)
         # band hash: mix the rows of each band into one uint64
@@ -540,8 +550,13 @@ def minhash_lsh_pairs(
         pb_pos, okb = _loc_sorted(ids, ib, missing=len(ids))
         est = (sigs[pa_pos] == sigs[pb_pos]).mean(axis=1)
         # pairs referencing ids absent from ds are dropped (a vanished
-        # doc must not surface as anyone's duplicate — ADVICE r3)
-        keep = oka & okb & (est >= threshold)
+        # doc must not surface as anyone's duplicate — ADVICE r3), as
+        # are pairs touching an empty-k-gram-set doc (all-zero
+        # signatures would fake est=1.0 — VERDICT r4 #5; MinHasher
+        # already never emits such candidates, this is the invariant
+        # restated for externally supplied pairs)
+        nonempty = np.array([bool(t) for t in texts] + [False], dtype=bool)
+        keep = oka & okb & nonempty[pa_pos] & nonempty[pb_pos] & (est >= threshold)
         return pa.table(
             {
                 "id_a": pa.array(ia[keep], type=pa.int64()),
@@ -606,8 +621,10 @@ def minhash_jaccard_pairs(
         ja = np.zeros(len(pia), dtype=np.float64)
         for j in np.flatnonzero(ok):
             ga, gb = grams[pa_pos[j]], grams[pb_pos[j]]
-            if len(ga) == 0 and len(gb) == 0:
-                ja[j] = 1.0  # two PRESENT sub-k docs — matches jaccard()
+            if len(ga) == 0 or len(gb) == 0:
+                # empty k-gram set (null/empty text) — never a duplicate
+                # (VERDICT r4 #5; matches jaccard() and the SQL oracle,
+                # which excludes empty docs from the gram relation)
                 continue
             inter = np.intersect1d(ga, gb, assume_unique=True).size
             ja[j] = inter / (len(ga) + len(gb) - inter)
@@ -747,11 +764,15 @@ def simhash_pairs(
 
 
 def jaccard(text_a: str, text_b: str, k: int = 8) -> float:
-    """Exact char-k-gram Jaccard similarity of two strings."""
+    """Exact char-k-gram Jaccard similarity of two strings.
+
+    An empty string has an empty k-gram set; J(∅, ·) is defined as 0.0
+    here (empty docs are never duplicates — VERDICT r4 #5), matching
+    the dedup verify kernels and the SQL oracles."""
     ga = np.unique(kgram_hashes(text_a.encode("utf-8", "ignore"), k))
     gb = np.unique(kgram_hashes(text_b.encode("utf-8", "ignore"), k))
-    if len(ga) == 0 and len(gb) == 0:
-        return 1.0
+    if len(ga) == 0 or len(gb) == 0:
+        return 0.0
     inter = np.intersect1d(ga, gb, assume_unique=True).size
     return inter / (len(ga) + len(gb) - inter)
 

@@ -1473,12 +1473,15 @@ def q_ngram_jaccard_pairs(sf_dir: str, k: int = 8, threshold: float = 0.1):
 
 
 def _sql_jaccard(threshold: float) -> str:
+    # Docs with NULL/empty text have an empty k-gram set and are never
+    # duplicates (the engine's gate, VERDICT r4 #5) — excluded from g.
     return f"""
 WITH g AS (
   SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 8) AS gram
   FROM (SELECT doc_id, text,
                unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i
-        FROM documents)
+        FROM documents
+        WHERE text IS NOT NULL AND length(text) > 0)
 ), n AS (
   SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
 ), inter AS (

@@ -143,6 +143,25 @@ class TestDedup:
 
         assert jaccard("abcdefghij", "abcdefghij", k=4) == 1.0
         assert jaccard("abcdefghij", "zzzzzzzzzz", k=4) == 0.0
+        # empty k-gram set: never a duplicate (VERDICT r4 #5)
+        assert jaccard("", "", k=4) == 0.0
+        assert jaccard("", "abcdefghij", k=4) == 0.0
+
+    def test_minhash_empty_docs_never_pair(self, ray_session):
+        """Null/empty-text docs (empty k-gram sets) must not surface as
+        each other's est_jaccard=1.0 duplicates (VERDICT r4 #5)."""
+        import ray.data
+
+        from edkray.ops.dedup import minhash_jaccard_pairs, minhash_lsh_pairs
+
+        base = "the quick brown fox jumps over the lazy dog " * 20
+        tbl = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4, 5]),
+            "text": pa.array([base, base, "", "", None]),
+        })
+        for op in (minhash_lsh_pairs, minhash_jaccard_pairs):
+            pairs = op(ray.data.from_arrow(tbl), threshold=0.5).to_pandas()
+            assert set(zip(pairs.id_a, pairs.id_b)) == {(1, 2)}, op.__name__
 
     def test_embedding_dup_pairs(self, ray_session):
         import ray.data
