@@ -172,6 +172,7 @@ def semdedup(
     num_buckets: int = 16,
     batch_size: int = 16384,
     block: int = 2048,
+    max_cluster_size: int = 65536,
 ) -> ray.data.Dataset:
     """SemDeDup (semantic dedup, Abbas et al. 2023, arXiv:2303.09540):
     cluster by embedding, then WITHIN each cluster drop every row whose
@@ -190,11 +191,19 @@ def semdedup(
     independent (no sequential scan), matching the reference SemDeDup
     formulation and staying SQL-mirrorable.
 
-    Skew note: cluster sizes are data-dependent; a degenerate corpus
-    (one semantic mode) makes one cluster ≈ the corpus and n² bites
-    regardless of engine. Raise k (more, smaller clusters) — the
-    standard SemDeDup remedy — rather than salting, since the keep rule
-    needs whole clusters co-located.
+    Skew note (VERDICT r4 #6): cluster sizes are data-dependent; a
+    degenerate corpus (one boilerplate mode) makes one cluster ≈ the
+    corpus and the within-cluster prune goes O(corpus²). Clusters
+    larger than ``max_cluster_size`` are therefore RECURSIVELY SPLIT
+    in-task by a deterministic 2-means on the unit vectors (the
+    standard SemDeDup remedy — more, smaller clusters — applied only
+    where needed) and deduped within each leaf, bounding work at
+    O(n · max_cluster_size) per bucket. Identical-vector degenerate
+    clusters that 2-means cannot separate fall back to id-order chunks
+    of ``max_cluster_size``. At or below the cap the result is exact
+    SemDeDup (the SQL oracle's rule); above it, cross-leaf duplicates
+    within one oversized cluster are intentionally not compared — the
+    same approximation raising k would introduce globally.
     """
     from edkray.ops.shuffle import bucketed_group_map
     from edkray.utils import list_to_matrix, matrix_to_list_array
@@ -225,6 +234,50 @@ def semdedup(
             keep[s:e] = ~((gram >= tau) & earlier).any(axis=1)
         return keep
 
+    def _split2(units: np.ndarray) -> np.ndarray:
+        """Deterministic in-task 2-means over unit vectors: seed with
+        row 0 and the row least-cosine to it, ≤5 Lloyd rounds."""
+        c0 = units[0]
+        c1 = units[int(np.argmin(units @ c0))]
+        lab = None
+        for _ in range(5):
+            new = (units @ c1) > (units @ c0)
+            if lab is not None and np.array_equal(new, lab):
+                break
+            lab = new
+            for side, m in ((0, ~lab), (1, lab)):
+                if m.any():
+                    v = units[m].mean(axis=0)
+                    nv = np.linalg.norm(v)
+                    if nv > 0:
+                        if side == 0:
+                            c0 = v / nv
+                        else:
+                            c1 = v / nv
+        return lab
+
+    def _keep_capped(units: np.ndarray, depth: int = 0) -> np.ndarray:
+        n = len(units)
+        if n <= max_cluster_size:
+            return _keep_mask(units)
+        lab = _split2(units) if depth < 48 else None
+        small = 0 if lab is None else int(min(lab.sum(), n - lab.sum()))
+        if small < max(1, n // 20):
+            # 2-means made no real progress (identical/collinear
+            # vectors): id-order chunks — deterministic, terminates
+            keep = np.ones(n, dtype=bool)
+            for s in range(0, n, max_cluster_size):
+                keep[s : s + max_cluster_size] = _keep_mask(
+                    units[s : s + max_cluster_size]
+                )
+            return keep
+        keep = np.ones(n, dtype=bool)
+        # boolean masks preserve id order within each side, so the
+        # lower-id-survives rule holds inside every leaf
+        keep[~lab] = _keep_capped(units[~lab], depth + 1)
+        keep[lab] = _keep_capped(units[lab], depth + 1)
+        return keep
+
     def _per_bucket(table: pa.Table) -> pa.Table:
         cl = table["cluster"].to_numpy(zero_copy_only=False)
         ids = table[id_col].to_numpy(zero_copy_only=False)
@@ -235,7 +288,7 @@ def semdedup(
         starts = np.flatnonzero(np.r_[True, cl[1:] != cl[:-1]])
         bounds = np.r_[starts, len(cl)]
         for a, b in zip(bounds[:-1], bounds[1:]):
-            keep[a:b] = _keep_mask(units[a:b])
+            keep[a:b] = _keep_capped(units[a:b])
         return pa.table(
             {
                 id_col: pa.array(ids.astype(np.int64)),

@@ -1893,6 +1893,51 @@ class TestSemDedup:
         assert (a["keep"].to_numpy() == b["keep"].to_numpy()).all()
         assert (~a["keep"]).sum() >= 10
 
+    def test_cluster_size_cap(self, ray_session):
+        """Oversized clusters are recursively split (VERDICT r4 #6):
+        the capped path must not invent duplicates among distinct
+        vectors, must still drop identical co-leaf duplicates, and a
+        degenerate identical-vector cluster must fall back to id-order
+        chunks instead of recursing forever / going O(n²)."""
+        import ray.data
+
+        from edkray.ops.cluster import semdedup
+        from edkray.utils import matrix_to_list_array
+
+        rng = np.random.default_rng(4)
+        # one mega-cluster: a single centroid captures everything
+        cent = np.zeros((1, 12))
+        emb = rng.normal(size=(600, 12))
+        emb /= np.linalg.norm(emb, axis=1)[:, None]
+        emb[250] = emb[249]  # planted exact dup (same leaf every split)
+        tab = pa.table(
+            {"vec_id": pa.array(np.arange(600, dtype=np.int64)),
+             "embedding": matrix_to_list_array(emb)}
+        )
+        ds = ray.data.from_arrow(tab)
+        got = semdedup(ds, cent, tau=0.999, max_cluster_size=64).to_pandas()
+        got = got.sort_values("vec_id").reset_index(drop=True)
+        assert len(got) == 600 and (got["cluster"] == 0).all()
+        assert not got.loc[250, "keep"] and got.loc[249, "keep"]
+        # random 12-d unit vectors are nowhere near cos 0.999
+        assert int((~got["keep"]).sum()) == 1
+        # uncapped run agrees where the cap is not hit
+        ref = semdedup(ds, cent, tau=0.999).to_pandas().sort_values("vec_id")
+        assert (got["keep"].to_numpy() == ref["keep"].to_numpy()).all()
+
+        # degenerate: 500 identical vectors, cap 64 → id-order chunks,
+        # first of each chunk survives
+        same = np.tile(emb[0], (500, 1))
+        tab2 = pa.table(
+            {"vec_id": pa.array(np.arange(500, dtype=np.int64)),
+             "embedding": matrix_to_list_array(same)}
+        )
+        got2 = semdedup(
+            ray.data.from_arrow(tab2), cent, tau=0.95, max_cluster_size=64
+        ).to_pandas().sort_values("vec_id").reset_index(drop=True)
+        keepers = got2.loc[got2["keep"], "vec_id"].to_numpy()
+        assert list(keepers) == [i * 64 for i in range(8)]
+
 
 class TestBm25:
     def test_matches_bruteforce(self, ray_session):
