@@ -158,6 +158,33 @@ def add_webmercator(batch: pa.Table, lon_col: str = "lon", lat_col: str = "lat")
     return batch.append_column("merc_x", pa.array(x)).append_column("merc_y", pa.array(y))
 
 
+def reproject(
+    batch: pa.Table,
+    source_epsg: int,
+    target_epsg: int,
+    x_col: str = "lon",
+    y_col: str = "lat",
+    out_x: str = "x",
+    out_y: str = "y",
+) -> pa.Table:
+    """Upsert ``out_x``/``out_y`` with coordinates reprojected
+    ``source_epsg`` → ``target_epsg`` (geo/transform.py:transform_points
+    — the vectorized counterpart of the reference's per-point OSR loop,
+    utilities/transform.py:8-52). Supports 4326, 3857, WGS84 UTM
+    (326xx/327xx) and sinusoidal (6974 MODIS / 54008)."""
+    from edkray.geo.transform import transform_points
+
+    x = batch[x_col].to_numpy(zero_copy_only=False)
+    y = batch[y_col].to_numpy(zero_copy_only=False)
+    tx, ty = transform_points(x, y, source_epsg, target_epsg)
+    for name, arr in ((out_x, pa.array(tx)), (out_y, pa.array(ty))):
+        if name in batch.schema.names:
+            batch = batch.set_column(batch.schema.get_field_index(name), name, arr)
+        else:
+            batch = batch.append_column(name, arr)
+    return batch
+
+
 def deterministic_sample(
     batch: pa.Table, key_col: str, rate: float, knuth: int = 2654435761
 ) -> pa.Table:

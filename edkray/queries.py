@@ -4008,6 +4008,110 @@ FROM pts
 
 
 # --------------------------------------------------------------------------
+# Q: transform_points — arbitrary EPSG→EPSG reprojection (VERDICT r4
+# missing #1; reference utilities/transform.py:8-52 general case)
+
+
+def q_transform_points(sf_dir: str):
+    """Per-point WGS84 UTM (zone from lon, Krüger/Karney n⁶ series —
+    the algorithm PROJ uses) + MODIS sinusoidal reprojection in one
+    vectorized map_batches (geo/transform.py:transform_points). The
+    oracle replays the series expression-by-expression in SQL with the
+    identical constants injected from the same module; sinh/cosh/atanh
+    are spelled via exp/ln IDENTICALLY on both sides so numpy and
+    DuckDB make the same libm calls."""
+    from edkray.geo.transform import (
+        R_MODIS, sinusoidal_forward, utm_forward, utm_zone,
+    )
+
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+
+    def _t(b: pa.Table) -> pa.Table:
+        b = _add_lonlat(b, "c_custkey")
+        lon = b["lon"].to_numpy(zero_copy_only=False)
+        lat = b["lat"].to_numpy(zero_copy_only=False)
+        zone = utm_zone(lon)
+        south = lat < 0
+        e, n = utm_forward(lon, lat, zone, south)
+        sx, sy = sinusoidal_forward(lon, lat, radius=R_MODIS)
+        out = pa.table(
+            {
+                "c_custkey": b["c_custkey"],
+                "epsg": pa.array(np.where(south, 32700, 32600) + zone),
+                "utm_e": pa.array(e),
+                "utm_n": pa.array(n),
+                "sinu_x": pa.array(sx),
+                "sinu_y": pa.array(sy),
+            }
+        )
+        return _round_cols(out, ["utm_e", "utm_n", "sinu_x", "sinu_y"])
+
+    return ds.map_batches(_t, batch_format="pyarrow")
+
+
+def _sql_transform_points() -> str:
+    from edkray.geo.transform import R_MODIS, UTM_ALPHA, UTM_A, UTM_CONF
+
+    def f64(v: float) -> str:
+        # scientific notation forces a DOUBLE literal (a bare decimal
+        # parses as DECIMAL, which overflows on DECIMAL×DECIMAL and can
+        # round differently); strtod of repr() is bit-exact
+        s = repr(float(v))
+        return s if "e" in s else s + "e0"
+
+    def sinh(u: str) -> str:
+        return f"((exp({u}) - exp(-({u}))) / 2.0)"
+
+    def cosh(u: str) -> str:
+        return f"((exp({u}) + exp(-({u}))) / 2.0)"
+
+    def atanh(u: str) -> str:
+        return f"(0.5 * ln((1.0 + {u}) / (1.0 - {u})))"
+
+    ka = f"(0.9996e0 * {f64(UTM_A)})"
+    xi_terms = "".join(
+        f"\n         + {f64(a)} * sin({f64(2.0 * j)} * xip) * {cosh(f'{f64(2.0 * j)} * etap')}"
+        for j, a in enumerate(UTM_ALPHA, start=1)
+    )
+    eta_terms = "".join(
+        f"\n         + {f64(a)} * cos({f64(2.0 * j)} * xip) * {sinh(f'{f64(2.0 * j)} * etap')}"
+        for j, a in enumerate(UTM_ALPHA, start=1)
+    )
+    u = f"{atanh('s')} - {f64(UTM_CONF)} * {atanh(f'{f64(UTM_CONF)} * s')}"
+    return f"""
+WITH pts AS (
+  SELECT c_custkey, {_sql_lon('c_custkey')} AS lon, {_sql_lat('c_custkey')} AS lat
+  FROM customer
+), zoned AS (
+  SELECT c_custkey, lon, lat,
+         least(greatest(CAST(floor((lon + 180.0) / 6.0) AS BIGINT) + 1, 1), 60) AS zone,
+         lat * pi() / 180.0 AS phi, sin(lat * pi() / 180.0) AS s
+  FROM pts
+), prep AS (
+  SELECT *, (lon - (zone * 6.0 - 183.0)) * pi() / 180.0 AS dlam,
+         {sinh(u)} AS t
+  FROM zoned
+), proj AS (
+  SELECT *, atan2(t, cos(dlam)) AS xip,
+         {atanh('sin(dlam) / sqrt(1.0 + t * t)')} AS etap
+  FROM prep
+), series AS (
+  SELECT *,
+         xip{xi_terms} AS xi,
+         etap{eta_terms} AS eta
+  FROM proj
+)
+SELECT c_custkey,
+       (CASE WHEN lat < 0 THEN 32700 ELSE 32600 END) + zone AS epsg,
+       round(500000.0 + {ka} * eta, 4) AS utm_e,
+       round((CASE WHEN lat < 0 THEN 10000000.0 ELSE 0.0 END) + {ka} * xi, 4) AS utm_n,
+       round({f64(R_MODIS)} * (lon * pi() / 180.0) * cos(phi), 4) AS sinu_x,
+       round({f64(R_MODIS)} * phi, 4) AS sinu_y
+FROM series
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: scaled_quantity — nodata mask + scale/offset (raster band semantics
 # M11/M12 over a numeric column)
 
@@ -4553,6 +4657,7 @@ def queries() -> dict:
         "minhash_jaccard_pairs": q_minhash_jaccard_pairs,
         "ivf_topk": q_ivf_topk,
         # -- (c) new round-5 queries ----------------------------------------
+        "transform_points": q_transform_points,
         # -- last driver row in rounds 1-3 ----------------------------------
         "bbox_customers": q_bbox_customers,
         "catalog": q_catalog,
@@ -4728,6 +4833,8 @@ def oracle_sql() -> dict:
         "top_orders_per_priority": _SQL_TOP_PER_PRIORITY,
         "customers_without_orders": _SQL_NO_ORDERS,
         "mercator_customers": _SQL_MERCATOR,
+        # Krüger n⁶ UTM + MODIS sinusoidal series replayed term-by-term
+        "transform_points": _sql_transform_points(),
         "scaled_quantity": _SQL_SCALED,
         "sample_orders": _SQL_SAMPLE,
         # banded LSH with exact verification: miss prob ~1.6e-5/pair →
