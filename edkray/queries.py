@@ -3884,6 +3884,69 @@ SELECT 'documents' AS tile_name, count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT)
 
 
 # --------------------------------------------------------------------------
+# Q: resample_read — windowed raster resample (VERDICT r4 missing #2;
+# reference classes/dataset.py:524-541 gdal.Warp-to-resolution)
+
+
+def q_resample_read(sf_dir: str, dst_n: int = 777):
+    """Warp-to-target-resolution over the documents tile's row axis
+    (sources/window.py:resample_stack): nearest + linear kernels with
+    GDAL's pixel-center mapping p = (j+0.5)·n_src/dst_n, each output
+    chunk reading only its minimal row-group-pruned source window. The
+    oracle replays the index arithmetic over a row_number() view."""
+    import ray.data
+
+    from edkray.sources.formats import get_adapter
+    from edkray.sources.window import resample_stack
+
+    scan = ray.data.from_arrow(
+        pa.table(
+            {
+                "path": pa.array([_p(sf_dir, "documents")]),
+                "tile_name": pa.array(["documents"]),
+                "date": pa.array([dt.datetime(2017, 1, 1)], type=pa.timestamp("us")),
+            }
+        )
+    )
+    catalog = get_adapter("parquet").create_tiles(scan)
+    rows = resample_stack(catalog, "doc_id", dst_n, chunk=256)
+    return rows.map_batches(
+        lambda b: _round_cols(b, ["doc_id_nearest", "doc_id_linear"]),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_resample(dst_n: int = 777) -> str:
+    return f"""
+WITH src AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS i, CAST(doc_id AS DOUBLE) AS v
+  FROM documents
+), n AS (
+  SELECT count(*) AS n_src FROM documents
+), m AS (
+  SELECT j, n_src,
+         (j + 0.5) * n_src / {float(dst_n)!r} AS p,
+         (j + 0.5) * n_src / {float(dst_n)!r} - 0.5 AS q
+  FROM (SELECT unnest(range(0, {dst_n})) AS j), n
+), idx AS (
+  SELECT j,
+         least(CAST(floor(p) AS BIGINT), n_src - 1) AS ni,
+         greatest(least(CAST(floor(q) AS BIGINT), n_src - 1), 0) AS i0,
+         least(greatest(least(CAST(floor(q) AS BIGINT), n_src - 1), 0) + 1, n_src - 1) AS i1,
+         q - floor(q) AS w
+  FROM m
+)
+SELECT 'documents' AS tile_name, idx.j,
+       round(a.v, 4) AS doc_id_nearest,
+       round(b.v * (1.0 - w) + c.v * w, 4) AS doc_id_linear
+FROM idx
+JOIN src a ON a.i = idx.ni
+JOIN src b ON b.i = idx.i0
+JOIN src c ON c.i = idx.i1
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: users_per_type — exact per-group COUNT(DISTINCT) (two-phase)
 
 
@@ -4658,6 +4721,7 @@ def queries() -> dict:
         "ivf_topk": q_ivf_topk,
         # -- (c) new round-5 queries ----------------------------------------
         "transform_points": q_transform_points,
+        "resample_read": q_resample_read,
         # -- last driver row in rounds 1-3 ----------------------------------
         "bbox_customers": q_bbox_customers,
         "catalog": q_catalog,
@@ -4835,6 +4899,8 @@ def oracle_sql() -> dict:
         "mercator_customers": _SQL_MERCATOR,
         # Krüger n⁶ UTM + MODIS sinusoidal series replayed term-by-term
         "transform_points": _sql_transform_points(),
+        # warp index arithmetic replayed over a row_number() view
+        "resample_read": _sql_resample(777),
         "scaled_quantity": _SQL_SCALED,
         "sample_orders": _SQL_SAMPLE,
         # banded LSH with exact verification: miss prob ~1.6e-5/pair →

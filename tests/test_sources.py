@@ -556,6 +556,60 @@ class TestWindowedRead:
         rd(batch)
         assert rd.handle_misses == 1 and rd.handle_hits == 4
 
+    def _resample_oracle(self, v: np.ndarray, dst_n: int):
+        """Independent numpy replay of the GDAL pixel-center mapping."""
+        n = len(v)
+        j = np.arange(dst_n, dtype=np.float64)
+        p = (j + 0.5) * n / dst_n
+        nearest = v[np.minimum(np.floor(p), n - 1).astype(int)]
+        q = p - 0.5
+        i0 = np.floor(q)
+        w = q - i0
+        i0c = np.clip(i0, 0, n - 1).astype(int)
+        i1 = np.minimum(i0c + 1, n - 1)
+        return nearest, v[i0c] * (1.0 - w) + v[i1] * w
+
+    @pytest.mark.parametrize("dst_n", [37, 100, 777, 2501])
+    def test_resample_stack_matches_kernel(self, ray_session, big_tile, dst_n):
+        """Down- and up-sampling both match the 1-D warp kernel
+        (reference dataset.py:524-541 semantics), for any chunking."""
+        import ray.data
+
+        from edkray.sources.window import resample_stack
+
+        catalog = ray.data.from_items(
+            [{"path": big_tile, "tile_name": "t", "n_rows": 1000}]
+        )
+        got = (
+            resample_stack(catalog, "x", dst_n, chunk=97)
+            .to_pandas().sort_values("j").reset_index(drop=True)
+        )
+        v = pq.read_table(big_tile, columns=["x"])["x"].to_numpy().astype(float)
+        exp_near, exp_lin = self._resample_oracle(v, dst_n)
+        assert len(got) == dst_n
+        assert np.array_equal(got["x_nearest"].to_numpy(), exp_near)
+        assert np.allclose(got["x_linear"].to_numpy(), exp_lin, atol=1e-12)
+
+    def test_resample_reads_only_needed_window(self, big_tile):
+        """One output chunk's read is bounded by its own source window —
+        the warped-VRT laziness (no full-tile materialization)."""
+        from edkray.sources.window import ResampleReader
+
+        rd = ResampleReader(value_col="x", methods=("nearest",))
+        spec = pa.table({
+            "path": pa.array([big_tile]), "tile_name": pa.array(["t"]),
+            "n_src": pa.array([1000]), "out_lo": pa.array([10]),
+            "out_hi": pa.array([20]), "dst_n": pa.array([100]),
+        })
+        out = rd(spec)
+        # output j 10..19 → source idx 105..195: values confirm the
+        # gather came from the right narrow region
+        assert out["j"].to_pylist() == list(range(10, 20))
+        vals = out["x_nearest"].to_numpy()
+        assert vals.min() >= 100 * 0.5 and vals.max() <= 200 * 0.5
+        with pytest.raises(ValueError):
+            ResampleReader(value_col="x", methods=("cubic",))
+
 
 class TestPushdownSource:
     """Third registry engine (VERDICT r3 item 5): server-side rect +
