@@ -933,3 +933,87 @@ class TestJsonlSource:
                 str(tmp_path) + "/none-%Y%m%d.jsonl",
                 time_range=(dt.datetime(2017, 1, 1), dt.datetime(2017, 1, 2)),
             )
+
+
+class TestStackView:
+    """Lazy labeled stack facade — the xarray .sel/.isel ergonomics
+    (reference xarray_boosted/entrypoint.py:280-337, edk_accessor.py:25-30;
+    test shapes mirror tests/ndarray/test_indexing.py:24-111)."""
+
+    @pytest.fixture(scope="class")
+    def view(self, ray_session, tmp_path_factory):
+        import ray.data
+
+        from edkray.sources.formats import get_adapter
+        from edkray.sources.stack_view import StackView
+
+        root = tmp_path_factory.mktemp("stackview")
+        paths = []
+        for d in range(4):
+            p = str(root / f"day{d}.parquet")
+            pq.write_table(
+                pa.table({"temp": pa.array(np.arange(100) + 1000 * d, type=pa.int64()),
+                          "wind": pa.array(np.arange(100) * 0.5)}),
+                p, row_group_size=20,
+            )
+            paths.append(p)
+        scan = ray.data.from_items(
+            [{"path": p, "tile_name": f"t{d}",
+              "date": dt.datetime(2017, 1, 1) + dt.timedelta(days=d)}
+             for d, p in enumerate(paths)]
+        )
+        return StackView(get_adapter("parquet").create_tiles(scan))
+
+    def test_axes_from_catalog_only(self, view):
+        times = view.times()
+        assert len(times) == 4 and times[0] == np.datetime64("2017-01-01", "us")
+        assert (np.diff(times) > np.timedelta64(0, "us")).all()  # sorted
+        assert view.bands() == ["temp", "wind"]
+
+    def test_label_sel_exact_and_nearest(self, view):
+        # exact label (reference test_label_based_indexing: sel(time=first_time))
+        first = view.times()[0]
+        df = view.sel(time=first).read(columns=["temp"]).to_pandas()
+        assert sorted(df.tile_name.unique()) == ["t0"] and len(df) == 100
+        # method='nearest' snaps an off-axis label (sel(x=x_val+0.1, method='nearest'))
+        off_axis = dt.datetime(2017, 1, 2, 11, 0)  # nearest is day 1 (2017-01-02)
+        df = view.sel(time=off_axis, method="nearest").read(columns=["temp"]).to_pandas()
+        assert sorted(df.tile_name.unique()) == ["t1"]
+        # exact miss without method raises (xarray KeyError semantics)
+        with pytest.raises(KeyError):
+            view.sel(time=off_axis)
+        with pytest.raises(KeyError):
+            view.sel(band="missing")
+
+    def test_label_range_and_band_membership(self, view):
+        df = (view.sel(time=(dt.datetime(2017, 1, 2), dt.datetime(2017, 1, 4)),
+                       band=["temp"])
+              .read(columns=["temp"]).to_pandas())
+        assert sorted(df.tile_name.unique()) == ["t1", "t2"]
+        assert len(df) == 200
+
+    def test_isel_positional_and_negative(self, view):
+        # isel(time=0) (reference position_based_indexing)
+        df = view.isel(time=0).read(columns=["temp"]).to_pandas()
+        assert sorted(df.tile_name.unique()) == ["t0"]
+        # negative index: isel(time=-1) -> last day; isel(row=-1) -> last row per tile
+        df = view.isel(time=-1, row=-1).read(columns=["temp"]).to_pandas()
+        assert df.temp.tolist() == [3099] and df.tile_name.tolist() == ["t3"]
+        # row slice (isel(x=slice(0, 2)) analogue) with negative stop
+        df = view.isel(time=slice(1, 3), row=slice(10, -80)).read(columns=["temp"]).to_pandas()
+        assert len(df) == 20  # 2 tiles x rows [10, 20)
+        assert sorted(df.temp.tolist()) == [1010 + i for i in range(10)] + [2010 + i for i in range(10)]
+        with pytest.raises(IndexError):
+            view.isel(time=9)
+        # plan-time out-of-range surfaces through Ray's task-error wrapper
+        with pytest.raises(Exception, match="out of range"):
+            view.isel(row=500).read().to_pandas()
+
+    def test_composition_is_lazy_and_plan_is_catalog_only(self, view):
+        # chained sel().isel() composes; plan() never opens a tile file
+        v = view.sel(time=(dt.datetime(2017, 1, 1), dt.datetime(2017, 1, 3))).isel(row=slice(0, 5))
+        plan = v.plan().to_pandas()
+        assert len(plan) == 2 and set(plan.columns) >= {"path", "row_offset", "num_rows"}
+        assert plan.num_rows.tolist() == [5, 5]
+        df = v.read(columns=["wind"]).to_pandas()
+        assert len(df) == 10 and set(df.columns) >= {"wind", "tile_name", "date"}
