@@ -256,3 +256,43 @@ def extract_anchor_texts(
         )
 
     return ds.map_batches(_pairs, batch_format="pyarrow", batch_size=batch_size)
+
+
+def extract_title(
+    ds,
+    html_col: str = "html",
+    out_col: str = "title",
+    batch_size: int = 16384,
+):
+    """``<title>`` extraction — the page-metadata sibling of
+    :class:`HtmlExtract` (same entity/whitespace contract, title scope).
+
+    Pinned spec (the DuckDB oracle replays it verbatim):
+
+    - the FIRST ``<title ...>…</title>`` element, case-insensitive,
+      non-greedy, ``.`` crossing newlines (RE2 inline ``(?is)`` — the
+      same dialect the oracle's ``regexp_extract`` runs),
+    - named-entity chain (``&amp;`` LAST, module docstring §5), then
+      whitespace collapse + trim,
+    - pages without a title element get NULL (not empty string — the
+      two are different facts for a crawler).
+
+    One vectorized polars pass, no shuffle; output upserts ``out_col``."""
+    import polars as pl
+
+    from edkray.ops.text import upsert_column
+
+    expr = pl.col("__html__").str.extract(r"(?is)<title[^>]*>(.*?)</title>", 1)
+    for ent, ch in _ENTITIES:
+        expr = expr.str.replace_all(ent, ch, literal=True)
+    expr = expr.str.replace_all(r"\s+", " ").str.strip_chars().alias("__out__")
+
+    def _title(batch: pa.Table) -> pa.Table:
+        batch = decode_utf8_column(batch, html_col)
+        df = pl.from_arrow(batch.select([html_col])).rename({html_col: "__html__"})
+        out = df.select(expr).to_arrow()["__out__"]
+        if isinstance(out, pa.ChunkedArray):
+            out = out.combine_chunks()
+        return upsert_column(batch, out_col, out.cast(pa.large_string()))
+
+    return ds.map_batches(_title, batch_format="pyarrow", batch_size=batch_size)

@@ -2558,6 +2558,206 @@ FROM (VALUES (0.25), (0.5), (0.75), (0.9)) t(q)
 
 
 # --------------------------------------------------------------------------
+# Q: page_titles — <title> metadata extraction (ops/html.py:extract_title)
+
+
+def q_page_titles(sf_dir: str):
+    """Title extraction (ops/html.py:extract_title): documents get
+    synthetic html whose title exercises the contract — case-odd TITLE
+    tag, whitespace runs, named entities, a SECOND title element (the
+    first-match rule), and doc_id%11==0 pages with NO title (NULL, not
+    empty). One vectorized pass, no shuffle. Oracle replays the
+    synthesis + the (?is) first-match regex + entity/whitespace chain,
+    with NULLIF('') standing in for polars' no-match null."""
+    import polars as pl
+
+    from edkray.ops.html import extract_title
+
+    def _mk(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        d = pl.col("doc_id")
+        html = (
+            pl.when(d % 11 == 0)
+            .then(pl.lit("<html><body>untitled</body></html>"))
+            .otherwise(
+                pl.lit("<html><head><TITLE> Doc &amp;  ") + d.cast(pl.String)
+                + pl.lit(" &lt;x&gt; </TITLE></head><body>"
+                         "<title>second</title></body></html>")
+            )
+        )
+        return df.select("doc_id", html.alias("html")).to_arrow()
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(_mk, batch_format="pyarrow")
+    return extract_title(ds).map_batches(
+        lambda b: b.select(["doc_id", "title"]), batch_format="pyarrow"
+    )
+
+
+_SQL_PAGE_TITLES = r"""
+WITH raw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN '<html><body>untitled</body></html>'
+              ELSE '<html><head><TITLE> Doc &amp;  ' || CAST(doc_id AS VARCHAR)
+                   || ' &lt;x&gt; </TITLE></head><body><title>second</title></body></html>'
+         END AS html
+  FROM documents
+), t AS (
+  SELECT doc_id,
+         NULLIF(regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1), '') AS raw_title
+  FROM raw
+)
+SELECT doc_id,
+       trim(regexp_replace(
+         replace(replace(replace(replace(replace(replace(replace(
+           raw_title,
+           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+           '&apos;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+         '\s+', ' ', 'g')) AS title
+FROM t
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: recrawl_priority — churn x link-graph composition (diff + links + join)
+
+
+def q_recrawl_priority(sf_dir: str):
+    """Recrawl scheduling — the composition a crawl operator actually
+    runs: snapshot churn (ops/diff.py:snapshot_diff) x in-degree from
+    the live link graph (ops/html.py:extract_links), joined url-bucketed
+    (ops/joins.py:bucketed_join, one co-shuffle, no broadcast), scored
+    priority = status_weight + n/(n+1) (rational, not ln — bit-identical
+    across numpy and the SQL oracle). 'removed' pages leave the
+    frontier. Old = docs with doc_id%5!=0; new = docs with doc_id%7!=0,
+    text prefixed 'v2 ' on doc_id%3==0 (the snapshot_diff synthesis,
+    page urls in the canonical site scheme). Each page links to docs
+    (doc_id%37) absolutely and (doc_id%11) root-relatively — the
+    root-relative dst resolves against the SOURCE host, so it matches
+    the target's canonical url only when hosts coincide (same-host
+    relative linking, replayed identically by the oracle)."""
+    import polars as pl
+
+    from edkray.ops.diff import snapshot_diff
+    from edkray.ops.html import extract_links
+    from edkray.ops.joins import bucketed_join
+    from edkray.ops.shuffle import bucketed_group_map
+
+    base = _read(sf_dir, "documents", ["doc_id", "text"])
+    d = pl.col("doc_id")
+
+    def _canon(col):
+        return (pl.lit("https://site") + (col % 20).cast(pl.String)
+                + pl.lit(".example/d/") + col.cast(pl.String))
+
+    def _old(b):
+        df = pl.from_arrow(b).filter(d % 5 != 0)
+        return df.select(_canon(d).alias("url"), "text").to_arrow()
+
+    def _new(b):
+        df = pl.from_arrow(b).filter(d % 7 != 0)
+        return df.select(
+            _canon(d).alias("url"),
+            pl.when(d % 3 == 0).then(pl.lit("v2 ") + pl.col("text"))
+            .otherwise(pl.col("text")).alias("text"),
+        ).to_arrow()
+
+    frontier = snapshot_diff(
+        base.map_batches(_old, batch_format="pyarrow"),
+        base.map_batches(_new, batch_format="pyarrow"),
+        num_buckets=8,
+    ).filter(lambda r: r["status"] != "removed")
+
+    def _mk_pages(b):
+        df = pl.from_arrow(b)
+        html = (
+            pl.lit('<html><body><a href="') + _canon(d % 37)
+            + pl.lit('">a</a><A HREF="/d/') + (d % 11).cast(pl.String)
+            + pl.lit('">b</A></body></html>')
+        )
+        return df.select(_canon(d).alias("url"), html.alias("html")).to_arrow()
+
+    edges = extract_links(
+        _read(sf_dir, "documents", ["doc_id"]).map_batches(_mk_pages, batch_format="pyarrow")
+    )
+    parts = edges.map_batches(
+        lambda b: pl.from_arrow(b).group_by("dst")
+        .agg(pl.len().cast(pl.Int64).alias("n_inlinks")).to_arrow(),
+        batch_format="pyarrow",
+    )
+    inlinks = bucketed_group_map(
+        parts, ["dst"],
+        lambda t: pl.from_arrow(t).group_by("dst")
+        .agg(pl.col("n_inlinks").sum()).to_arrow(),
+        num_buckets=8,
+    )
+
+    joined = bucketed_join(frontier, inlinks, on=["url"], right_on=["dst"],
+                           how="left", num_buckets=8)
+
+    def _score(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).with_columns(
+            pl.col("n_inlinks").fill_null(0).cast(pl.Int64)
+        )
+        nf = pl.col("n_inlinks").cast(pl.Float64)
+        return df.with_columns(
+            (pl.when(pl.col("status") == "changed").then(3.0).otherwise(2.0)
+             + nf / (nf + 1.0)).alias("priority")
+        ).to_arrow()
+
+    return joined.map_batches(_score, batch_format="pyarrow")
+
+
+_SQL_RECRAWL_PRIORITY = r"""
+WITH o AS (
+  SELECT 'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example/d/'
+           || CAST(doc_id AS VARCHAR) AS url, min(text) AS v
+  FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1
+), n AS (
+  SELECT 'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example/d/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         min(CASE WHEN doc_id % 3 = 0 THEN 'v2 ' || text ELSE text END) AS v
+  FROM documents WHERE doc_id % 7 <> 0 GROUP BY 1
+), f AS (
+  SELECT coalesce(o.url, n.url) AS url,
+         CASE WHEN o.url IS NULL THEN 'added'
+              WHEN n.url IS NULL THEN 'removed'
+              ELSE 'changed' END AS status
+  FROM o FULL OUTER JOIN n ON o.url = n.url
+  WHERE o.url IS NULL OR n.url IS NULL OR o.v IS DISTINCT FROM n.v
+), u AS (
+  SELECT doc_id,
+         'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example/d/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         '<html><body><a href="https://site' || CAST((doc_id % 37) % 20 AS VARCHAR)
+           || '.example/d/' || CAST(doc_id % 37 AS VARCHAR)
+           || '">a</a><A HREF="/d/' || CAST(doc_id % 11 AS VARCHAR)
+           || '">b</A></body></html>' AS html
+  FROM documents
+), e AS (
+  SELECT url AS src,
+         regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)', 1) AS base,
+         unnest(regexp_extract_all(html,
+             '<[aA]\s[^>]*[hH][rR][eE][fF]="([^"]*)"', 1)) AS href
+  FROM u
+), dd AS (
+  SELECT CASE WHEN regexp_matches(href, '^https?://') THEN href
+              WHEN starts_with(href, '/') AND NOT starts_with(href, '//') THEN base || href
+              ELSE NULL END AS dst
+  FROM e
+), il AS (
+  SELECT dst, CAST(count(*) AS BIGINT) AS n_inlinks
+  FROM dd WHERE dst IS NOT NULL GROUP BY dst
+)
+SELECT f.url, f.status,
+       CAST(coalesce(il.n_inlinks, 0) AS BIGINT) AS n_inlinks,
+       (CASE WHEN f.status = 'changed' THEN 3.0 ELSE 2.0 END)
+         + coalesce(il.n_inlinks, 0) / (coalesce(il.n_inlinks, 0) + 1.0) AS priority
+FROM f LEFT JOIN il ON f.url = il.dst
+WHERE f.status <> 'removed'
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: quarantine_counts — ingest validation reason rollup
 
 
@@ -4722,6 +4922,8 @@ def queries() -> dict:
         # -- (c) new round-5 queries ----------------------------------------
         "transform_points": q_transform_points,
         "resample_read": q_resample_read,
+        "page_titles": q_page_titles,
+        "recrawl_priority": q_recrawl_priority,
         # -- last driver row in rounds 1-3 ----------------------------------
         "bbox_customers": q_bbox_customers,
         "catalog": q_catalog,
@@ -4868,6 +5070,8 @@ def oracle_sql() -> dict:
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "quarantine_counts": _sql_quarantine(),
         "approx_quantiles": _SQL_APPROX_QUANTILES,
+        "page_titles": _SQL_PAGE_TITLES,
+        "recrawl_priority": _SQL_RECRAWL_PRIORITY,
         "jsonl_scan": _SQL_JSONL_SCAN,
         "cooc_pairs": _sql_cooc(),
         "pmi_pairs": _sql_pmi(),

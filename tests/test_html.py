@@ -180,3 +180,32 @@ class TestExtractAnchorTexts:
             '<a href="//cdn.example/x">cdn</a><a href="/ok">k</a>',
         )])
         assert got == [("https://a.x/ok", "k")]
+
+
+class TestExtractTitle:
+    """<title> extraction contract (ops/html.py:extract_title)."""
+
+    def test_first_match_entities_whitespace_null(self, ray_session):
+        import ray.data
+
+        from edkray.ops.html import extract_title
+
+        ds = ray.data.from_items([
+            {"html": b"<html><head><TITLE>\n Doc &amp;\t7 </TITLE></head>"
+                     b"<title>second</title></html>"},   # first match wins, CI tag
+            {"html": b"<html><body>none</body></html>"},  # no title -> NULL
+            {"html": b'<title lang="en">A&lt;B&gt;&#39;s&nbsp;x</title>'},
+            {"html": b"<title>multi\nline\ntitle</title>"},  # . crosses newlines
+        ])
+        got = extract_title(ds).to_pandas()["title"].tolist()
+        assert got == ["Doc & 7", None, "A<B>'s x", "multi line title"]
+
+    def test_upserts_existing_column_and_string_input(self, ray_session):
+        import ray.data
+
+        from edkray.ops.html import extract_title
+
+        # html as string (already decoded) + a pre-existing title column
+        ds = ray.data.from_items([{"html": "<title>t1</title>", "title": "stale"}])
+        df = extract_title(ds).to_pandas()
+        assert df["title"].tolist() == ["t1"] and list(df.columns).count("title") == 1
