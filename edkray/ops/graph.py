@@ -490,3 +490,129 @@ def pagerank(
         ).materialize()
 
     return rank
+
+
+# ----------------------------------------------------------------------
+# Triangle counting — degree-ordered wedge generation (the MapReduce
+# classic: Cohen '09 / Suri & Vassilvitskii WWW'11). Third graph op,
+# next to connected components and PageRank above.
+
+
+def triangle_count(
+    edges: ray.data.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+) -> "pa.Table":
+    """Exact global triangle count of the undirected simple graph
+    spanned by an edge stream (duplicates / self-loops / direction
+    ignored). Returns a one-row pa.Table ``(n_triangles:int64)``.
+
+    Why degree ordering: generating wedges (2-paths) around EVERY
+    vertex is Σ deg(v)² — a power-law hub makes one task quadratic.
+    Orienting each edge from its lower-(deg,id) endpoint to the higher
+    bounds every out-degree by O(√m), so the wedge stream is O(m^1.5)
+    TOTAL and no single vertex group explodes (Suri & Vassilvitskii's
+    MR-NodeIterator++ bound) — the same hub-skew discipline as the
+    salted shuffles elsewhere in this repo.
+
+    Stages (all bucketed, nothing materializes driver-side but one
+    scalar per bucket):
+      1. canonicalize (lo,hi) + distinct — one co-shuffle;
+      2. degrees — per-batch pre-agg counts, bucketed sum;
+      3. annotate both endpoints with degrees — two bucketed joins;
+      4. orient by (deg,id); wedges per origin — one bucketed
+         group-map whose kernel is a vectorized polars self-join,
+         pre-aggregated to (x,y,cnt);
+      5. close wedges against the canonical edge set — tagged-union
+         co-shuffle + per-bucket inner join; driver sums O(buckets)
+         partial scalars.
+    """
+    import polars as pl
+
+    from .joins import bucketed_join
+
+    def _canon(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).select(
+            pl.col(src).cast(pl.Int64).alias("__s"),
+            pl.col(dst).cast(pl.Int64).alias("__t"),
+        ).drop_nulls()
+        df = df.filter(pl.col("__s") != pl.col("__t"))
+        return df.select(
+            pl.min_horizontal("__s", "__t").alias("a"),
+            pl.max_horizontal("__s", "__t").alias("b"),
+        ).unique().to_arrow()
+
+    canon = edges.map_batches(_canon, batch_format="pyarrow", batch_size=batch_size)
+    e = bucketed_group_map(
+        canon, ["a", "b"],
+        lambda t: pl.from_arrow(t).select(["a", "b"]).unique().to_arrow(),
+        num_buckets=num_buckets,
+    ).materialize()  # reused three times below (degrees, orient, closure)
+
+    def _deg_pre(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        both = pl.concat([df.select(pl.col("a").alias("node")),
+                          df.select(pl.col("b").alias("node"))])
+        return both.group_by("node").agg(pl.len().cast(pl.Int64).alias("deg")).to_arrow()
+
+    deg = bucketed_group_map(
+        e.map_batches(_deg_pre, batch_format="pyarrow"),
+        ["node"],
+        lambda t: pl.from_arrow(t).group_by("node").agg(pl.col("deg").sum()).to_arrow(),
+        num_buckets=num_buckets,
+    )
+
+    da = deg.map_batches(
+        lambda b: pl.from_arrow(b).rename({"deg": "deg_a"}).to_arrow(),
+        batch_format="pyarrow")
+    db = deg.map_batches(
+        lambda b: pl.from_arrow(b).rename({"deg": "deg_b"}).to_arrow(),
+        batch_format="pyarrow")
+    withdeg = bucketed_join(
+        bucketed_join(e, da, on=["a"], right_on=["node"], num_buckets=num_buckets),
+        db, on=["b"], right_on=["node"], num_buckets=num_buckets,
+    )
+
+    def _orient(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        a_first = (pl.col("deg_a") < pl.col("deg_b")) | (
+            (pl.col("deg_a") == pl.col("deg_b")) & (pl.col("a") < pl.col("b")))
+        return df.select(
+            pl.when(a_first).then(pl.col("a")).otherwise(pl.col("b")).alias("u"),
+            pl.when(a_first).then(pl.col("b")).otherwise(pl.col("a")).alias("v"),
+            pl.when(a_first).then(pl.col("deg_b")).otherwise(pl.col("deg_a")).alias("dv"),
+        ).to_arrow()
+
+    oriented = withdeg.map_batches(_orient, batch_format="pyarrow")
+
+    def _wedges(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).select(["u", "v", "dv"])
+        w = df.join(df, on="u", suffix="_r").filter(
+            (pl.col("dv") < pl.col("dv_r"))
+            | ((pl.col("dv") == pl.col("dv_r")) & (pl.col("v") < pl.col("v_r")))
+        )
+        # normalize the wedge pair to id order (the canonical edge key)
+        return (w.select(
+            pl.min_horizontal("v", "v_r").alias("a"),
+            pl.max_horizontal("v", "v_r").alias("b"),
+        ).group_by(["a", "b"]).agg(pl.len().cast(pl.Int64).alias("cnt")).to_arrow())
+
+    wedges = bucketed_group_map(oriented, ["u"], _wedges, num_buckets=num_buckets)
+
+    tagged = wedges.union(e.map_batches(
+        lambda b: pl.from_arrow(b).select(
+            "a", "b", pl.lit(None, dtype=pl.Int64).alias("cnt")).to_arrow(),
+        batch_format="pyarrow"))
+
+    def _close(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        w = df.filter(pl.col("cnt").is_not_null())
+        ed = df.filter(pl.col("cnt").is_null()).select(["a", "b"]).unique()
+        n = int(w.join(ed, on=["a", "b"], how="inner")["cnt"].sum() or 0)
+        return pa.table({"n": pa.array([n], type=pa.int64())})
+
+    parts = bucketed_group_map(tagged, ["a", "b"], _close, num_buckets=num_buckets)
+    total = sum(r["n"] for r in parts.take_all())  # O(num_buckets) scalars
+    return pa.table({"n_triangles": pa.array([total], type=pa.int64())})

@@ -2758,6 +2758,51 @@ WHERE f.status <> 'removed'
 
 
 # --------------------------------------------------------------------------
+# Q: triangle_count — degree-ordered wedge closure over a skewed graph
+
+
+def q_triangle_count(sf_dir: str):
+    """Exact triangle count (ops/graph.py:triangle_count — the Suri &
+    Vassilvitskii degree-ordered wedge algorithm: O(m^1.5) total wedge
+    volume, no per-hub quadratic task). The synthetic graph plants both
+    structure and skew: each doc links to doc_id+1 and doc_id+2 (a
+    chorded path — one triangle per consecutive triple) plus a hub edge
+    to doc_id%16 (sixteen high-degree hubs — the power-law case degree
+    ordering exists for). Oracle: canonical distinct a<b edges, triple
+    self-join."""
+    import polars as pl
+
+    from edkray.ops.graph import triangle_count
+
+    def _mk(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        d = pl.col("doc_id")
+        return pl.concat([
+            df.select(d.alias("src"), (d + 1).alias("dst")),
+            df.select(d.alias("src"), (d + 2).alias("dst")),
+            df.select(d.alias("src"), (d % 16).alias("dst")),
+        ]).to_arrow()
+
+    edges = _read(sf_dir, "documents", ["doc_id"]).map_batches(_mk, batch_format="pyarrow")
+    return triangle_count(edges, num_buckets=16)
+
+
+_SQL_TRIANGLE_COUNT = """
+WITH raw AS (
+  SELECT doc_id AS s, doc_id + 1 AS t FROM documents
+  UNION ALL SELECT doc_id, doc_id + 2 FROM documents
+  UNION ALL SELECT doc_id, doc_id % 16 FROM documents
+), e AS (
+  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM raw WHERE s <> t
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: quarantine_counts — ingest validation reason rollup
 
 
@@ -4924,6 +4969,7 @@ def queries() -> dict:
         "resample_read": q_resample_read,
         "page_titles": q_page_titles,
         "recrawl_priority": q_recrawl_priority,
+        "triangle_count": q_triangle_count,
         # -- last driver row in rounds 1-3 ----------------------------------
         "bbox_customers": q_bbox_customers,
         "catalog": q_catalog,
@@ -5072,6 +5118,7 @@ def oracle_sql() -> dict:
         "approx_quantiles": _SQL_APPROX_QUANTILES,
         "page_titles": _SQL_PAGE_TITLES,
         "recrawl_priority": _SQL_RECRAWL_PRIORITY,
+        "triangle_count": _SQL_TRIANGLE_COUNT,
         "jsonl_scan": _SQL_JSONL_SCAN,
         "cooc_pairs": _sql_cooc(),
         "pmi_pairs": _sql_pmi(),

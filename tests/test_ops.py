@@ -3197,3 +3197,53 @@ class TestGroupedCentroids:
         }))
         out = grouped_centroids(ds, "g", num_buckets=2).to_pandas().sort_values("dim")
         np.testing.assert_allclose(out["centroid_val"].to_numpy(), [0.5, 0.5])
+
+
+class TestTriangleCount:
+    """Degree-ordered wedge closure (ops/graph.py:triangle_count)."""
+
+    def _brute(self, pairs):
+        import itertools
+
+        E = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+        nodes = sorted({x for e in E for x in e})
+        return sum(
+            1 for x, y, z in itertools.combinations(nodes, 3)
+            if (x, y) in E and (y, z) in E and (x, z) in E
+        )
+
+    def test_matches_brute_force_random(self, ray_session):
+        import ray.data
+
+        from edkray.ops.graph import triangle_count
+
+        rng = np.random.default_rng(7)
+        ss, tt = rng.integers(0, 60, 400), rng.integers(0, 60, 400)
+        ds = ray.data.from_items(
+            [{"src": int(a), "dst": int(b)} for a, b in zip(ss, tt)]
+        ).repartition(6)
+        got = triangle_count(ds, num_buckets=8)["n_triangles"][0].as_py()
+        assert got == self._brute(zip(ss.tolist(), tt.tolist()))
+
+    def test_hub_skew_duplicates_selfloops_direction(self, ray_session):
+        import ray.data
+
+        from edkray.ops.graph import triangle_count
+
+        # star hub + ring chords; duplicate edges, both directions and
+        # self-loops must not change the count (simple undirected graph)
+        pairs = ([(0, i) for i in range(1, 50)] + [(i, i + 1) for i in range(1, 49)]
+                 + [(i, 0) for i in range(1, 50)] + [(3, 3), (7, 7)])
+        ds = ray.data.from_items([{"src": a, "dst": b} for a, b in pairs])
+        got = triangle_count(ds, num_buckets=4)["n_triangles"][0].as_py()
+        assert got == 48  # one per (0, i, i+1) fan triangle
+
+    def test_triangle_free_and_empty(self, ray_session):
+        import ray.data
+
+        from edkray.ops.graph import triangle_count
+
+        bipartite = ray.data.from_items(
+            [{"src": a, "dst": 100 + b} for a in range(5) for b in range(5)]
+        )
+        assert triangle_count(bipartite, num_buckets=4)["n_triangles"][0].as_py() == 0
