@@ -2803,6 +2803,107 @@ JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
 
 
 # --------------------------------------------------------------------------
+# Q: image_stats / audio_features — multimodal actor-pool stages,
+# driver-checked (the binary payload is REAL toy-container bytes; the
+# oracle replays the planted pixel/sample arithmetic with correlated
+# generate_series, never parsing binary)
+
+
+def q_image_stats(sf_dir: str):
+    """Image decode + stats (ops/multimodal.py:ImageStats actor pool —
+    codec state per actor, per-payload decode loop at the documented
+    codec boundary): each doc becomes a (6+doc_id%3)x(8+doc_id%5)
+    single-channel toy-EDKI image with pixel (y,x) = (doc_id+x+y)%256,
+    ENCODED to real container bytes and decoded back by the stage.
+    Output keeps the integer-exact stats (mean = exact integer sum /
+    n, bit-identical to SQL avg); pix_std stays engine-side (its
+    float-order is numpy-specific — unit-tested, not oracle material).
+    """
+    from edkray.ops.multimodal import encode_image, image_stats
+
+    def _mk(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for did in ids:
+            w, h = 8 + int(did) % 5, 6 + int(did) % 3
+            yy, xx = np.mgrid[0:h, 0:w]
+            payloads.append(encode_image(((int(did) + xx + yy) % 256).astype(np.uint8)))
+        return pa.table({"doc_id": b["doc_id"],
+                         "payload": pa.array(payloads, type=pa.binary())})
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(_mk, batch_format="pyarrow")
+    stats = image_stats(ds, concurrency=_pool())
+    return stats.map_batches(
+        lambda b: b.select(["doc_id", "width", "height", "channels", "pix_mean"]),
+        batch_format="pyarrow",
+    )
+
+
+_SQL_IMAGE_STATS = """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h FROM documents
+), pix AS (
+  SELECT d.doc_id, d.w, d.h, (d.doc_id + x.x + y.y) % 256 AS v
+  FROM dims d,
+       unnest(generate_series(0, d.w - 1)) AS x(x),
+       unnest(generate_series(0, d.h - 1)) AS y(y)
+)
+SELECT doc_id,
+       CAST(min(w) AS INTEGER) AS width,
+       CAST(min(h) AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS channels,
+       avg(v) AS pix_mean
+FROM pix GROUP BY doc_id
+"""
+
+
+def q_audio_features(sf_dir: str):
+    """Audio decode + features (ops/multimodal.py:AudioFeatures actor
+    pool): each doc becomes a (50+doc_id%20)-sample 16 kHz toy-EDKA
+    clip with sample i = (doc_id*7 + i*13)%200 - 100, encoded to real
+    int16 container bytes and decoded back by the stage. duration
+    (n/rate), rms (sqrt of an integer-exact mean square) and
+    zero-crossings (strict sign product < 0) are all bit-replayable;
+    the oracle rebuilds them with a correlated generate_series + lag
+    window."""
+    from edkray.ops.multimodal import audio_features, encode_audio
+
+    def _mk(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for did in ids:
+            n = 50 + int(did) % 20
+            i = np.arange(n, dtype=np.int64)
+            payloads.append(encode_audio(
+                ((int(did) * 7 + i * 13) % 200 - 100).astype(np.int16), 16000))
+        return pa.table({"doc_id": b["doc_id"],
+                         "payload": pa.array(payloads, type=pa.binary())})
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(_mk, batch_format="pyarrow")
+    return audio_features(ds, concurrency=_pool())
+
+
+_SQL_AUDIO_FEATURES = """
+WITH d AS (
+  SELECT doc_id, 50 + doc_id % 20 AS n FROM documents
+), s AS (
+  SELECT d.doc_id, d.n, i.i, (d.doc_id * 7 + i.i * 13) % 200 - 100 AS v
+  FROM d, unnest(generate_series(0, d.n - 1)) AS i(i)
+), z AS (
+  SELECT doc_id, n, i, v,
+         lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+  FROM s
+)
+SELECT doc_id,
+       CAST(16000 AS BIGINT) AS sample_rate,
+       min(n) / 16000.0 AS duration_s,
+       sqrt(sum(CAST(v AS DOUBLE) * v) / min(n)) AS rms,
+       CAST(sum(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+FROM z GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: quarantine_counts — ingest validation reason rollup
 
 
@@ -4970,6 +5071,8 @@ def queries() -> dict:
         "page_titles": q_page_titles,
         "recrawl_priority": q_recrawl_priority,
         "triangle_count": q_triangle_count,
+        "image_stats": q_image_stats,
+        "audio_features": q_audio_features,
         # -- last driver row in rounds 1-3 ----------------------------------
         "bbox_customers": q_bbox_customers,
         "catalog": q_catalog,
@@ -5119,6 +5222,8 @@ def oracle_sql() -> dict:
         "page_titles": _SQL_PAGE_TITLES,
         "recrawl_priority": _SQL_RECRAWL_PRIORITY,
         "triangle_count": _SQL_TRIANGLE_COUNT,
+        "image_stats": _SQL_IMAGE_STATS,
+        "audio_features": _SQL_AUDIO_FEATURES,
         "jsonl_scan": _SQL_JSONL_SCAN,
         "cooc_pairs": _sql_cooc(),
         "pmi_pairs": _sql_pmi(),
