@@ -59,6 +59,79 @@ def exact_dedup(
     )
 
 
+def dup_rate_by_group(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    order_col: str = "doc_id",
+    group_col: str = "domain",
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+    seed: int = 0,
+) -> ray.data.Dataset:
+    """Per-``group_col`` exact-duplicate rate — the curation dashboard
+    metric behind host-level mirror/boilerplate gating (which hosts'
+    pages are mostly copies of something already seen).
+
+    A row is a duplicate iff another row has byte-identical ``text_col``
+    with a smaller ``order_col`` (the winner rule of :func:`exact_dedup`,
+    reference engines/s3.py:305 made deterministic). Emits one row per
+    group: ``(group_col, n_pages, n_dups, dup_rate)``.
+
+    Scale shape: stage 1 hashes ``text_col`` per batch (vectorized
+    xxhash) and projects to narrow ``(__h, order, group)`` rows — ~24
+    B/row on the wire, the text never shuffles. Stage 2 buckets by
+    ``__h`` so every hash-group is complete in one task, flags
+    non-minimal rows vectorized (`min().over(__h)`), and PRE-AGGREGATES
+    to ``(group, n_pages, n_dups)`` partials before the second, tiny
+    exchange. Stage 3 sums partials hash-bucketed by group (~10^7 hosts
+    at web scale — never per-key map_groups).
+    """
+    from edkray.utils import hash_column
+
+    def _narrow(batch: pa.Table) -> pa.Table:
+        h = hash_column(batch.column(text_col), seed=seed)
+        return pa.table(
+            {
+                "__h": pa.array(h, type=pa.uint64()),
+                order_col: batch.column(order_col),
+                group_col: batch.column(group_col),
+            }
+        )
+
+    narrow = ds.map_batches(_narrow, batch_format="pyarrow", batch_size=batch_size)
+
+    def _flag_and_partial(tbl: pa.Table) -> pa.Table:
+        df = pl.from_arrow(tbl)
+        return (
+            df.with_columns(
+                (pl.col(order_col) > pl.col(order_col).min().over("__h"))
+                .cast(pl.Int64)
+                .alias("__dup")
+            )
+            .group_by(group_col)
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_pages"),
+                pl.col("__dup").sum().alias("n_dups"),
+            )
+            .to_arrow()
+        )
+
+    parts = bucketed_group_map(narrow, ["__h"], _flag_and_partial, num_buckets, batch_size)
+
+    def _combine(tbl: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(tbl)
+            .group_by(group_col)
+            .agg(pl.col("n_pages").sum(), pl.col("n_dups").sum())
+            .with_columns(
+                (pl.col("n_dups").cast(pl.Float64) / pl.col("n_pages")).alias("dup_rate")
+            )
+            .to_arrow()
+        )
+
+    return bucketed_group_map(parts, [group_col], _combine, num_buckets, batch_size)
+
+
 # --- MinHash + LSH --------------------------------------------------------
 
 _MERSENNE = (1 << 61) - 1

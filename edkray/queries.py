@@ -3342,6 +3342,63 @@ GROUP BY domain
 
 
 # --------------------------------------------------------------------------
+# Q: domain_dup_rate — per-host exact-duplicate fraction (curation metric)
+
+
+def q_domain_dup_rate(sf_dir: str):
+    """Per-domain exact-dup rate (ops/dedup.py:dup_rate_by_group): docs
+    get deterministic domains (doc_id % 20) and 1/5 of them are rewritten
+    to one of 7 boilerplate strings so cross-domain duplicate groups
+    exist; the op hashes text per batch (text never shuffles — only
+    ~24 B/row (hash, doc_id, domain) partials), flags non-minimal
+    doc_ids per hash-group in one bucketed pass, and sums per-domain
+    partials in a second tiny one. Oracle replays the synthesis and the
+    winner rule via a window over the raw text."""
+    import polars as pl
+
+    from edkray.ops.dedup import dup_rate_by_group
+
+    def _mk(batch):
+        df = pl.from_arrow(batch)
+        return df.with_columns(
+            pl.when(pl.col("doc_id") % 5 == 0)
+            .then(pl.lit("BOILERPLATE-") + (pl.col("doc_id") % 7).cast(pl.String))
+            .otherwise(pl.col("text"))
+            .alias("text"),
+            (
+                pl.lit("site") + (pl.col("doc_id") % 20).cast(pl.String)
+                + pl.lit(".example")
+            ).alias("domain"),
+        ).to_arrow()
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _mk, batch_format="pyarrow"
+    )
+    return dup_rate_by_group(ds, num_buckets=8)
+
+
+_SQL_DOMAIN_DUP_RATE = """
+WITH u AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN 'BOILERPLATE-' || CAST(doc_id % 7 AS VARCHAR)
+              ELSE text END AS text,
+         'site' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS domain
+  FROM documents
+), d AS (
+  SELECT domain,
+         CASE WHEN doc_id > min(doc_id) OVER (PARTITION BY text)
+              THEN 1 ELSE 0 END AS is_dup
+  FROM u
+)
+SELECT domain, CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(is_dup) AS BIGINT) AS n_dups,
+       CAST(sum(is_dup) AS DOUBLE) / count(*) AS dup_rate
+FROM d GROUP BY domain
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: embedding_stats — per-dimension mean/std of the embedding corpus
 
 
@@ -5073,10 +5130,10 @@ def queries() -> dict:
         "triangle_count": q_triangle_count,
         "image_stats": q_image_stats,
         "audio_features": q_audio_features,
+        "domain_dup_rate": q_domain_dup_rate,
         # -- last driver row in rounds 1-3 ----------------------------------
         "bbox_customers": q_bbox_customers,
         "catalog": q_catalog,
-        "users_per_type": q_users_per_type,
         "suppliers_by_nation": q_suppliers_by_nation,
         "top_orders_per_priority": q_top_orders_per_priority,
         "customers_without_orders": q_customers_without_orders,
@@ -5085,6 +5142,8 @@ def queries() -> dict:
         "approx_users_per_type": q_approx_users_per_type,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
+        # -- below the driver's 50-query window (green in earlier rounds) ----
+        "users_per_type": q_users_per_type,
         "lsh_embedding_pairs": q_lsh_embedding_pairs,
         "fingerprints": q_fingerprints,
         "s2_cells": q_s2_cells,
@@ -5246,6 +5305,7 @@ def oracle_sql() -> dict:
         # every stage's existing SQL mirror composed into one query
         "curation": _sql_curation(20, 0.6),
         "cosine_dup_pairs": _SQL_COS_DUP,
+        "domain_dup_rate": _SQL_DOMAIN_DUP_RATE,
         "bbox_customers": _SQL_BBOX,
         "catalog": _SQL_CATALOG,
         "users_per_type": _SQL_USERS_PER_TYPE,

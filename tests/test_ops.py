@@ -114,6 +114,52 @@ class TestDedup:
         )
         _df_eq(got, exp, float_cols={"x"})
 
+    def test_dup_rate_by_group_matches_pandas(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from edkray.ops.dedup import dup_rate_by_group
+
+        rng = np.random.default_rng(3)
+        n = 400
+        doc_id = np.arange(n, dtype=np.int64)
+        # 30 distinct texts over 400 docs -> every group has duplicates;
+        # domains cut across text groups
+        text = [f"text-{v}" for v in rng.integers(0, 30, size=n)]
+        dom = [f"site{v}.example" for v in doc_id % 7]
+        tbl = pa.table({"doc_id": doc_id, "text": text, "domain": dom})
+        got = (
+            dup_rate_by_group(ray.data.from_arrow(tbl).repartition(6), num_buckets=4)
+            .to_pandas()
+            .sort_values("domain")
+            .reset_index(drop=True)
+        )
+        df = tbl.to_pandas()
+        df["is_dup"] = df.doc_id > df.groupby("text").doc_id.transform("min")
+        exp = (
+            df.groupby("domain")
+            .agg(n_pages=("doc_id", "size"), n_dups=("is_dup", "sum"))
+            .reset_index()
+        )
+        exp["n_dups"] = exp["n_dups"].astype("int64")
+        exp["dup_rate"] = exp.n_dups / exp.n_pages
+        exp = exp.sort_values("domain").reset_index(drop=True)
+        _df_eq(got, exp, float_cols={"dup_rate"})
+
+    def test_dup_rate_no_dups_is_zero(self, ray_session):
+        import ray.data
+
+        from edkray.ops.dedup import dup_rate_by_group
+
+        tbl = pa.table({
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(["a", "b", "c"]),
+            "domain": pa.array(["h1", "h1", "h2"]),
+        })
+        got = dup_rate_by_group(ray.data.from_arrow(tbl), num_buckets=2).to_pandas()
+        assert got.n_dups.sum() == 0 and (got.dup_rate == 0.0).all()
+        assert got.set_index("domain").n_pages.to_dict() == {"h1": 2, "h2": 1}
+
     def test_minhash_finds_planted_near_dups(self, ray_session):
         import ray.data
 
