@@ -1076,3 +1076,133 @@ def pmi_scores(
     with_counts = pairs.map_batches(_attach, batch_format="pyarrow",
                                     batch_size=batch_size)
     return _finish(with_counts, total_pairs, total_tokens)
+
+
+def bpe_train(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    num_merges: int = 50,
+    min_count: int = 1,
+    vocab_limit: int = 2_000_000,
+    batch_size: int = 65536,
+) -> pa.Table:
+    """Distributed BPE merge induction (Sennrich et al. 2016,
+    arXiv:1508.07909) — tokenizer training over a corpus. Returns the
+    learned merge table ``(step, left, right, pair_count)``,
+    deterministic for a given corpus regardless of partitioning.
+
+    Scale shape: the corpus-side work is ONE streaming pass — each
+    batch lowercases, extracts ``[a-z]+`` words vectorized and
+    pre-counts them, so only (word, count) partials (one row per
+    distinct word per block) leave the tasks; the driver combine is
+    :func:`~edkray.ops.aggregate.grouped_agg_small` with its ENFORCED
+    bound (``vocab_limit``) — above it this raises instead of OOMing
+    the driver, pointing at ``min_count`` pruning (the standard
+    practice: published tokenizers train on a frequency-pruned or
+    sampled vocabulary, not the raw corpus). The merge loop itself is
+    O(vocab × merges) on the word TABLE (not the corpus) with
+    incremental pair-count maintenance; ties break deterministically
+    (highest count, then lexicographically smallest pair). Words carry
+    a terminal ``</w>`` symbol so end-of-word merges are distinct.
+    """
+    from edkray.ops.aggregate import grouped_agg_small
+
+    def _word_partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select([text_col]))
+        return (
+            df.select(
+                pl.col(text_col).str.to_lowercase()
+                .str.extract_all(r"[a-z]+").alias("word")
+            )
+            .explode("word")
+            .drop_nulls()
+            .group_by("word")
+            .agg(pl.len().cast(pl.Int64).alias("c"))
+            .to_arrow()
+        )
+
+    words_ds = ds.map_batches(_word_partial, batch_format="pyarrow",
+                              batch_size=batch_size)
+    try:
+        vocab = grouped_agg_small(
+            words_ds, ["word"], [("sum", "c", "cnt")],
+            max_partial_rows=vocab_limit,
+        )
+    except ValueError as e:
+        raise ValueError(
+            f"bpe_train: distinct-word partials exceed vocab_limit="
+            f"{vocab_limit}; raise min_count to prune the frequency "
+            f"tail (or train on a deterministic sample) — the merge "
+            f"loop is driver-side over the word table by design"
+        ) from e
+    vocab = vocab[vocab["cnt"] >= min_count].sort_values("word")
+    syms = [tuple(w) + ("</w>",) for w in vocab["word"].tolist()]
+    cnts = vocab["cnt"].astype("int64").tolist()
+    merges = _bpe_merge_loop(syms, cnts, num_merges)
+    return pa.table(
+        {
+            "step": pa.array([m[0] for m in merges], type=pa.int64()),
+            "left": pa.array([m[1] for m in merges], type=pa.string()),
+            "right": pa.array([m[2] for m in merges], type=pa.string()),
+            "pair_count": pa.array([m[3] for m in merges], type=pa.int64()),
+        }
+    )
+
+
+def _bpe_merge_loop(
+    words: list, counts: list, num_merges: int
+) -> list:
+    """Sennrich merge loop with incremental pair-count maintenance:
+    each merge touches only the words indexed under the merged pair
+    (subword-nmt's update strategy), so the loop is O(affected words)
+    per step, not O(vocab). Index entries can go stale (a word loses a
+    pair through an overlapping merge); staleness is harmless — the
+    remove/re-add contributions cancel exactly and the selection
+    filters counts > 0."""
+    from collections import defaultdict
+
+    pair_counts: dict = defaultdict(int)
+    pair_words: dict = defaultdict(set)
+    for i, w in enumerate(words):
+        c = counts[i]
+        for p in zip(w, w[1:]):
+            pair_counts[p] += c
+            pair_words[p].add(i)
+    merges = []
+    for step in range(num_merges):
+        live = [(p, c) for p, c in pair_counts.items() if c > 0]
+        if not live:
+            break
+        best, bc = min(live, key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, best[0], best[1], int(bc)))
+        new_sym = best[0] + best[1]
+        for i in list(pair_words[best]):
+            w, c = words[i], counts[i]
+            has = any(
+                w[j] == best[0] and w[j + 1] == best[1]
+                for j in range(len(w) - 1)
+            )
+            if not has:
+                continue  # stale index entry
+            for p in zip(w, w[1:]):
+                pair_counts[p] -= c
+            nw = []
+            j = 0
+            while j < len(w):
+                if (
+                    j < len(w) - 1
+                    and w[j] == best[0]
+                    and w[j + 1] == best[1]
+                ):
+                    nw.append(new_sym)
+                    j += 2
+                else:
+                    nw.append(w[j])
+                    j += 1
+            words[i] = tuple(nw)
+            for p in zip(words[i], words[i][1:]):
+                pair_counts[p] += c
+                pair_words[p].add(i)
+        pair_counts.pop(best, None)
+        pair_words.pop(best, None)
+    return merges

@@ -1047,6 +1047,20 @@ def q_bpe_tokens(sf_dir: str):
     )
 
 
+def q_bpe_merges(sf_dir: str):
+    """Tokenizer training (ops/text.py:bpe_train): distributed
+    pre-counted word partials with an ENFORCED driver bound, then the
+    Sennrich merge loop over the word TABLE (never the corpus).
+    Rows-only driver check by nature — the merge sequence is an
+    iterative, data-dependent algorithm (each step's pair counts depend
+    on all prior merges), outside SQL; determinism and parity with a
+    from-scratch recount reference are pinned by TestBpeTrain."""
+    from edkray.ops.text import bpe_train
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bpe_train(ds, num_merges=30, min_count=2)
+
+
 _SQL_BPE_TOKENS = """
 SELECT lang, count(*) AS n_docs,
        CAST(sum(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +'))) AS BIGINT)
@@ -5131,6 +5145,7 @@ def queries() -> dict:
         "image_stats": q_image_stats,
         "audio_features": q_audio_features,
         "domain_dup_rate": q_domain_dup_rate,
+        "bpe_merges": q_bpe_merges,
         # -- last driver row in rounds 1-3 ----------------------------------
         "bbox_customers": q_bbox_customers,
         "catalog": q_catalog,
@@ -5139,11 +5154,11 @@ def queries() -> dict:
         "customers_without_orders": q_customers_without_orders,
         "mercator_customers": q_mercator_customers,
         "scaled_quantity": q_scaled_quantity,
-        "approx_users_per_type": q_approx_users_per_type,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         # -- below the driver's 50-query window (green in earlier rounds) ----
         "users_per_type": q_users_per_type,
+        "approx_users_per_type": q_approx_users_per_type,
         "lsh_embedding_pairs": q_lsh_embedding_pairs,
         "fingerprints": q_fingerprints,
         "s2_cells": q_s2_cells,

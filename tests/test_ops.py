@@ -2157,6 +2157,105 @@ class TestTemperatureSample:
         assert c["x"] == 90 and c["y"] == 10
 
 
+def _bpe_reference(word_counts: dict, num_merges: int) -> list:
+    """From-scratch BPE reference: recount every pair from scratch each
+    step (no incremental updates) — the slow-but-obvious Sennrich loop
+    that pins ops/text.py:_bpe_merge_loop's index maintenance."""
+    words = {tuple(w) + ("</w>",): c for w, c in word_counts.items()}
+    merges = []
+    for step in range(num_merges):
+        pairs: dict = {}
+        for w, c in words.items():
+            for p in zip(w, w[1:]):
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((step, best[0], best[1], pairs[best]))
+        new_words = {}
+        for w, c in words.items():
+            nw, j = [], 0
+            while j < len(w):
+                if j < len(w) - 1 and (w[j], w[j + 1]) == best:
+                    nw.append(best[0] + best[1])
+                    j += 2
+                else:
+                    nw.append(w[j])
+                    j += 1
+            new_words[tuple(nw)] = new_words.get(tuple(nw), 0) + c
+        words = new_words
+    return merges
+
+
+class TestBpeTrain:
+    def test_classic_sennrich_example(self, ray_session):
+        import ray.data
+
+        from edkray.ops.text import bpe_train
+
+        # Sennrich et al. 2016 §3 worked example: corpus frequencies
+        # low×5 lower×2 newest×6 widest×3 — first merges must be
+        # (e,s) 9, (es,t) 9, (est,</w>) 9, (l,o) 7, (lo,w) 7
+        docs = ["low "] * 5 + ["lower "] * 2 + ["newest "] * 6 + ["widest "] * 3
+        tbl = pa.table({"text": pa.array(docs)})
+        got = bpe_train(ray.data.from_arrow(tbl), num_merges=5)
+        rows = list(zip(got["step"].to_pylist(), got["left"].to_pylist(),
+                        got["right"].to_pylist(), got["pair_count"].to_pylist()))
+        assert rows == [(0, "e", "s", 9), (1, "es", "t", 9),
+                        (2, "est", "</w>", 9), (3, "l", "o", 7),
+                        (4, "lo", "w", 7)]
+
+    def test_matches_recount_reference_and_deterministic(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from edkray.ops.text import bpe_train
+
+        rng = np.random.default_rng(11)
+        vocab = ["alpha", "alphabet", "beta", "betting", "gamma", "game",
+                 "games", "delta", "felt", "fell", "yellow", "mellow"]
+        texts = [" ".join(rng.choice(vocab, size=12)) for _ in range(300)]
+        tbl = pa.table({"text": pa.array(texts)})
+        wc: dict = {}
+        for t in texts:
+            for w in t.split():
+                wc[w] = wc.get(w, 0) + 1
+        exp = _bpe_reference(wc, 25)
+        for parts in (1, 7):
+            ds = ray.data.from_arrow(tbl).repartition(parts)
+            got = bpe_train(ds, num_merges=25)
+            rows = list(zip(got["step"].to_pylist(), got["left"].to_pylist(),
+                            got["right"].to_pylist(),
+                            got["pair_count"].to_pylist()))
+            assert rows == exp
+
+    def test_min_count_prunes_tail(self, ray_session):
+        import ray.data
+
+        from edkray.ops.text import bpe_train
+
+        tbl = pa.table({"text": pa.array(["zzq"] + ["common words"] * 10)})
+        got = bpe_train(ray.data.from_arrow(tbl), num_merges=50, min_count=2)
+        merged = set(got["left"].to_pylist()) | set(got["right"].to_pylist())
+        assert not any("z" in s or "q" in s for s in merged)
+
+    def test_vocab_limit_enforced(self, ray_session):
+        import pytest
+        import ray.data
+
+        from edkray.ops.text import bpe_train
+
+        import itertools
+
+        letters = "abcdefghijklmnopqrstuvwxyz"
+        words = ["".join(t) for t in itertools.product(letters, repeat=2)][:600]
+        texts = [" ".join(words[i::40]) for i in range(40)]
+        tbl = pa.table({"text": pa.array(texts)})
+        with pytest.raises(ValueError, match="vocab_limit"):
+            bpe_train(ray.data.from_arrow(tbl).repartition(4),
+                      num_merges=5, vocab_limit=100)
+
+
 class TestBpeTokenCount:
     def test_matches_python_re(self, ray_session):
         import re
