@@ -22,7 +22,7 @@ import ray
 import ray.data
 
 from edkray.ops.shuffle import bucketed_group_map
-from edkray.utils import list_to_matrix
+from edkray.utils import list_to_matrix, matrix_to_list_array
 
 
 def _unit_rows(mat: np.ndarray) -> np.ndarray:
@@ -665,3 +665,75 @@ def grouped_centroids(
     from edkray.ops.shuffle import bucketed_group_map
 
     return bucketed_group_map(parts, [group_col], _final, num_buckets=num_buckets)
+
+
+def linear_fit(
+    ds: ray.data.Dataset,
+    x_cols: list[str],
+    y_col: str,
+    l2: float = 0.0,
+    batch_size: int = 65536,
+) -> pa.Table:
+    """Distributed OLS / ridge regression via normal equations — the
+    linear quality-classifier fit of curation pipelines (score docs by
+    cheap features, fit against a label column) as a pure
+    sufficient-statistic fold.
+
+    Each block reduces to ONE partial row of raw cross-moments
+    (n, Σy, Σy², Σx (d), ΣxᵀX (d²), Σxy (d)) — a vectorized
+    ``X.T @ X`` per batch; the driver fold touches #blocks rows of
+    ~d² doubles (d = #features, corpus-independent), centers them, and
+    solves the (d×d) system (S + l2·I)β = c with β₀ = ȳ − β·x̄ — O(d³)
+    driver work, like :func:`pca_fit`. Rows never shuffle; the corpus
+    is read once.
+
+    Returns an arrow table of ``(term, value)`` rows: one per feature
+    coefficient, ``intercept``, and ``r2`` (1 − SSE/SST, SSE evaluated
+    against the UNregularized quadratic so r2 is the fit's actual
+    explained variance under the ridge solution). Population formulas
+    throughout — the d=2 SQL mirror replays them with ``covar_pop`` +
+    Cramer's rule.
+    """
+    d = len(x_cols)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        x = np.column_stack(
+            [batch[c].to_numpy(zero_copy_only=False).astype(np.float64)
+             for c in x_cols]
+        )
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "n": pa.array([float(len(y))]),
+            "sy": pa.array([float(y.sum())]),
+            "syy": pa.array([float(y @ y)]),
+            "sx": matrix_to_list_array(x.sum(axis=0)[None, :]),
+            "sxx": matrix_to_list_array((x.T @ x).ravel()[None, :]),
+            "sxy": matrix_to_list_array((x.T @ y)[None, :]),
+        })
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow", batch_size=batch_size)
+    tabs = [t for t in (ray.get(r) for r in parts.to_arrow_refs())
+            if "n" in t.column_names and t.num_rows]
+    if not tabs:
+        raise ValueError("linear_fit: empty input")
+    tbl = pa.concat_tables(tabs)
+    n = float(np.asarray(tbl["n"]).sum())
+    if n == 0:
+        raise ValueError("linear_fit: empty input")
+    sy = float(np.asarray(tbl["sy"]).sum())
+    syy = float(np.asarray(tbl["syy"]).sum())
+    sx = list_to_matrix(tbl["sx"], dtype=np.float64).sum(axis=0)
+    sxx = list_to_matrix(tbl["sxx"], dtype=np.float64).sum(axis=0).reshape(d, d)
+    sxy = list_to_matrix(tbl["sxy"], dtype=np.float64).sum(axis=0)
+    xbar, ybar = sx / n, sy / n
+    s = sxx - np.outer(xbar, sx)          # Σ(x−x̄)(x−x̄)ᵀ
+    c = sxy - xbar * sy                   # Σ(x−x̄)(y−ȳ)
+    syy_c = syy - n * ybar * ybar         # Σ(y−ȳ)²
+    beta = np.linalg.solve(s + l2 * np.eye(d), c)
+    b0 = ybar - beta @ xbar
+    sse = syy_c - 2.0 * (beta @ c) + beta @ s @ beta
+    r2 = 1.0 - sse / syy_c if syy_c > 0 else 0.0
+    return pa.table({
+        "term": pa.array(list(x_cols) + ["intercept", "r2"]),
+        "value": pa.array(list(map(float, beta)) + [float(b0), float(r2)]),
+    })

@@ -3446,6 +3446,64 @@ FROM x GROUP BY dim
 # Q: embedding_cov — population covariance matrix of the embedding corpus
 
 
+def q_linear_fit(sf_dir: str):
+    """Distributed OLS fit (ops/search.py:linear_fit): price-per-1k
+    against (quantity, discount) over lineitem — the linear
+    quality-classifier primitive as a sufficient-statistic fold (one
+    d²-double partial row per block, rows never shuffle, O(d³) driver
+    solve). Oracle replays the population normal equations with
+    covar_pop + Cramer's rule for d=2."""
+    from edkray.ops.search import linear_fit
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_discount", "l_extendedprice"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        y = pc.divide(pc.cast(b["l_extendedprice"], pa.float64()), 1000.0)
+        # discount as percent: keeps the feature variances within two
+        # orders of each other, so the solve is well-conditioned and the
+        # engine/oracle float agreement has ~100x margin under the
+        # driver's tolerance
+        d100 = pc.multiply(pc.cast(b["l_discount"], pa.float64()), 100.0)
+        b = b.append_column("y_kprice", y)
+        return b.append_column("discount_pct", d100)
+
+    ds = ds.map_batches(_prep, batch_format="pyarrow")
+    return linear_fit(ds, ["l_quantity", "discount_pct"], "y_kprice")
+
+
+_SQL_LINEAR_FIT = """
+WITH t AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x1,
+         CAST(l_discount AS DOUBLE) * 100.0 AS x2,
+         CAST(l_extendedprice AS DOUBLE) / 1000.0 AS y
+  FROM lineitem
+), m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         avg(x1) AS mx1, avg(x2) AS mx2, avg(y) AS my,
+         covar_pop(x1, x1) AS v11, covar_pop(x2, x2) AS v22,
+         covar_pop(x1, x2) AS v12, covar_pop(x1, y) AS c1,
+         covar_pop(x2, y) AS c2, covar_pop(y, y) AS vyy
+  FROM t
+), s AS (
+  SELECT mx1, mx2, my, n * vyy AS syy,
+         n * v11 AS s11, n * v22 AS s22, n * v12 AS s12,
+         n * c1 AS sc1, n * c2 AS sc2,
+         (n * c1 * n * v22 - n * c2 * n * v12)
+           / (n * v11 * n * v22 - n * v12 * n * v12) AS b1,
+         (n * v11 * n * c2 - n * v12 * n * c1)
+           / (n * v11 * n * v22 - n * v12 * n * v12) AS b2
+  FROM m
+)
+SELECT 'l_quantity' AS term, b1 AS value FROM s
+UNION ALL SELECT 'discount_pct', b2 FROM s
+UNION ALL SELECT 'intercept', my - b1 * mx1 - b2 * mx2 FROM s
+UNION ALL SELECT 'r2',
+  1.0 - (syy - 2.0 * (b1 * sc1 + b2 * sc2)
+         + (b1 * b1 * s11 + 2.0 * b1 * b2 * s12 + b2 * b2 * s22)) / syy
+FROM s
+"""
+
+
 def q_embedding_cov(sf_dir: str):
     """Covariance fold (ops/search.py:embedding_cov): each block reduces
     to one (n, sum, Gram) partial row (~d² doubles); the driver-free
@@ -5146,10 +5204,10 @@ def queries() -> dict:
         "audio_features": q_audio_features,
         "domain_dup_rate": q_domain_dup_rate,
         "bpe_merges": q_bpe_merges,
+        "linear_fit": q_linear_fit,
         # -- last driver row in rounds 1-3 ----------------------------------
         "bbox_customers": q_bbox_customers,
         "catalog": q_catalog,
-        "suppliers_by_nation": q_suppliers_by_nation,
         "top_orders_per_priority": q_top_orders_per_priority,
         "customers_without_orders": q_customers_without_orders,
         "mercator_customers": q_mercator_customers,
@@ -5159,6 +5217,7 @@ def queries() -> dict:
         # -- below the driver's 50-query window (green in earlier rounds) ----
         "users_per_type": q_users_per_type,
         "approx_users_per_type": q_approx_users_per_type,
+        "suppliers_by_nation": q_suppliers_by_nation,
         "lsh_embedding_pairs": q_lsh_embedding_pairs,
         "fingerprints": q_fingerprints,
         "s2_cells": q_s2_cells,
@@ -5321,6 +5380,7 @@ def oracle_sql() -> dict:
         "curation": _sql_curation(20, 0.6),
         "cosine_dup_pairs": _SQL_COS_DUP,
         "domain_dup_rate": _SQL_DOMAIN_DUP_RATE,
+        "linear_fit": _SQL_LINEAR_FIT,
         "bbox_customers": _SQL_BBOX,
         "catalog": _SQL_CATALOG,
         "users_per_type": _SQL_USERS_PER_TYPE,

@@ -2157,6 +2157,70 @@ class TestTemperatureSample:
         assert c["x"] == 90 and c["y"] == 10
 
 
+class TestLinearFit:
+    def _data(self, n=4000, seed=5):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        x1 = rng.uniform(1, 50, n)
+        x2 = rng.uniform(0, 10, n)
+        y = 3.0 * x1 - 2.0 * x2 + 5.0 + rng.normal(0, 0.5, n)
+        return pa.table({"x1": x1, "x2": x2, "y": y}), x1, x2, y
+
+    def test_matches_lstsq_and_partition_invariant(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from edkray.ops.search import linear_fit
+
+        tbl, x1, x2, y = self._data()
+        X = np.column_stack([x1, x2, np.ones(len(y))])
+        ref, *_ = np.linalg.lstsq(X, y, rcond=None)
+        vals = {}
+        for parts in (1, 9):
+            out = linear_fit(ray.data.from_arrow(tbl).repartition(parts),
+                             ["x1", "x2"], "y")
+            got = dict(zip(out["term"].to_pylist(), out["value"].to_pylist()))
+            assert abs(got["x1"] - ref[0]) < 1e-8
+            assert abs(got["x2"] - ref[1]) < 1e-8
+            assert abs(got["intercept"] - ref[2]) < 1e-8
+            assert 0.99 < got["r2"] <= 1.0
+            vals[parts] = got
+        # partitioning changes only float summation order
+        for k in vals[1]:
+            assert abs(vals[1][k] - vals[9][k]) < 1e-9
+
+    def test_ridge_matches_closed_form(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from edkray.ops.search import linear_fit
+
+        tbl, x1, x2, y = self._data(n=1000, seed=9)
+        out = linear_fit(ray.data.from_arrow(tbl).repartition(4),
+                         ["x1", "x2"], "y", l2=50.0)
+        got = dict(zip(out["term"].to_pylist(), out["value"].to_pylist()))
+        X = np.column_stack([x1, x2])
+        xc = X - X.mean(axis=0)
+        yc = y - y.mean()
+        beta = np.linalg.solve(xc.T @ xc + 50.0 * np.eye(2), xc.T @ yc)
+        assert abs(got["x1"] - beta[0]) < 1e-8
+        assert abs(got["x2"] - beta[1]) < 1e-8
+        assert abs(got["intercept"]
+                   - (y.mean() - beta @ X.mean(axis=0))) < 1e-8
+
+    def test_empty_raises(self, ray_session):
+        import pytest
+        import ray.data
+
+        from edkray.ops.search import linear_fit
+
+        tbl = pa.table({"x1": pa.array([], type=pa.float64()),
+                        "y": pa.array([], type=pa.float64())})
+        with pytest.raises(ValueError, match="empty"):
+            linear_fit(ray.data.from_arrow(tbl), ["x1"], "y")
+
+
 def _bpe_reference(word_counts: dict, num_merges: int) -> list:
     """From-scratch BPE reference: recount every pair from scratch each
     step (no incremental updates) — the slow-but-obvious Sennrich loop
