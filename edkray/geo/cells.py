@@ -70,3 +70,26 @@ def quadcell_bounds(cell: int) -> tuple[float, float, float, float]:
     xmin = ix[0] / n * 360.0 - 180.0
     ymin = iy[0] / n * 180.0 - 90.0
     return (xmin, ymin, xmin + 360.0 / n, ymin + 180.0 / n)
+
+
+def quadcell_kring(cell: np.ndarray, k: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized k-ring: every grid cell within Chebyshev distance
+    ``k`` of each input cell (the H3 ``grid_disk`` analogue on the
+    quadtree grid — neighbor expansion for proximity joins and box
+    smoothing). Returns ``(src_idx, neighbor_id)`` pair arrays; edge
+    cells emit only their in-grid neighbors (no wrap — same clamped
+    half-open domain rule as :func:`quadcell`). Pure bit/array
+    arithmetic, SQL-reproducible via a (dx, dy) cross join."""
+    res, ix, iy = quadcell_decode(cell)
+    n = np.int64(1) << res
+    offs = np.arange(-k, k + 1, dtype=np.int64)
+    dx = np.repeat(offs, 2 * k + 1)
+    dy = np.tile(offs, 2 * k + 1)
+    nx = ix[:, None] + dx[None, :]
+    ny = iy[:, None] + dy[None, :]
+    valid = (nx >= 0) & (nx < n[:, None]) & (ny >= 0) & (ny < n[:, None])
+    nbr = (res[:, None] << RES_SHIFT) | (nx << X_SHIFT) | ny
+    src = np.broadcast_to(
+        np.arange(len(np.asarray(cell)), dtype=np.int64)[:, None], nbr.shape
+    )
+    return src[valid], nbr[valid]

@@ -640,6 +640,71 @@ FROM ij GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# Q: cell_neighborhood — 3×3 box-smoothed cell density (k-ring join)
+
+
+def q_cell_neighborhood(sf_dir: str):
+    """Neighborhood density (geo/cells.py:quadcell_kring): per occupied
+    res-7 cell, its own point count and the summed count of its 3×3
+    k-ring — the grid_disk smoothing/proximity-join primitive. ONE
+    shuffle: each batch pre-aggregates occupied cells and emits tagged
+    (cell, n_own, n_nbhd) partials — the own row plus one contribution
+    row per in-grid neighbor (self included) — so a single grouped sum
+    yields both columns with no self-join; unoccupied cells are dropped
+    by the n_own > 0 filter. Oracle replays the ring via a (dx, dy)
+    cross join over the same clamped grid arithmetic."""
+    from edkray.geo.cells import quadcell, quadcell_kring
+    from edkray.ops.aggregate import grouped_agg
+
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+
+    def _tagged(b: pa.Table) -> pa.Table:
+        b = _add_lonlat(b, "c_custkey")
+        lon = b["lon"].to_numpy(zero_copy_only=False)
+        lat = b["lat"].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(quadcell(lon, lat, 7), return_counts=True)
+        cnt = cnt.astype(np.int64)
+        src, nbr = quadcell_kring(uniq, 1)
+        z_u = np.zeros(len(uniq), dtype=np.int64)
+        z_n = np.zeros(len(nbr), dtype=np.int64)
+        return pa.table({
+            "cell_7": pa.array(np.concatenate([uniq, nbr])),
+            "n_own": pa.array(np.concatenate([cnt, z_n])),
+            "n_nbhd": pa.array(np.concatenate([z_u, cnt[src]])),
+        })
+
+    parts = ds.map_batches(_tagged, batch_format="pyarrow")
+    agg = grouped_agg(parts, ["cell_7"],
+                      [("sum", "n_own", "n_own"), ("sum", "n_nbhd", "n_nbhd")])
+    return agg.map_batches(
+        lambda b: b.filter(pc.greater(b["n_own"], 0)), batch_format="pyarrow"
+    )
+
+
+_SQL_CELL_NEIGHBORHOOD = f"""
+WITH pts AS (
+  SELECT {_sql_lon('c_custkey')} AS lon, {_sql_lat('c_custkey')} AS lat FROM customer
+), ij AS (
+  SELECT least(greatest(CAST(floor((lon + 180.0) / 360.0 * 128) AS BIGINT), 0), 127) AS ix,
+         least(greatest(CAST(floor((lat + 90.0) / 180.0 * 128) AS BIGINT), 0), 127) AS iy
+  FROM pts
+), c AS (
+  SELECT ix, iy, CAST(count(*) AS BIGINT) AS cnt FROM ij GROUP BY ix, iy
+), nb AS (
+  SELECT a.ix + d.dx AS nx, a.iy + d.dy AS ny, sum(a.cnt) AS s
+  FROM c a
+  CROSS JOIN (SELECT t1.range AS dx, t2.range AS dy
+              FROM range(-1, 2) t1 CROSS JOIN range(-1, 2) t2) d
+  WHERE a.ix + d.dx BETWEEN 0 AND 127 AND a.iy + d.dy BETWEEN 0 AND 127
+  GROUP BY 1, 2
+)
+SELECT (CAST(7 AS BIGINT) << 58) | (c.ix << 29) | c.iy AS cell_7,
+       c.cnt AS n_own, CAST(nb.s AS BIGINT) AS n_nbhd
+FROM c JOIN nb ON nb.nx = c.ix AND nb.ny = c.iy
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: tile_overlay — S17 plot sink, driver-checked. Per-cell count →
 # colorize (distributed min/max bounds + vectorized colormap stage) →
 # the colored table that to_geojson serializes (reference folium.py:
@@ -5205,10 +5270,10 @@ def queries() -> dict:
         "domain_dup_rate": q_domain_dup_rate,
         "bpe_merges": q_bpe_merges,
         "linear_fit": q_linear_fit,
+        "cell_neighborhood": q_cell_neighborhood,
         # -- last driver row in rounds 1-3 ----------------------------------
         "bbox_customers": q_bbox_customers,
         "catalog": q_catalog,
-        "top_orders_per_priority": q_top_orders_per_priority,
         "customers_without_orders": q_customers_without_orders,
         "mercator_customers": q_mercator_customers,
         "scaled_quantity": q_scaled_quantity,
@@ -5218,6 +5283,7 @@ def queries() -> dict:
         "users_per_type": q_users_per_type,
         "approx_users_per_type": q_approx_users_per_type,
         "suppliers_by_nation": q_suppliers_by_nation,
+        "top_orders_per_priority": q_top_orders_per_priority,
         "lsh_embedding_pairs": q_lsh_embedding_pairs,
         "fingerprints": q_fingerprints,
         "s2_cells": q_s2_cells,
@@ -5381,6 +5447,7 @@ def oracle_sql() -> dict:
         "cosine_dup_pairs": _SQL_COS_DUP,
         "domain_dup_rate": _SQL_DOMAIN_DUP_RATE,
         "linear_fit": _SQL_LINEAR_FIT,
+        "cell_neighborhood": _SQL_CELL_NEIGHBORHOOD,
         "bbox_customers": _SQL_BBOX,
         "catalog": _SQL_CATALOG,
         "users_per_type": _SQL_USERS_PER_TYPE,

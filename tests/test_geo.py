@@ -325,3 +325,43 @@ class TestTransforms:
         ee, ne = utm_forward(lon, lat, 31, False)
         assert np.array_equal(out["x"].to_numpy(), ee)  # upserted
         assert np.array_equal(out["y"].to_numpy(), ne)  # appended
+
+
+class TestKring:
+    def test_interior_ring_matches_bruteforce(self):
+        from edkray.geo.cells import quadcell_kring
+
+        rng = np.random.default_rng(2)
+        lon = rng.uniform(-170, 170, 50)
+        lat = rng.uniform(-85, 85, 50)
+        cells = quadcell(lon, lat, 6)
+        for k in (1, 2):
+            src, nbr = quadcell_kring(cells, k)
+            # brute force per cell
+            for i, c in enumerate(cells):
+                _, ix, iy = quadcell_decode(np.array([c]))
+                exp = set()
+                n = 1 << 6
+                for dx in range(-k, k + 1):
+                    for dy in range(-k, k + 1):
+                        x, y = int(ix[0]) + dx, int(iy[0]) + dy
+                        if 0 <= x < n and 0 <= y < n:
+                            exp.add((6 << 58) | (x << 29) | y)
+                got = set(nbr[src == i].tolist())
+                assert got == exp
+
+    def test_corner_and_edge_clipping(self):
+        from edkray.geo.cells import quadcell_kring
+
+        corner = quadcell(np.array([-180.0]), np.array([-90.0]), 4)
+        src, nbr = quadcell_kring(corner, 1)
+        assert len(nbr) == 4  # 2x2 in-grid corner disk
+        assert len(set(nbr.tolist())) == 4
+
+    def test_self_always_included(self):
+        from edkray.geo.cells import quadcell_kring
+
+        cells = quadcell(np.array([10.0, 20.0]), np.array([5.0, -5.0]), 8)
+        src, nbr = quadcell_kring(cells, 1)
+        for i, c in enumerate(cells):
+            assert c in nbr[src == i]
