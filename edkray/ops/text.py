@@ -1206,3 +1206,84 @@ def _bpe_merge_loop(
         pair_counts.pop(best, None)
         pair_words.pop(best, None)
     return merges
+
+
+def tfidf_terms(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+):
+    """Per-document tf-idf keyword extraction: the top-``k`` terms of
+    every document by ``tf · ln(N/df)`` (raw-count tf, natural-log
+    idf), ties broken by term ascending — the classic corpus keyword /
+    topic-signal op (salton-style weighting, the same idf family
+    bm25_topk uses for queries).
+
+    Scale shape: tf is EXACT per batch (a document is one row and never
+    splits across batches), so the (doc, term, tf) rows come out of one
+    tokenize+group pass and are MATERIALIZED once — the narrow
+    token-table, not the text, is what's reused. df folds per-batch
+    (term, partial-df) rows through a hash-bucketed sum; the df column
+    attaches back to the tf rows via the same tagged-union co-shuffle
+    as pmi (:func:`_bucketed_count_join` — no broadcast of the
+    vocab-sized df table, no driver materialization). Per-doc top-k
+    runs through :func:`~edkray.ops.aggregate.top_k_per_group`'s
+    combiner (per-batch head-k before the shuffle). Output:
+    ``(id_col, term, tf, df, tfidf, rank)`` with rank 0-based.
+    """
+    import polars as pl
+
+    from edkray.ops.aggregate import top_k_per_group
+    from edkray.ops.shuffle import bucketed_group_map
+
+    n_docs = float(ds.count())
+
+    def _tf(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch)
+            .select(
+                pl.col(id_col),
+                pl.col(text_col).str.extract_all(r"\S+").alias("term"),
+            )
+            .explode("term")
+            .drop_nulls("term")
+            .group_by(id_col, "term")
+            .agg(pl.len().cast(pl.Int64).alias("tf"))
+            .to_arrow()
+        )
+
+    tf = ds.map_batches(_tf, batch_format="pyarrow", batch_size=batch_size).materialize()
+
+    def _df_partial(b: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(b)
+            .group_by("term")
+            .agg(pl.len().cast(pl.Int64).alias("c"))
+            .rename({"term": "w"})
+            .to_arrow()
+        )
+
+    df_tab = bucketed_group_map(
+        tf.map_batches(_df_partial, batch_format="pyarrow", batch_size=batch_size),
+        ["w"],
+        lambda t: pl.from_arrow(t).group_by("w").agg(pl.col("c").sum()).to_arrow(),
+        num_buckets=num_buckets,
+    )
+    joined = _bucketed_count_join(tf, df_tab, key="term", out_name="df",
+                                  num_buckets=num_buckets, batch_size=batch_size)
+
+    def _score(b: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(b)
+            .with_columns(
+                (pl.col("tf") * (pl.lit(n_docs) / pl.col("df")).log()).alias("tfidf")
+            )
+            .to_arrow()
+        )
+
+    scored = joined.map_batches(_score, batch_format="pyarrow", batch_size=batch_size)
+    return top_k_per_group(scored, [id_col], ["tfidf", "term"], k,
+                           descending=[True, False], batch_size=batch_size)

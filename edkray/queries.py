@@ -1075,6 +1075,45 @@ SELECT c_custkey, rank, p_partkey FROM (
 
 
 # --------------------------------------------------------------------------
+# Q: tfidf_terms — per-document keyword extraction (top-3 by tf·idf)
+
+
+def q_tfidf_terms(sf_dir: str):
+    """Keyword extraction (ops/text.py:tfidf_terms): exact per-batch tf
+    (a doc never splits), bucketed df fold, tagged-union co-shuffle df
+    join (never a vocab broadcast), combiner-pre-aggregated per-doc
+    top-3. Oracle replays tf/df/ln(N/df) and the (tfidf DESC, term)
+    row_number in SQL."""
+    from edkray.ops.text import tfidf_terms
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_terms(ds, k=3)
+
+
+_SQL_TFIDF = r"""
+WITH tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+        FROM documents)
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+), s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * ln(n.n / df.df) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) - 1 AS "rank"
+  FROM s
+)
+SELECT doc_id, term, tf, df, tfidf, "rank" FROM r WHERE "rank" < 3
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: token_stats — token counting over documents (text analysis)
 
 
@@ -5271,10 +5310,10 @@ def queries() -> dict:
         "bpe_merges": q_bpe_merges,
         "linear_fit": q_linear_fit,
         "cell_neighborhood": q_cell_neighborhood,
+        "tfidf_terms": q_tfidf_terms,
         # -- last driver row in rounds 1-3 ----------------------------------
         "bbox_customers": q_bbox_customers,
         "catalog": q_catalog,
-        "customers_without_orders": q_customers_without_orders,
         "mercator_customers": q_mercator_customers,
         "scaled_quantity": q_scaled_quantity,
         "minhash_pairs": q_minhash_pairs,
@@ -5284,6 +5323,7 @@ def queries() -> dict:
         "approx_users_per_type": q_approx_users_per_type,
         "suppliers_by_nation": q_suppliers_by_nation,
         "top_orders_per_priority": q_top_orders_per_priority,
+        "customers_without_orders": q_customers_without_orders,
         "lsh_embedding_pairs": q_lsh_embedding_pairs,
         "fingerprints": q_fingerprints,
         "s2_cells": q_s2_cells,
@@ -5448,6 +5488,7 @@ def oracle_sql() -> dict:
         "domain_dup_rate": _SQL_DOMAIN_DUP_RATE,
         "linear_fit": _SQL_LINEAR_FIT,
         "cell_neighborhood": _SQL_CELL_NEIGHBORHOOD,
+        "tfidf_terms": _SQL_TFIDF,
         "bbox_customers": _SQL_BBOX,
         "catalog": _SQL_CATALOG,
         "users_per_type": _SQL_USERS_PER_TYPE,

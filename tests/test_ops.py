@@ -2157,6 +2157,68 @@ class TestTemperatureSample:
         assert c["x"] == 90 and c["y"] == 10
 
 
+class TestTfidfTerms:
+    def test_matches_pandas_reference(self, ray_session):
+        import math
+
+        import numpy as np
+        import ray.data
+
+        from edkray.ops.text import tfidf_terms
+
+        rng = np.random.default_rng(7)
+        vocab = [f"w{i}" for i in range(40)]
+        docs = [" ".join(rng.choice(vocab, size=rng.integers(5, 30)))
+                for _ in range(120)]
+        tbl = pa.table({"doc_id": pa.array(range(120), type=pa.int64()),
+                        "text": pa.array(docs)})
+        got = (
+            tfidf_terms(ray.data.from_arrow(tbl).repartition(5), k=3)
+            .to_pandas()
+            .sort_values(["doc_id", "rank"])
+            .reset_index(drop=True)
+        )
+        # reference
+        tf: dict = {}
+        for i, d in enumerate(docs):
+            for w in d.split():
+                tf[(i, w)] = tf.get((i, w), 0) + 1
+        df: dict = {}
+        for (_, w) in tf:
+            df[w] = df.get(w, 0) + 1
+        n = float(len(docs))
+        rows = [(i, w, c, df[w], c * math.log(n / df[w]))
+                for (i, w), c in tf.items()]
+        exp = []
+        for i in range(120):
+            mine = sorted((r for r in rows if r[0] == i),
+                          key=lambda r: (-r[4], r[1]))[:3]
+            exp.extend((*r, rk) for rk, r in enumerate(mine))
+        import pandas as pd
+
+        edf = pd.DataFrame(exp, columns=["doc_id", "term", "tf", "df",
+                                         "tfidf", "rank"])
+        edf = edf.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+        assert len(got) == len(edf)
+        assert (got.doc_id.values == edf.doc_id.values).all()
+        assert (got.term.values == edf.term.values).all()
+        assert (got.tf.values == edf.tf.values).all()
+        assert (got["df"].values == edf["df"].values).all()
+        assert np.allclose(got.tfidf.values, edf.tfidf.values, atol=1e-12)
+
+    def test_empty_text_docs_absent(self, ray_session):
+        import ray.data
+
+        from edkray.ops.text import tfidf_terms
+
+        tbl = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                        "text": pa.array(["hello world", ""])})
+        got = tfidf_terms(ray.data.from_arrow(tbl), k=5).to_pandas()
+        assert set(got.doc_id) == {1}
+        # idf uses N = ALL docs (2), so ln(2/1) for both unique terms
+        assert np.isclose(got.tfidf.max(), np.log(2.0))
+
+
 class TestLinearFit:
     def _data(self, n=4000, seed=5):
         import numpy as np
