@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 import polars as pl
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -867,3 +868,156 @@ def range_join_broadcast(
         return left_out
 
     return ds.map_batches(_match, batch_format="pyarrow", batch_size=batch_size)
+
+
+def radius_pairs(
+    ds: ray.data.Dataset,
+    key_col: str,
+    lon_col: str,
+    lat_col: str,
+    radius_km: float,
+    cell_res: int = 7,
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+    out_a: str = "key_a",
+    out_b: str = "key_b",
+    out_dist: str = "dist_km",
+) -> ray.data.Dataset:
+    """Distance-band spatial self-join: every unordered pair of rows
+    within ``radius_km`` great-circle km, ``key_a < key_b``, verified
+    with exact haversine. The third spatial join next to PIP (J6,
+    reference utilities/geo.py bbox intersect) and kNN (J7) — the
+    "all partners within D" form the reference's grid-overlap logic
+    (stitching/classes/dataset.py tile adjacency) implies but never
+    exposes.
+
+    Scale design (grid-prefilter, candidate-complete at any latitude):
+
+    - each point emits a 33-B ``(cell, key, lon, lat, home)``
+      projection — never the payload — into its home quadcell at
+      ``cell_res`` plus the ring of cells that could hold a partner
+      within ``radius_km``. The lat half-width of the ring is static
+      (``D/R`` radians exactly bounds |Δlat| under haversine); the lon
+      half-width is computed PER POINT from the worst-case partner
+      latitude (``2·asin(sin(D/2R)/cos φ_reach)`` — the exact bound;
+      a linear ``D/(111·cos φ)`` approximation UNDERCOUNTS by ~1% near
+      the poles and would drop pairs), and wraps across the
+      antimeridian, so no worst-case global ring is ever shipped.
+    - ONE hash shuffle on the candidate cell co-locates candidates;
+      per bucket, pairs are generated segment-vectorized (home rows ×
+      all rows of the same cell via offset arithmetic — no Python loop
+      over rows) and filtered by exact haversine.
+    - each qualifying pair is emitted exactly once with no post-dedup
+      shuffle: only in the home cell of an endpoint whose key is the
+      smaller of the pair (a point is ``home`` in exactly one cell, and
+      ring coverage is symmetric, so the rule fires exactly once).
+
+    Skew: a dense cell costs O(n_home·n_all) in its bucket; raise
+    ``cell_res`` to shrink cells (the ring widens automatically).
+    Count-driven salting does not apply — pair-gen is not
+    self-mergeable under row splits of one cell.
+    """
+    from edkray.geo.cells import RES_SHIFT, X_SHIFT
+    from edkray.geo.distance import EARTH_RADIUS_KM, haversine_km
+    from edkray.ops.shuffle import bucketed_group_map
+
+    n = np.int64(1) << cell_res
+    lat_span = 180.0 / float(n)
+    lon_span = 360.0 / float(n)
+    dlat_deg = np.degrees(radius_km / EARTH_RADIUS_KM)
+    ky = int(dlat_deg / lat_span) + 1
+    dys = np.arange(-ky, ky + 1, dtype=np.int64)
+    sin_half = np.sin(radius_km / (2.0 * EARTH_RADIUS_KM))
+    cell_c, key_c, lon_c, lat_c, home_c = "__rp_cell", key_col, lon_col, lat_col, "__rp_home"
+
+    def _replicate(b: pa.Table) -> pa.Table:
+        lon = b[lon_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        lat = b[lat_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        keys = b[key_col]
+        ix = np.floor((lon + 180.0) / 360.0 * float(n)).astype(np.int64)
+        iy = np.floor((lat + 90.0) / 180.0 * float(n)).astype(np.int64)
+        np.clip(ix, 0, int(n) - 1, out=ix)
+        np.clip(iy, 0, int(n) - 1, out=iy)
+        home_cell = (np.int64(cell_res) << RES_SHIFT) | (ix << X_SHIFT) | iy
+        # exact per-point lon ring half-width (see docstring)
+        reach = np.minimum(np.abs(lat) + dlat_deg, 90.0)
+        cosr = np.cos(np.radians(reach))
+        ratio = np.divide(sin_half, cosr, out=np.full_like(cosr, 2.0), where=cosr > 0)
+        full = ratio >= 1.0
+        dlon_deg = np.degrees(2.0 * np.arcsin(np.clip(ratio, 0.0, 1.0)))
+        kx = (dlon_deg / lon_span).astype(np.int64) + 1
+        kx[full] = int(n)  # sentinel: full wrap row
+        src_parts, cell_parts = [], []
+        for kxv in np.unique(kx):
+            sel = np.flatnonzero(kx == kxv)
+            if 2 * kxv + 1 >= int(n):
+                dxs = np.arange(int(n), dtype=np.int64)  # full row, each cell once
+            else:
+                dxs = np.arange(-kxv, kxv + 1, dtype=np.int64)
+            dx = np.repeat(dxs, len(dys))
+            dy = np.tile(dys, len(dxs))
+            nx = (ix[sel][:, None] + dx[None, :]) % n  # lon wraps
+            ny = iy[sel][:, None] + dy[None, :]        # lat clamps (drop)
+            valid = (ny >= 0) & (ny < n)
+            valid &= ~((nx == ix[sel][:, None]) & (ny == iy[sel][:, None]))
+            nbr = (np.int64(cell_res) << RES_SHIFT) | (nx << X_SHIFT) | ny
+            src = np.broadcast_to(sel[:, None], nbr.shape)
+            src_parts.append(src[valid])
+            cell_parts.append(nbr[valid])
+        v_src = np.concatenate(src_parts) if src_parts else np.empty(0, np.int64)
+        v_cell = np.concatenate(cell_parts) if cell_parts else np.empty(0, np.int64)
+        idx = pa.array(np.concatenate([np.arange(len(lon), dtype=np.int64), v_src]))
+        return pa.table({
+            cell_c: pa.array(np.concatenate([home_cell, v_cell])),
+            key_c: keys.take(idx) if isinstance(keys, pa.ChunkedArray) else pa.array(np.asarray(keys)[np.asarray(idx)]),
+            lon_c: pa.array(np.concatenate([lon, lon[v_src]])),
+            lat_c: pa.array(np.concatenate([lat, lat[v_src]])),
+            home_c: pa.array(np.concatenate([
+                np.ones(len(lon), dtype=bool), np.zeros(len(v_src), dtype=bool)
+            ])),
+        })
+
+    cand = ds.map_batches(_replicate, batch_format="pyarrow", batch_size=batch_size)
+    _sch = ds.schema()
+    key_type = dict(zip(_sch.names, _sch.types))[key_col]
+    empty = pa.table({
+        out_a: pa.array([], key_type),
+        out_b: pa.array([], key_type),
+        out_dist: pa.array([], pa.float64()),
+    })
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        order = pc.sort_indices(t[cell_c])
+        t = t.take(order)
+        cell = t[cell_c].to_numpy(zero_copy_only=False)
+        home = t[home_c].to_numpy(zero_copy_only=False)
+        lon = t[lon_c].to_numpy(zero_copy_only=False)
+        lat = t[lat_c].to_numpy(zero_copy_only=False)
+        keys = t[key_c].to_numpy(zero_copy_only=False)
+        seg_start = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1]])
+        counts = np.diff(np.r_[seg_start, len(cell)])
+        seg_id = np.repeat(np.arange(len(seg_start)), counts)
+        h_rows = np.flatnonzero(home)
+        if len(h_rows) == 0:
+            return empty
+        n_all = counts[seg_id[h_rows]]
+        total = int(n_all.sum())
+        hi = np.repeat(h_rows, n_all)
+        block_start = np.cumsum(n_all) - n_all
+        within = np.arange(total, dtype=np.int64) - np.repeat(block_start, n_all)
+        ai = np.repeat(seg_start[seg_id[h_rows]], n_all) + within
+        m = keys[hi] < keys[ai]
+        hi, ai = hi[m], ai[m]
+        d = haversine_km(lon[hi], lat[hi], lon[ai], lat[ai])
+        m2 = d <= radius_km
+        hi, ai, d = hi[m2], ai[m2], d[m2]
+        return pa.table({
+            out_a: pa.array(keys[hi]).cast(key_type),
+            out_b: pa.array(keys[ai]).cast(key_type),
+            out_dist: pa.array(d),
+        })
+
+    return bucketed_group_map(cand, [cell_c], _pairs, num_buckets=num_buckets,
+                              batch_size=batch_size)

@@ -1075,6 +1075,49 @@ SELECT c_custkey, rank, p_partkey FROM (
 
 
 # --------------------------------------------------------------------------
+# Q: radius_pairs — distance-band spatial self-join (grid-prefilter + exact
+# haversine verify), oracle = SQL self cross join
+
+
+_RADIUS_KM = 200.0
+
+
+def q_radius_pairs(sf_dir: str):
+    """All customer pairs within 200 great-circle km
+    (ops/joins.py:radius_pairs): per-point quadcell ring replication
+    (33-B projections, exact per-latitude lon half-width with
+    antimeridian wrap), ONE hash shuffle on candidate cell,
+    segment-vectorized pair-gen, exact haversine verify, each pair
+    emitted exactly once (home cell of the smaller key). Oracle is the
+    O(n²) SQL self-join — verification-only, the op never does
+    all-pairs."""
+    from edkray.ops.joins import radius_pairs
+
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+    ds = ds.map_batches(lambda b: _add_lonlat(b, "c_custkey"), batch_format="pyarrow")
+    out = radius_pairs(
+        ds, key_col="c_custkey", lon_col="lon", lat_col="lat",
+        radius_km=_RADIUS_KM, cell_res=7,
+    )
+    return out.map_batches(lambda b: _round_cols(b, ["dist_km"]), batch_format="pyarrow")
+
+
+_SQL_RADIUS_PAIRS = f"""
+WITH c AS (
+  SELECT c_custkey, {_sql_lon('c_custkey')} AS lon, {_sql_lat('c_custkey')} AS lat FROM customer
+), d AS (
+  SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+         2 * 6371.0088 * asin(sqrt(
+           pow(sin(radians(b.lat - a.lat) / 2), 2)
+           + cos(radians(a.lat)) * cos(radians(b.lat)) * pow(sin(radians(b.lon - a.lon) / 2), 2)
+         )) AS dist
+  FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+)
+SELECT key_a, key_b, round(dist, 4) AS dist_km FROM d WHERE dist <= {_RADIUS_KM}
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: tfidf_terms — per-document keyword extraction (top-3 by tf·idf)
 
 
@@ -5311,6 +5354,7 @@ def queries() -> dict:
         "linear_fit": q_linear_fit,
         "cell_neighborhood": q_cell_neighborhood,
         "tfidf_terms": q_tfidf_terms,
+        "radius_pairs": q_radius_pairs,
         # -- last driver row in rounds 1-3 ----------------------------------
         "bbox_customers": q_bbox_customers,
         "catalog": q_catalog,
@@ -5489,6 +5533,7 @@ def oracle_sql() -> dict:
         "linear_fit": _SQL_LINEAR_FIT,
         "cell_neighborhood": _SQL_CELL_NEIGHBORHOOD,
         "tfidf_terms": _SQL_TFIDF,
+        "radius_pairs": _SQL_RADIUS_PAIRS,
         "bbox_customers": _SQL_BBOX,
         "catalog": _SQL_CATALOG,
         "users_per_type": _SQL_USERS_PER_TYPE,

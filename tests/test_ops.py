@@ -3518,3 +3518,80 @@ class TestTriangleCount:
             [{"src": a, "dst": 100 + b} for a in range(5) for b in range(5)]
         )
         assert triangle_count(bipartite, num_buckets=4)["n_triangles"][0].as_py() == 0
+
+
+class TestRadiusPairs:
+    """Distance-band spatial self-join (ops/joins.py:radius_pairs) vs a
+    brute-force O(n²) haversine oracle."""
+
+    @staticmethod
+    def _brute(keys, lon, lat, radius_km):
+        from edkray.geo.distance import haversine_km
+
+        n = len(keys)
+        ai, bi = np.triu_indices(n, k=1)
+        d = haversine_km(lon[ai], lat[ai], lon[bi], lat[bi])
+        m = d <= radius_km
+        ka, kb = keys[ai[m]], keys[bi[m]]
+        lo, hi = np.minimum(ka, kb), np.maximum(ka, kb)
+        out = {(int(a), int(b)): float(x) for a, b, x in zip(lo, hi, d[m])}
+        return out
+
+    def _run(self, keys, lon, lat, radius_km, **kw):
+        import ray.data
+
+        from edkray.ops.joins import radius_pairs
+
+        t = pa.table({"k": pa.array(keys), "lon": pa.array(lon), "lat": pa.array(lat)})
+        got = radius_pairs(
+            ray.data.from_arrow(t).repartition(4), key_col="k",
+            lon_col="lon", lat_col="lat", radius_km=radius_km, **kw
+        ).to_pandas()
+        if len(got) == 0:  # empty Dataset.to_pandas() loses columns
+            return {}
+        assert (got["key_a"] < got["key_b"]).all()
+        pairs = list(zip(got["key_a"].astype(int), got["key_b"].astype(int)))
+        assert len(pairs) == len(set(pairs)), "pair emitted more than once"
+        return {p: float(d) for p, d in zip(pairs, got["dist_km"])}
+
+    def test_matches_bruteforce_random(self, ray_session):
+        rng = np.random.default_rng(42)
+        n = 600
+        keys = np.arange(n, dtype=np.int64)
+        lon = rng.uniform(-180.0, 180.0, n)
+        lat = rng.uniform(-85.0, 85.0, n)
+        exp = self._brute(keys, lon, lat, 500.0)
+        got = self._run(keys, lon, lat, 500.0, cell_res=6)
+        assert set(got) == set(exp)
+        for p in exp:
+            assert abs(got[p] - exp[p]) < 1e-9
+
+    def test_antimeridian_and_poles(self, ray_session):
+        # pairs straddling lon=±180 and near-polar wide-lon pairs must
+        # be found (exact per-latitude ring width, wrap across the seam)
+        keys = np.array([1, 2, 3, 4, 5, 6], dtype=np.int64)
+        lon = np.array([179.9, -179.9, 10.0, -10.0, 0.0, 0.1])
+        lat = np.array([10.0, 10.0, 84.5, 84.5, -84.9, -84.9])
+        exp = self._brute(keys, lon, lat, 300.0)
+        got = self._run(keys, lon, lat, 300.0, cell_res=7)
+        assert (1, 2) in got and (3, 4) in got and (5, 6) in got
+        assert set(got) == set(exp)
+
+    def test_dense_cluster_and_isolated(self, ray_session):
+        # many points in one cell (segment-vectorized pair-gen path)
+        rng = np.random.default_rng(7)
+        n = 200
+        keys = np.arange(n, dtype=np.int64)
+        lon = np.concatenate([rng.uniform(5.0, 5.2, n - 1), [120.0]])
+        lat = np.concatenate([rng.uniform(50.0, 50.2, n - 1), [-40.0]])
+        exp = self._brute(keys, lon, lat, 25.0)
+        got = self._run(keys, lon, lat, 25.0, cell_res=7, num_buckets=8)
+        assert set(got) == set(exp)
+        assert not any(n - 1 in p for p in got)
+
+    def test_empty_and_no_pairs(self, ray_session):
+        keys = np.array([1, 2], dtype=np.int64)
+        lon = np.array([0.0, 90.0])
+        lat = np.array([0.0, 0.0])
+        got = self._run(keys, lon, lat, 100.0)
+        assert got == {}
