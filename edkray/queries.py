@@ -1118,6 +1118,72 @@ SELECT key_a, key_b, round(dist, 4) AS dist_km FROM d WHERE dist <= {_RADIUS_KM}
 
 
 # --------------------------------------------------------------------------
+# Q: spatial_clusters — DBSCAN-style density clusters (radius graph → CC)
+
+
+def q_spatial_clusters(sf_dir: str):
+    """Density-connected spatial clusters: points within 200 km are
+    linked (ops/joins.py:radius_pairs — grid-prefilter, never
+    all-pairs), clusters are the connected components of that graph
+    (ops/graph.py:connected_components — hash-to-min, one bucketed
+    shuffle per round), singletons are their own cluster via a
+    bucketed LEFT join back to the corpus (no broadcast of the label
+    table). Output: one row per cluster with its size. Oracle replays
+    the radius graph as an O(n²) cross join + recursive-CTE closure."""
+    from edkray.ops.aggregate import grouped_agg
+    from edkray.ops.graph import connected_components
+    from edkray.ops.joins import bucketed_join, radius_pairs
+
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+    pts = ds.map_batches(lambda b: _add_lonlat(b, "c_custkey"), batch_format="pyarrow")
+    edges = radius_pairs(
+        pts, key_col="c_custkey", lon_col="lon", lat_col="lat",
+        radius_km=_RADIUS_KM, cell_res=7,
+    )
+    labels = connected_components(edges, a_col="key_a", b_col="key_b", num_buckets=16)
+    labels = labels.map_batches(
+        lambda b: pa.table({"c_custkey": b["doc_id"], "cluster_id": b["cluster_id"]}),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_join(ds, labels, on=["c_custkey"], how="left", num_buckets=16)
+
+    def _fill(b: pa.Table) -> pa.Table:
+        cid = pc.coalesce(pc.cast(b["cluster_id"], pa.int64()), b["c_custkey"])
+        return pa.table({"cluster_id": cid})
+
+    return grouped_agg(
+        joined.map_batches(_fill, batch_format="pyarrow"),
+        ["cluster_id"], [("count", None, "n_points")],
+    )
+
+
+_SQL_SPATIAL_CLUSTERS = f"""
+WITH RECURSIVE c AS (
+  SELECT c_custkey, {_sql_lon('c_custkey')} AS lon, {_sql_lat('c_custkey')} AS lat FROM customer
+), p AS (
+  SELECT a.c_custkey AS u, b.c_custkey AS v
+  FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+  WHERE 2 * 6371.0088 * asin(sqrt(
+          pow(sin(radians(b.lat - a.lat) / 2), 2)
+          + cos(radians(a.lat)) * cos(radians(b.lat)) * pow(sin(radians(b.lon - a.lon) / 2), 2)
+        )) <= {_RADIUS_KM}
+), edges AS (
+  SELECT u, v FROM p UNION SELECT v, u FROM p
+  UNION SELECT u, u FROM p UNION SELECT v, v FROM p
+), reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), labels AS (
+  SELECT u AS c_custkey, min(v) AS cluster_id FROM reach GROUP BY u
+)
+SELECT coalesce(l.cluster_id, cu.c_custkey) AS cluster_id, count(*) AS n_points
+FROM customer cu LEFT JOIN labels l USING (c_custkey)
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: tfidf_terms — per-document keyword extraction (top-3 by tf·idf)
 
 
@@ -5355,6 +5421,7 @@ def queries() -> dict:
         "cell_neighborhood": q_cell_neighborhood,
         "tfidf_terms": q_tfidf_terms,
         "radius_pairs": q_radius_pairs,
+        "spatial_clusters": q_spatial_clusters,
         # -- last driver row in rounds 1-3 ----------------------------------
         "bbox_customers": q_bbox_customers,
         "catalog": q_catalog,
@@ -5534,6 +5601,7 @@ def oracle_sql() -> dict:
         "cell_neighborhood": _SQL_CELL_NEIGHBORHOOD,
         "tfidf_terms": _SQL_TFIDF,
         "radius_pairs": _SQL_RADIUS_PAIRS,
+        "spatial_clusters": _SQL_SPATIAL_CLUSTERS,
         "bbox_customers": _SQL_BBOX,
         "catalog": _SQL_CATALOG,
         "users_per_type": _SQL_USERS_PER_TYPE,

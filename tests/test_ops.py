@@ -3595,3 +3595,23 @@ class TestRadiusPairs:
         lat = np.array([0.0, 0.0])
         got = self._run(keys, lon, lat, 100.0)
         assert got == {}
+
+    def test_density_clusters_chain(self, ray_session):
+        # radius graph -> connected components: a chain A-B-C where
+        # A-C exceeds the radius must still form ONE cluster
+        import ray.data
+
+        from edkray.ops.graph import connected_components
+        from edkray.ops.joins import radius_pairs
+
+        keys = np.array([10, 20, 30, 99], dtype=np.int64)
+        lon = np.array([0.0, 0.9, 1.8, 50.0])
+        lat = np.array([0.0, 0.0, 0.0, 0.0])
+        t = pa.table({"k": pa.array(keys), "lon": pa.array(lon), "lat": pa.array(lat)})
+        edges = radius_pairs(
+            ray.data.from_arrow(t), key_col="k", lon_col="lon", lat_col="lat",
+            radius_km=110.0, cell_res=7,
+        )
+        labels = connected_components(edges, a_col="key_a", b_col="key_b", num_buckets=4)
+        got = {r["doc_id"]: r["cluster_id"] for r in labels.take_all()}
+        assert got == {10: 10, 20: 10, 30: 10}  # 99 isolated, not emitted
