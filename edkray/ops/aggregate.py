@@ -938,3 +938,48 @@ def approx_quantiles(
         err = abs(ranks[i] / n_total - q) if n_total else 0.0
         rows.append({"q": q, "n": n_total, "kll_ok": bool(err <= rank_bound)})
     return pd.DataFrame(rows)
+
+
+def weighted_sample(
+    ds: ray.data.Dataset,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    score_col: str = "score",
+    knuth: int = 2654435761,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    exp-sort): row i draws a deterministic uniform
+    ``u = ((key·knuth) mod 2^32 + 0.5) / 2^32`` (the Knuth hash of
+    :func:`edkray.ops.stages.deterministic_sample`, centered so u is
+    never 0) and scores ``ln(u) / w``; the global top-``n`` scores are
+    exactly a weight-proportional sample without replacement — the
+    data-mixing primitive (sample n docs ∝ quality weight) done as a
+    rank reduction, not a shuffle.
+
+    Scale: scoring is stateless/vectorized; selection is
+    :func:`global_top_k` — per-block top-n combiner then one merge
+    block, so the exchange carries ≤ n rows per input block at any
+    corpus size. Deterministic end-to-end (hash-u, key tiebreak),
+    hence SQL-replayable. Requires non-negative integer keys and
+    strictly positive weights.
+    """
+
+    def _score(b: pa.Table) -> pa.Table:
+        signed = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if (signed < 0).any():
+            raise ValueError("weighted_sample requires non-negative keys")
+        w = b[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if (w <= 0).any():
+            raise ValueError("weighted_sample requires positive weights")
+        k = signed.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (k * np.uint64(knuth)) % np.uint64(1 << 32)
+        u = (h.astype(np.float64) + 0.5) / float(1 << 32)
+        return b.append_column(score_col, pa.array(np.log(u) / w))
+
+    scored = ds.map_batches(_score, batch_format="pyarrow", batch_size=batch_size)
+    return global_top_k(
+        scored, [score_col, key_col], n, descending=[True, False]
+    )

@@ -116,3 +116,58 @@ def sessionize(
         return out.to_arrow()
 
     return bucketed_group_map(ds, [key], _sessions, num_buckets=num_buckets)
+
+
+def ewma_by_key(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    tiebreak: list[str] | None = None,
+    out: str = "ewma",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Per-key exponentially weighted mean of ``value_col`` in
+    event-time order (pandas ``ewm(adjust=True)`` semantics): the
+    newest row weighs 1, a row r steps older weighs ``(1-alpha)^r``;
+    output is one row per key with the final smoothed value. The
+    time-decay summary a crawl/ingest scheduler keeps per entity
+    (churn rate, request rate) — reference windows are plain tumbling
+    buckets (SURVEY §2.9); this is the decayed counterpart.
+
+    Scale: ONE hash-bucketed co-shuffle on ``keys`` (same bound as
+    every winner-filter here), then a fully vectorized polars fold.
+    Weights are anchored to the NEWEST row inside each key
+    (``w^(m-1-rank)`` with w<1, exponents ≥ 0), so the fold never
+    overflows however long a group runs. ``tiebreak`` columns must
+    make (ts, tiebreak) a total order within a key or the rank — and
+    therefore the weights — would be nondeterministic under ties.
+    """
+    import polars as pl
+
+    from edkray.ops.shuffle import bucketed_group_map
+
+    order = [ts_col] + list(tiebreak or [])
+    w = 1.0 - alpha
+
+    def _fold(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).sort(order)
+        df = df.with_columns(
+            pl.int_range(pl.len()).over(keys, mapping_strategy="group_to_rows").alias("__rn"),
+            pl.len().over(keys, mapping_strategy="group_to_rows").alias("__m"),
+        ).with_columns(
+            (pl.lit(w) ** (pl.col("__m") - 1 - pl.col("__rn")).cast(pl.Float64)).alias("__w")
+        )
+        res = (
+            df.group_by(keys, maintain_order=True)
+            .agg(
+                (pl.col(value_col) * pl.col("__w")).sum().alias("__num"),
+                pl.col("__w").sum().alias("__den"),
+            )
+            .with_columns((pl.col("__num") / pl.col("__den")).alias(out))
+            .drop(["__num", "__den"])
+        )
+        return res.to_arrow()
+
+    return bucketed_group_map(ds, keys, _fold, num_buckets=num_buckets)

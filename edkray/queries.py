@@ -1184,6 +1184,65 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# Q: user_ewma — per-key time-decay mean (ewm adjust=True), §2.9 streaming
+
+
+def q_user_ewma(sf_dir: str):
+    """Per-user exponentially weighted mean of event value in event-time
+    order (ops/window.py:ewma_by_key — one key co-shuffle, vectorized
+    polars fold, weights anchored to the newest row so no overflow at
+    any group length). alpha=0.5; (ts, event_id) totally orders rows.
+    Oracle replays the same weights via row_number/pow in SQL."""
+    from edkray.ops.window import ewma_by_key
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value", "event_id"])
+    out = ewma_by_key(ds, ["user_id"], "ts", "value", alpha=0.5, tiebreak=["event_id"])
+    return out.map_batches(lambda b: _round_cols(b, ["ewma"]), batch_format="pyarrow")
+
+
+_SQL_USER_EWMA = """
+WITH r AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS m
+  FROM events
+)
+SELECT user_id, round(sum(value * pow(0.5, m - rn)) / sum(pow(0.5, m - rn)), 4) AS ewma
+FROM r GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: weighted_orders — weighted sampling w/o replacement (exp-sort top-n)
+
+
+def q_weighted_orders(sf_dir: str):
+    """100 orders sampled ∝ o_totalprice without replacement
+    (ops/aggregate.py:weighted_sample — Efraimidis–Spirakis exp-sort
+    over a deterministic Knuth-hash uniform, selected by the rank-
+    reducing global_top_k, never a shuffle). u is bit-identical in SQL
+    ((h+0.5)/2^32 is exact double arithmetic), so the oracle replays
+    the scores and the (score DESC, key) order exactly."""
+    from edkray.ops.aggregate import weighted_sample
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = weighted_sample(ds, "o_orderkey", "o_totalprice", n=100)
+    return out.map_batches(lambda b: _round_cols(b, ["score"], 10), batch_format="pyarrow")
+
+
+_SQL_WEIGHTED_ORDERS = """
+WITH s AS (
+  SELECT o_orderkey, o_totalprice,
+         ln((((o_orderkey * 2654435761) % 4294967296) + 0.5) / 4294967296.0)
+           / o_totalprice AS score
+  FROM orders
+)
+SELECT o_orderkey, o_totalprice, round(score, 10) AS score
+FROM s ORDER BY score DESC, o_orderkey LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: tfidf_terms — per-document keyword extraction (top-3 by tf·idf)
 
 
@@ -5422,6 +5481,8 @@ def queries() -> dict:
         "tfidf_terms": q_tfidf_terms,
         "radius_pairs": q_radius_pairs,
         "spatial_clusters": q_spatial_clusters,
+        "user_ewma": q_user_ewma,
+        "weighted_orders": q_weighted_orders,
         # -- last driver row in rounds 1-3 ----------------------------------
         "bbox_customers": q_bbox_customers,
         "catalog": q_catalog,
@@ -5602,6 +5663,8 @@ def oracle_sql() -> dict:
         "tfidf_terms": _SQL_TFIDF,
         "radius_pairs": _SQL_RADIUS_PAIRS,
         "spatial_clusters": _SQL_SPATIAL_CLUSTERS,
+        "user_ewma": _SQL_USER_EWMA,
+        "weighted_orders": _SQL_WEIGHTED_ORDERS,
         "bbox_customers": _SQL_BBOX,
         "catalog": _SQL_CATALOG,
         "users_per_type": _SQL_USERS_PER_TYPE,

@@ -3615,3 +3615,80 @@ class TestRadiusPairs:
         labels = connected_components(edges, a_col="key_a", b_col="key_b", num_buckets=4)
         got = {r["doc_id"]: r["cluster_id"] for r in labels.take_all()}
         assert got == {10: 10, 20: 10, 30: 10}  # 99 isolated, not emitted
+
+
+class TestEwmaAndWeightedSample:
+    def test_ewma_matches_pandas(self, ray_session):
+        import ray.data
+
+        from edkray.ops.window import ewma_by_key
+
+        rng = np.random.default_rng(3)
+        n = 500
+        t0 = dt.datetime(2024, 1, 1)
+        df = pd.DataFrame({
+            "k": rng.integers(0, 7, n),
+            "ts": [t0 + dt.timedelta(seconds=int(s)) for s in rng.integers(0, 10_000, n)],
+            "eid": np.arange(n, dtype=np.int64),
+            "v": rng.normal(size=n),
+        })
+        got = ewma_by_key(
+            ray.data.from_pandas(df).repartition(4), ["k"], "ts", "v",
+            alpha=0.3, tiebreak=["eid"], num_buckets=4,
+        ).to_pandas().set_index("k")["ewma"]
+        exp = (
+            df.sort_values(["ts", "eid"])
+            .groupby("k")["v"]
+            .apply(lambda s: s.ewm(alpha=0.3, adjust=True).mean().iloc[-1])
+        )
+        for k in exp.index:
+            assert abs(got[k] - exp[k]) < 1e-10
+
+    def test_ewma_tie_determinism(self, ray_session):
+        # identical ts everywhere: tiebreak column alone orders the fold
+        import ray.data
+
+        from edkray.ops.window import ewma_by_key
+
+        t0 = dt.datetime(2024, 1, 1)
+        df = pd.DataFrame({"k": [1, 1, 1], "ts": [t0] * 3,
+                           "eid": [2, 0, 1], "v": [10.0, 1.0, 4.0]})
+        got = ewma_by_key(
+            ray.data.from_pandas(df), ["k"], "ts", "v",
+            alpha=0.5, tiebreak=["eid"], num_buckets=2,
+        ).to_pandas()["ewma"][0]
+        # order by eid: 1, 4, 10 -> (1*0.25 + 4*0.5 + 10*1) / 1.75
+        assert abs(got - (0.25 + 2.0 + 10.0) / 1.75) < 1e-12
+
+    def test_weighted_sample_matches_bruteforce(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import weighted_sample
+
+        rng = np.random.default_rng(9)
+        n = 5000
+        keys = np.arange(n, dtype=np.int64)
+        w = rng.uniform(0.5, 100.0, n)
+        t = pa.table({"k": pa.array(keys), "w": pa.array(w)})
+        got = weighted_sample(
+            ray.data.from_arrow(t).repartition(8), "k", "w", n=50
+        ).to_pandas()
+        h = (keys.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+        score = np.log((h.astype(np.float64) + 0.5) / float(1 << 32)) / w
+        exp = keys[np.argsort(-score, kind="stable")][:50]
+        assert list(got["k"]) == list(exp)
+        assert np.allclose(got["score"], np.sort(score)[::-1][:50])
+
+    def test_weighted_sample_rejects_bad_inputs(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import weighted_sample
+
+        t = pa.table({"k": pa.array([-1, 2], type=pa.int64()),
+                      "w": pa.array([1.0, 1.0])})
+        with pytest.raises(Exception):
+            weighted_sample(ray.data.from_arrow(t), "k", "w", n=1).take_all()
+        t2 = pa.table({"k": pa.array([1, 2], type=pa.int64()),
+                       "w": pa.array([1.0, 0.0])})
+        with pytest.raises(Exception):
+            weighted_sample(ray.data.from_arrow(t2), "k", "w", n=1).take_all()
