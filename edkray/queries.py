@@ -1243,6 +1243,52 @@ FROM s ORDER BY score DESC, o_orderkey LIMIT 100
 
 
 # --------------------------------------------------------------------------
+# Q: ntile_orders — exact global NTILE via range-partitioned ranking
+
+
+def q_ntile_orders(sf_dir: str):
+    """Exact global decile assignment over orders by totalprice
+    (ops/rank.py:ntile — sampled range split points, combiner-counted
+    part offsets, ONE co-shuffle ranking pass; never a global sort the
+    driver has to walk). Output is the per-decile profile, which any
+    rank-boundary error would perturb. Oracle: SQL NTILE(10) over the
+    identical (price, orderkey) total order."""
+    from edkray.ops.aggregate import grouped_agg
+    from edkray.ops.rank import ntile
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    tiled = ntile(ds, "o_totalprice", ["o_orderkey"], tiles=10)
+    out = grouped_agg(
+        tiled,
+        ["tile"],
+        [
+            ("count", None, "n_orders"),
+            ("min", "o_totalprice", "lo_price"),
+            ("max", "o_totalprice", "hi_price"),
+            ("sum", "o_totalprice", "sum_price"),
+        ],
+    )
+    return out.map_batches(
+        lambda b: _round_cols(b, ["lo_price", "hi_price", "sum_price"], 2),
+        batch_format="pyarrow",
+    )
+
+
+_SQL_NTILE_ORDERS = """
+WITH t AS (
+  SELECT o_totalprice,
+         NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
+  FROM orders
+)
+SELECT tile, count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS lo_price,
+       round(max(o_totalprice), 2) AS hi_price,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM t GROUP BY tile
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: tfidf_terms — per-document keyword extraction (top-3 by tf·idf)
 
 
@@ -5483,6 +5529,7 @@ def queries() -> dict:
         "spatial_clusters": q_spatial_clusters,
         "user_ewma": q_user_ewma,
         "weighted_orders": q_weighted_orders,
+        "ntile_orders": q_ntile_orders,
         # -- last driver row in rounds 1-3 ----------------------------------
         "bbox_customers": q_bbox_customers,
         "catalog": q_catalog,
@@ -5665,6 +5712,7 @@ def oracle_sql() -> dict:
         "spatial_clusters": _SQL_SPATIAL_CLUSTERS,
         "user_ewma": _SQL_USER_EWMA,
         "weighted_orders": _SQL_WEIGHTED_ORDERS,
+        "ntile_orders": _SQL_NTILE_ORDERS,
         "bbox_customers": _SQL_BBOX,
         "catalog": _SQL_CATALOG,
         "users_per_type": _SQL_USERS_PER_TYPE,

@@ -108,3 +108,50 @@ class TestApproxCountDistinct:
         for _, row in got.iterrows():
             true = exp[row.g]
             assert abs(row.approx_nd - true) / true < 0.1, (row.g, row.approx_nd, true)
+
+
+class TestGlobalRank:
+    def test_rank_matches_argsort(self, ray_session):
+        import ray.data
+
+        from edkray.ops.rank import global_rank
+
+        rng = np.random.default_rng(31)
+        n = 5000
+        # duplicate values so ties exercise the tiebreak path
+        v = rng.integers(0, 800, n).astype(np.float64)
+        k = rng.permutation(n).astype(np.int64)
+        tbl = pa.table({"k": pa.array(k), "v": pa.array(v)})
+        ds = ray.data.from_arrow(tbl).repartition(8)
+        ranked, total = global_rank(ds, "v", ["k"], num_parts=7, sample_per_batch=16)
+        assert total == n
+        df = ranked.to_pandas().sort_values("rank").reset_index(drop=True)
+        order = np.lexsort((k, v))
+        assert df["k"].to_numpy().tolist() == k[order].tolist()
+        assert df["rank"].to_list() == list(range(1, n + 1))
+
+    def test_rank_descending(self, ray_session):
+        import ray.data
+
+        from edkray.ops.rank import global_rank
+
+        tbl = pa.table({"k": pa.array([1, 2, 3, 4]), "v": pa.array([10.0, 40.0, 20.0, 30.0])})
+        ranked, _ = global_rank(ray.data.from_arrow(tbl), "v", ["k"],
+                                num_parts=2, descending=True)
+        df = ranked.to_pandas().sort_values("rank")
+        assert df["k"].to_list() == [2, 4, 3, 1]
+
+    def test_ntile_sizes(self, ray_session):
+        import ray.data
+
+        from edkray.ops.rank import ntile
+
+        n, tiles = 103, 10  # 103 = 10*10+3: first 3 tiles get 11 rows
+        tbl = pa.table({"k": pa.array(range(n)), "v": pa.array(np.arange(n) % 13)})
+        out = ntile(ray.data.from_arrow(tbl).repartition(4), "v", ["k"], tiles,
+                    num_parts=5).to_pandas()
+        sizes = out.groupby("tile").size()
+        assert sizes.to_list() == [11, 11, 11] + [10] * 7
+        # tile order must agree with the (v, k) total order
+        df = out.sort_values(["v", "k"]).reset_index(drop=True)
+        assert (np.diff(df["tile"].to_numpy()) >= 0).all()
