@@ -983,3 +983,58 @@ def weighted_sample(
     return global_top_k(
         scored, [score_col, key_col], n, descending=[True, False]
     )
+
+
+def rollup_agg(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    aggs: list[AggSpec],
+    all_label: str = "ALL",
+    batch_size: int = 65536,
+    max_group_rows: int = 2_000_000,
+) -> ray.data.Dataset:
+    """SQL ``GROUP BY ROLLUP(keys...)``: the finest-level aggregate plus
+    every prefix level up to the grand total, with rolled-up key
+    columns holding ``all_label`` (a sentinel, not NULL — the driver's
+    value-hash compares strings, and the reference data never uses the
+    sentinel as a real key).
+
+    Scale shape: ONE wide shuffle (:func:`grouped_agg` at the finest
+    level, combiner-pre-aggregated); every coarser level re-aggregates
+    the PREVIOUS, already-reduced level, so the whole cascade touches
+    report-sized data only and runs driver-side (bounds ENFORCED via
+    ``max_group_rows``, the :func:`grouped_agg_small` contract — a
+    rollup is only meaningful when the finest level is a report, not
+    the corpus). Re-aggregable fns only (sum/count/min/max; count
+    re-sums). Rolled-up keys must be string-typed (the sentinel label).
+    """
+    for fn, _, _ in aggs:
+        if fn not in ("sum", "count", "min", "max"):
+            raise ValueError(f"rollup_agg supports sum/count/min/max, not {fn}")
+
+    finest_ds = grouped_agg(ds, keys, aggs, batch_size=batch_size)
+    try:
+        finest = pl.from_pandas(finest_ds.to_pandas(limit=max_group_rows))
+    except ValueError as e:
+        raise ValueError(
+            f"rollup_agg: finest level exceeds max_group_rows={max_group_rows}; "
+            f"a rollup over an unbounded key set is not a report — aggregate "
+            f"with grouped_agg and roll up a bounded projection instead"
+        ) from e
+
+    # count partials are already counts: every coarser level just re-sums
+    combine = [
+        (pl.col(a).sum() if fn in ("sum", "count")
+         else pl.col(a).min() if fn == "min" else pl.col(a).max()).alias(a)
+        for fn, _, a in aggs
+    ]
+    out_cols = [*keys, *(a for _, _, a in aggs)]
+    levels = [finest.select(out_cols)]
+    prev = finest
+    for j in range(len(keys) - 1, -1, -1):
+        lvl = (prev.group_by(keys[:j]).agg(combine) if j
+               else prev.select(combine))
+        prev = lvl
+        pad = [pl.lit(all_label).alias(k) for k in keys[j:]]
+        levels.append(lvl.with_columns(pad).select(out_cols))
+    return ray.data.from_arrow(pl.concat(levels).to_arrow())

@@ -1289,6 +1289,46 @@ FROM t GROUP BY tile
 
 
 # --------------------------------------------------------------------------
+# Q: rollup_lineitem — GROUP BY ROLLUP cascade (subtotals + grand total)
+
+
+def q_rollup_lineitem(sf_dir: str):
+    """ROLLUP(l_returnflag, l_linestatus) over lineitem
+    (ops/aggregate.py:rollup_agg — one combiner-pre-aggregated shuffle
+    at the finest level, coarser levels re-aggregate the already-
+    reduced report driver-side under an ENFORCED row bound). Rolled-up
+    keys carry the 'ALL' sentinel so no NULL ever reaches the driver's
+    value-hash. Oracle: SQL ROLLUP with the same coalesce."""
+    from edkray.ops.aggregate import rollup_agg
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+    out = rollup_agg(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("sum", "l_quantity", "sum_qty"),
+            ("count", None, "n_rows"),
+            ("max", "l_extendedprice", "max_price"),
+        ],
+    )
+    return out.map_batches(
+        lambda b: _round_cols(b, ["sum_qty", "max_price"], 2), batch_format="pyarrow"
+    )
+
+
+_SQL_ROLLUP_LINEITEM = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n_rows,
+       round(max(l_extendedprice), 2) AS max_price
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: tfidf_terms — per-document keyword extraction (top-3 by tf·idf)
 
 
@@ -5530,6 +5570,7 @@ def queries() -> dict:
         "user_ewma": q_user_ewma,
         "weighted_orders": q_weighted_orders,
         "ntile_orders": q_ntile_orders,
+        "rollup_lineitem": q_rollup_lineitem,
         # -- last driver row in rounds 1-3 ----------------------------------
         "bbox_customers": q_bbox_customers,
         "catalog": q_catalog,
@@ -5713,6 +5754,7 @@ def oracle_sql() -> dict:
         "user_ewma": _SQL_USER_EWMA,
         "weighted_orders": _SQL_WEIGHTED_ORDERS,
         "ntile_orders": _SQL_NTILE_ORDERS,
+        "rollup_lineitem": _SQL_ROLLUP_LINEITEM,
         "bbox_customers": _SQL_BBOX,
         "catalog": _SQL_CATALOG,
         "users_per_type": _SQL_USERS_PER_TYPE,

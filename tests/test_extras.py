@@ -155,3 +155,37 @@ class TestGlobalRank:
         # tile order must agree with the (v, k) total order
         df = out.sort_values(["v", "k"]).reset_index(drop=True)
         assert (np.diff(df["tile"].to_numpy()) >= 0).all()
+
+
+class TestRollupAgg:
+    def test_levels_and_values(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import rollup_agg
+
+        tbl = pa.table({
+            "a": pa.array(["x", "x", "y", "y", "y"]),
+            "b": pa.array(["p", "q", "p", "p", "q"]),
+            "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0]),
+        })
+        out = rollup_agg(
+            ray.data.from_arrow(tbl).repartition(3),
+            ["a", "b"],
+            [("sum", "v", "s"), ("count", None, "n"), ("min", "v", "lo")],
+        ).to_pandas().set_index(["a", "b"]).sort_index()
+        assert len(out) == 4 + 2 + 1  # finest + per-a + grand total
+        assert out.loc[("x", "p"), "s"] == 1.0
+        assert out.loc[("y", "ALL"), "s"] == 12.0 and out.loc[("y", "ALL"), "n"] == 3
+        assert out.loc[("y", "ALL"), "lo"] == 3.0
+        assert out.loc[("ALL", "ALL"), "s"] == 15.0 and out.loc[("ALL", "ALL"), "n"] == 5
+
+    def test_bound_enforced(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import rollup_agg
+
+        tbl = pa.table({"a": pa.array([str(i) for i in range(100)]),
+                        "v": pa.array([1.0] * 100)})
+        with pytest.raises(ValueError, match="max_group_rows"):
+            rollup_agg(ray.data.from_arrow(tbl), ["a"], [("sum", "v", "s")],
+                       max_group_rows=10)
