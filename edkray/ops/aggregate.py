@@ -1038,3 +1038,44 @@ def rollup_agg(
         pad = [pl.lit(all_label).alias(k) for k in keys[j:]]
         levels.append(lvl.with_columns(pad).select(out_cols))
     return ray.data.from_arrow(pl.concat(levels).to_arrow())
+
+
+def grouped_mode(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    col: str,
+    alias: str = "mode",
+    count_alias: str | None = None,
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Deterministic per-group mode: the most frequent ``col`` value,
+    ties broken by the smaller value (count DESC, value ASC — a total
+    order, so the result is replayable in SQL row_number terms).
+
+    Scale shape mirrors :func:`grouped_quantile_disc`: phase 1 ships
+    the per-group VALUE HISTOGRAM (one ``(keys, col, count)`` row per
+    distinct value — :func:`grouped_agg`, combiner-pre-aggregated, so
+    the wire is bounded by the domain size, not the corpus), phase 2
+    is a bucketed per-key argmax over that small table. Only suitable
+    for bounded-domain columns; for unbounded domains use
+    :func:`heavy_hitters` sketches instead.
+    """
+    import polars as pl
+
+    from edkray.ops.shuffle import bucketed_group_map
+
+    counts = grouped_agg(ds, [*keys, col], [("count", None, "__cnt")])
+
+    def _argmax(tbl: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(tbl)
+            .sort([*keys, "__cnt", col], descending=[False] * len(keys) + [True, False])
+            .group_by(keys, maintain_order=True)
+            .agg(pl.col(col).first().alias(alias),
+                 pl.col("__cnt").first().alias(count_alias or "__n"))
+        )
+        if count_alias is None:
+            df = df.drop("__n")
+        return df.to_arrow()
+
+    return bucketed_group_map(counts, keys, _argmax, num_buckets=num_buckets)

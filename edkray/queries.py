@@ -1329,6 +1329,35 @@ GROUP BY ROLLUP(l_returnflag, l_linestatus)
 
 
 # --------------------------------------------------------------------------
+# Q: mode_event_type — deterministic per-group mode over a value histogram
+
+
+def q_mode_event_type(sf_dir: str):
+    """Most frequent event_type per user (ops/aggregate.py:grouped_mode
+    — the wire carries the per-user value HISTOGRAM, combiner-pre-
+    aggregated, then a bucketed argmax; ties break to the smaller
+    value so the result is a total order SQL can replay via
+    row_number over (count DESC, value ASC))."""
+    from edkray.ops.aggregate import grouped_mode
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return grouped_mode(ds, ["user_id"], "event_type",
+                        alias="mode_type", count_alias="n_mode")
+
+
+_SQL_MODE_EVENT_TYPE = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+), r AS (
+  SELECT user_id, event_type, n,
+         row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rn
+  FROM c
+)
+SELECT user_id, event_type AS mode_type, n AS n_mode FROM r WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: tfidf_terms — per-document keyword extraction (top-3 by tf·idf)
 
 
@@ -5571,6 +5600,7 @@ def queries() -> dict:
         "weighted_orders": q_weighted_orders,
         "ntile_orders": q_ntile_orders,
         "rollup_lineitem": q_rollup_lineitem,
+        "mode_event_type": q_mode_event_type,
         # -- last driver row in rounds 1-3 ----------------------------------
         "bbox_customers": q_bbox_customers,
         "catalog": q_catalog,
@@ -5755,6 +5785,7 @@ def oracle_sql() -> dict:
         "weighted_orders": _SQL_WEIGHTED_ORDERS,
         "ntile_orders": _SQL_NTILE_ORDERS,
         "rollup_lineitem": _SQL_ROLLUP_LINEITEM,
+        "mode_event_type": _SQL_MODE_EVENT_TYPE,
         "bbox_customers": _SQL_BBOX,
         "catalog": _SQL_CATALOG,
         "users_per_type": _SQL_USERS_PER_TYPE,

@@ -189,3 +189,20 @@ class TestRollupAgg:
         with pytest.raises(ValueError, match="max_group_rows"):
             rollup_agg(ray.data.from_arrow(tbl), ["a"], [("sum", "v", "s")],
                        max_group_rows=10)
+
+
+class TestGroupedMode:
+    def test_tiebreak_smaller_value(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import grouped_mode
+
+        tbl = pa.table({
+            "g": pa.array(["a", "a", "a", "a", "b", "b", "b"]),
+            "v": pa.array(["z", "z", "m", "m", "q", "q", "r"]),
+        })
+        out = grouped_mode(ray.data.from_arrow(tbl).repartition(3), ["g"], "v",
+                           alias="mode_v", count_alias="n",
+                           num_buckets=4).to_pandas().set_index("g")
+        assert out.loc["a", "mode_v"] == "m" and out.loc["a", "n"] == 2  # tie -> smaller
+        assert out.loc["b", "mode_v"] == "q" and out.loc["b", "n"] == 2
