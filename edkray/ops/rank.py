@@ -148,3 +148,59 @@ def ntile(
         return batch.drop_columns(["__rnk"]).append_column(tile_col, pa.array(t))
 
     return ranked.map_batches(_tile, batch_format="pyarrow")
+
+
+def _skyline_2d(tbl: pa.Table, max_col: str, min_col: str) -> pa.Table:
+    """Rows not dominated under (max_col ↑ better, min_col ↓ better).
+    p dominates q iff p.max ≥ q.max ∧ p.min ≤ q.min with one strict.
+    Vectorized: per distinct max value take the group min of min_col;
+    the running (strictly-greater-max) prefix-min then gives each row
+    its best dominator candidate."""
+    import polars as pl
+
+    df = pl.from_arrow(tbl)
+    g = (
+        df.group_by(max_col)
+        .agg(pl.col(min_col).min().alias("__gmin"))
+        .sort(max_col, descending=True)
+        .with_columns(pl.col("__gmin").cum_min().shift(1).alias("__pmin"))
+    )
+    out = (
+        df.join(g, on=max_col, how="left")
+        .filter(
+            (pl.col("__pmin").is_null() | (pl.col("__pmin") > pl.col(min_col)))
+            & (pl.col("__gmin") >= pl.col(min_col))
+        )
+        .drop(["__gmin", "__pmin"])
+    )
+    return out.to_arrow()
+
+
+def skyline_2d(
+    ds: ray.data.Dataset,
+    max_col: str,
+    min_col: str,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Distributed 2-D skyline (Pareto frontier): rows for which no
+    other row is ≥ on ``max_col`` and ≤ on ``min_col`` with at least
+    one strict inequality.
+
+    Scale shape: the local skyline of every batch (vectorized polars
+    kernel) is a superset filter — a globally non-dominated row
+    survives every local pass, and dominated rows never resurrect —
+    so the exchange carries only the per-block frontiers (O(frontier)
+    ≈ O(log rows) per block for independent dims). The final pass
+    re-runs the same kernel over the gathered candidates in one task
+    (``repartition(1)``), which is bounded by the candidate count,
+    not the corpus."""
+    local = ds.map_batches(
+        lambda b: _skyline_2d(b, max_col, min_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    return local.repartition(1).map_batches(
+        lambda b: _skyline_2d(b, max_col, min_col),
+        batch_format="pyarrow",
+        batch_size=None,
+    )

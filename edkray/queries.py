@@ -1358,6 +1358,33 @@ SELECT user_id, event_type AS mode_type, n AS n_mode FROM r WHERE rn = 1
 
 
 # --------------------------------------------------------------------------
+# Q: skyline_orders — 2-D Pareto frontier (max price, min date)
+
+
+def q_skyline_orders(sf_dir: str):
+    """Orders on the (totalprice ↑, orderdate ↓) Pareto frontier
+    (ops/rank.py:skyline_2d): per-batch vectorized local skyline is a
+    sound superset filter, so the exchange carries only block
+    frontiers (≈ log rows per block), then one candidate-bounded final
+    pass. Oracle is the NOT EXISTS dominance test (DuckDB IEJoin)."""
+    from edkray.ops.rank import skyline_2d
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+    return skyline_2d(ds, max_col="o_totalprice", min_col="o_orderdate")
+
+
+_SQL_SKYLINE_ORDERS = """
+SELECT o_orderkey, o_totalprice, o_orderdate
+FROM orders q
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders p
+  WHERE p.o_totalprice >= q.o_totalprice AND p.o_orderdate <= q.o_orderdate
+    AND (p.o_totalprice > q.o_totalprice OR p.o_orderdate < q.o_orderdate)
+)
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: tfidf_terms — per-document keyword extraction (top-3 by tf·idf)
 
 
@@ -5601,6 +5628,7 @@ def queries() -> dict:
         "ntile_orders": q_ntile_orders,
         "rollup_lineitem": q_rollup_lineitem,
         "mode_event_type": q_mode_event_type,
+        "skyline_orders": q_skyline_orders,
         # -- last driver row in rounds 1-3 ----------------------------------
         "bbox_customers": q_bbox_customers,
         "catalog": q_catalog,
@@ -5786,6 +5814,7 @@ def oracle_sql() -> dict:
         "ntile_orders": _SQL_NTILE_ORDERS,
         "rollup_lineitem": _SQL_ROLLUP_LINEITEM,
         "mode_event_type": _SQL_MODE_EVENT_TYPE,
+        "skyline_orders": _SQL_SKYLINE_ORDERS,
         "bbox_customers": _SQL_BBOX,
         "catalog": _SQL_CATALOG,
         "users_per_type": _SQL_USERS_PER_TYPE,

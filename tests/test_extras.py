@@ -206,3 +206,25 @@ class TestGroupedMode:
                            num_buckets=4).to_pandas().set_index("g")
         assert out.loc["a", "mode_v"] == "m" and out.loc["a", "n"] == 2  # tie -> smaller
         assert out.loc["b", "mode_v"] == "q" and out.loc["b", "n"] == 2
+
+
+class TestSkyline:
+    def test_matches_bruteforce(self, ray_session):
+        import ray.data
+
+        from edkray.ops.rank import skyline_2d
+
+        rng = np.random.default_rng(5)
+        n = 2000
+        price = rng.integers(0, 500, n).astype(np.float64)  # ties likely
+        date = rng.integers(0, 500, n).astype(np.int64)
+        tbl = pa.table({"k": pa.array(range(n)), "p": pa.array(price), "d": pa.array(date)})
+        got = sorted(skyline_2d(ray.data.from_arrow(tbl).repartition(8),
+                                "p", "d").to_pandas()["k"])
+        dominated = np.zeros(n, dtype=bool)
+        for i in range(n):
+            dom = (price >= price[i]) & (date <= date[i]) & (
+                (price > price[i]) | (date < date[i]))
+            dominated[i] = dom.any()
+        exp = sorted(np.flatnonzero(~dominated).tolist())
+        assert got == exp
