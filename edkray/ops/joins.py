@@ -1021,3 +1021,77 @@ def radius_pairs(
 
     return bucketed_group_map(cand, [cell_c], _pairs, num_buckets=num_buckets,
                               batch_size=batch_size)
+
+
+def idw_grid(
+    ds: ray.data.Dataset,
+    lon_col: str,
+    lat_col: str,
+    value_col: str,
+    grid_lon: np.ndarray,
+    grid_lat: np.ndarray,
+    radius_km: float,
+    power: float = 2.0,
+    eps: float = 1e-9,
+    batch_size: int = 4096,
+) -> ray.data.Dataset:
+    """Inverse-distance-weighted interpolation of a point field onto a
+    fixed grid (the raster↔vector bridge run in reverse: scattered web
+    observations → a regular raster). For every grid center g:
+    ``idw = Σ v_i/(d_i^power+eps) / Σ 1/(d_i^power+eps)`` over points
+    within ``radius_km``.
+
+    Scale shape: the grid is the SMALL side — broadcast once via
+    ``ray.put`` and pinned per actor; each batch computes the dense
+    batch×grid haversine matrix (vectorized) and emits only the
+    per-grid-cell PARTIAL sums (≤ |grid| rows per batch, a combiner),
+    so the shuffle carries grid-sized partials, never points. Output:
+    one row per grid cell with ≥1 in-radius point — (gid, glon, glat,
+    n_pts, idw).
+    """
+    from edkray.geo.distance import haversine_km
+    from edkray.ops.aggregate import grouped_agg
+
+    grid = np.stack([np.asarray(grid_lon, np.float64),
+                     np.asarray(grid_lat, np.float64)], axis=1)
+    grid_ref = ray.put(grid)
+
+    class _Partial:
+        def __init__(self):
+            self.grid = ray.get(grid_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            lon = b[lon_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            lat = b[lat_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            d = haversine_km(lon[:, None], lat[:, None],
+                             self.grid[None, :, 0], self.grid[None, :, 1])
+            mask = d <= radius_km
+            w = np.where(mask, 1.0 / (d**power + eps), 0.0)
+            w_sum = w.sum(axis=0)
+            wv_sum = (w * v[:, None]).sum(axis=0)
+            n = mask.sum(axis=0).astype(np.int64)
+            keep = n > 0
+            gid = np.flatnonzero(keep).astype(np.int64)
+            return pa.table({"gid": gid, "__w": w_sum[keep],
+                             "__wv": wv_sum[keep], "n_pts": n[keep]})
+
+    partials = ds.map_batches(
+        _Partial, batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 8)
+    )
+    agg = grouped_agg(partials, ["gid"], [
+        ("sum", "__w", "__w"), ("sum", "__wv", "__wv"), ("sum", "n_pts", "n_pts"),
+    ])
+
+    def _final(b: pa.Table) -> pa.Table:
+        gid = b["gid"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "gid": gid,
+            "glon": grid[gid, 0],
+            "glat": grid[gid, 1],
+            "n_pts": b["n_pts"],
+            "idw": (b["__wv"].to_numpy(zero_copy_only=False)
+                    / b["__w"].to_numpy(zero_copy_only=False)),
+        })
+
+    return agg.map_batches(_final, batch_format="pyarrow")

@@ -1385,6 +1385,53 @@ WHERE NOT EXISTS (
 
 
 # --------------------------------------------------------------------------
+# Q: idw_grid — inverse-distance-weighted field interpolation onto a grid
+
+_IDW_RADIUS_KM = 2000.0
+
+
+def q_idw_grid(sf_dir: str):
+    """Scattered event values interpolated onto a fixed 15° grid
+    (ops/joins.py:idw_grid — grid broadcast once via ray.put, dense
+    batch×grid haversine matrix per batch, per-grid PARTIAL sums so
+    the shuffle moves grid-sized combiners, never points). Oracle
+    replays the cross join + weight formula in SQL."""
+    from edkray.ops.joins import idw_grid
+
+    ii, jj = np.meshgrid(np.arange(24), np.arange(12), indexing="ij")
+    glon = (-172.5 + 15.0 * ii.ravel())
+    glat = (-82.5 + 15.0 * jj.ravel())
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    pts = ds.map_batches(lambda b: _add_lonlat(b, "event_id"), batch_format="pyarrow")
+    out = idw_grid(pts, "lon", "lat", "value", glon, glat,
+                   radius_km=_IDW_RADIUS_KM)
+    return out.map_batches(lambda b: _round_cols(b, ["idw"], 4), batch_format="pyarrow")
+
+
+_SQL_IDW_GRID = f"""
+WITH pts AS (
+  SELECT {_sql_lon('event_id')} AS lon, {_sql_lat('event_id')} AS lat, value FROM events
+), g AS (
+  SELECT (i * 12 + j) AS gid, -172.5 + 15.0 * i AS glon, -82.5 + 15.0 * j AS glat
+  FROM range(24) t1(i) CROSS JOIN range(12) t2(j)
+), d AS (
+  SELECT g.gid, g.glon, g.glat, p.value,
+         2 * 6371.0088 * asin(sqrt(
+           pow(sin(radians(g.glat - p.lat) / 2), 2)
+           + cos(radians(p.lat)) * cos(radians(g.glat))
+             * pow(sin(radians(g.glon - p.lon) / 2), 2)
+         )) AS dist
+  FROM g CROSS JOIN pts p
+)
+SELECT gid, glon, glat, count(*) AS n_pts,
+       round(sum(value / (pow(dist, 2) + 1e-9))
+             / sum(1.0 / (pow(dist, 2) + 1e-9)), 4) AS idw
+FROM d WHERE dist <= {_IDW_RADIUS_KM} GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: tfidf_terms — per-document keyword extraction (top-3 by tf·idf)
 
 
@@ -5629,6 +5676,7 @@ def queries() -> dict:
         "rollup_lineitem": q_rollup_lineitem,
         "mode_event_type": q_mode_event_type,
         "skyline_orders": q_skyline_orders,
+        "idw_grid": q_idw_grid,
         # -- last driver row in rounds 1-3 ----------------------------------
         "bbox_customers": q_bbox_customers,
         "catalog": q_catalog,
@@ -5815,6 +5863,7 @@ def oracle_sql() -> dict:
         "rollup_lineitem": _SQL_ROLLUP_LINEITEM,
         "mode_event_type": _SQL_MODE_EVENT_TYPE,
         "skyline_orders": _SQL_SKYLINE_ORDERS,
+        "idw_grid": _SQL_IDW_GRID,
         "bbox_customers": _SQL_BBOX,
         "catalog": _SQL_CATALOG,
         "users_per_type": _SQL_USERS_PER_TYPE,

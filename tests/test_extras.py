@@ -228,3 +228,29 @@ class TestSkyline:
             dominated[i] = dom.any()
         exp = sorted(np.flatnonzero(~dominated).tolist())
         assert got == exp
+
+
+class TestIdwGrid:
+    def test_matches_bruteforce(self, ray_session):
+        import ray.data
+
+        from edkray.geo.distance import haversine_km
+        from edkray.ops.joins import idw_grid
+
+        rng = np.random.default_rng(12)
+        n = 3000
+        lon = rng.uniform(-179, 179, n)
+        lat = rng.uniform(-80, 80, n)
+        val = rng.normal(10, 3, n)
+        glon = np.array([-120.0, 0.0, 60.5])
+        glat = np.array([40.0, -10.0, 70.0])
+        tbl = pa.table({"lon": pa.array(lon), "lat": pa.array(lat), "v": pa.array(val)})
+        out = idw_grid(ray.data.from_arrow(tbl).repartition(6), "lon", "lat", "v",
+                       glon, glat, radius_km=3000.0).to_pandas().set_index("gid")
+        for g in range(3):
+            d = haversine_km(lon, lat, glon[g], glat[g])
+            m = d <= 3000.0
+            w = 1.0 / (d[m] ** 2 + 1e-9)
+            exp = (w * val[m]).sum() / w.sum()
+            assert out.loc[g, "n_pts"] == m.sum()
+            assert abs(out.loc[g, "idw"] - exp) < 1e-9
