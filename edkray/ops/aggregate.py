@@ -1079,3 +1079,49 @@ def grouped_mode(
         return df.to_arrow()
 
     return bucketed_group_map(counts, keys, _argmax, num_buckets=num_buckets)
+
+
+def grouped_quantile_cont(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    col: str,
+    ps: list[float],
+    aliases: list[str],
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Exact CONTINUOUS quantiles per group (DuckDB ``quantile_cont`` /
+    ``median``: value at 0-based position ``p·(n-1)``, linearly
+    interpolated between the bracketing order statistics).
+
+    Same wire shape as :func:`grouped_quantile_disc`: phase 1 ships the
+    per-group value HISTOGRAM (combiner-pre-aggregated ``(keys, col,
+    count)`` rows — bounded by the column's domain, not the corpus),
+    phase 2 walks each group's cumulative counts to pick the two
+    bracketing values and interpolate. Bounded-domain columns only.
+    """
+    import polars as pl
+
+    from edkray.ops.shuffle import bucketed_group_map
+
+    counts = grouped_agg(ds, [*keys, col], [("count", None, "__cnt")])
+
+    def _finalize(tbl: pa.Table) -> pa.Table:
+        df = pl.from_arrow(tbl).sort([*keys, col]).to_pandas()
+        rows = []
+        for gk, grp in df.groupby(keys, sort=False):
+            vals = grp[col].to_numpy(dtype=np.float64)
+            cnt = grp["__cnt"].to_numpy(dtype=np.int64)
+            cum = np.cumsum(cnt)
+            n = int(cum[-1])
+            rec = dict(zip(keys, gk if isinstance(gk, tuple) else (gk,)))
+            for p, alias in zip(ps, aliases):
+                h = p * (n - 1)
+                i0, i1 = int(np.floor(h)), int(np.ceil(h))
+                # order statistic k (0-based) = first value with cum > k
+                v0 = vals[np.searchsorted(cum, i0, side="right")]
+                v1 = vals[np.searchsorted(cum, i1, side="right")]
+                rec[alias] = v0 + (h - i0) * (v1 - v0)
+            rows.append(rec)
+        return pa.Table.from_pylist(rows)
+
+    return bucketed_group_map(counts, keys, _finalize, num_buckets=num_buckets)

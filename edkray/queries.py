@@ -1432,6 +1432,37 @@ FROM d WHERE dist <= {_IDW_RADIUS_KM} GROUP BY 1, 2, 3
 
 
 # --------------------------------------------------------------------------
+# Q: flag_quartiles — exact continuous per-group quantiles
+
+
+def q_flag_quartiles(sf_dir: str):
+    """Exact q25/median/q75 of quantity per return flag
+    (ops/aggregate.py:grouped_quantile_cont — the wire carries the
+    per-group value histogram, combiner-pre-aggregated; the bucketed
+    finalize interpolates DuckDB's quantile_cont order statistics
+    exactly)."""
+    from edkray.ops.aggregate import grouped_quantile_cont
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    out = grouped_quantile_cont(
+        ds, ["l_returnflag"], "l_quantity",
+        ps=[0.25, 0.5, 0.75], aliases=["q25", "q50", "q75"],
+    )
+    return out.map_batches(
+        lambda b: _round_cols(b, ["q25", "q50", "q75"], 4), batch_format="pyarrow"
+    )
+
+
+_SQL_FLAG_QUARTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+       round(quantile_cont(l_quantity, 0.50), 4) AS q50,
+       round(quantile_cont(l_quantity, 0.75), 4) AS q75
+FROM lineitem GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: tfidf_terms — per-document keyword extraction (top-3 by tf·idf)
 
 
@@ -5677,6 +5708,7 @@ def queries() -> dict:
         "mode_event_type": q_mode_event_type,
         "skyline_orders": q_skyline_orders,
         "idw_grid": q_idw_grid,
+        "flag_quartiles": q_flag_quartiles,
         # -- last driver row in rounds 1-3 ----------------------------------
         "bbox_customers": q_bbox_customers,
         "catalog": q_catalog,
@@ -5864,6 +5896,7 @@ def oracle_sql() -> dict:
         "mode_event_type": _SQL_MODE_EVENT_TYPE,
         "skyline_orders": _SQL_SKYLINE_ORDERS,
         "idw_grid": _SQL_IDW_GRID,
+        "flag_quartiles": _SQL_FLAG_QUARTILES,
         "bbox_customers": _SQL_BBOX,
         "catalog": _SQL_CATALOG,
         "users_per_type": _SQL_USERS_PER_TYPE,

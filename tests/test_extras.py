@@ -254,3 +254,24 @@ class TestIdwGrid:
             exp = (w * val[m]).sum() / w.sum()
             assert out.loc[g, "n_pts"] == m.sum()
             assert abs(out.loc[g, "idw"] - exp) < 1e-9
+
+
+class TestQuantileCont:
+    def test_matches_numpy_interpolation(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import grouped_quantile_cont
+
+        rng = np.random.default_rng(3)
+        g = rng.choice(["a", "b", "c"], 4000)
+        v = rng.integers(0, 60, 4000).astype(np.float64)
+        tbl = pa.table({"g": pa.array(g), "v": pa.array(v)})
+        out = grouped_quantile_cont(
+            ray.data.from_arrow(tbl).repartition(5), ["g"], "v",
+            ps=[0.25, 0.5, 0.9], aliases=["q25", "q50", "q90"],
+        ).to_pandas().set_index("g")
+        for grp in "abc":
+            vals = v[g == grp]
+            for p, alias in [(0.25, "q25"), (0.5, "q50"), (0.9, "q90")]:
+                exp = np.quantile(vals, p)  # linear interpolation = quantile_cont
+                assert abs(out.loc[grp, alias] - exp) < 1e-12, (grp, alias)
