@@ -1463,6 +1463,47 @@ FROM lineitem GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# Q: typo_pairs — edit-distance-1 vocabulary join (deletion neighborhoods)
+
+
+def q_typo_pairs(sf_dir: str):
+    """Vocabulary entries one edit apart (ops/editdist.py:ed1_pairs —
+    SymSpell deletion-neighborhood keys turn the O(V²) scan into one
+    hash shuffle over neighborhood-sized buckets + a vectorized exact
+    verify). Tokens: lowercased alpha runs of part names, length ≥ 3,
+    deduped distributed. Oracle: the O(V²) levenshtein self-join —
+    verification-only, the op never does all-pairs."""
+    import polars as pl
+
+    from edkray.ops.aggregate import distinct
+    from edkray.ops.editdist import ed1_pairs
+
+    ds = _read(sf_dir, "part", ["p_name"])
+
+    def _toks(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).select(
+            pl.col("p_name").str.to_lowercase()
+            .str.extract_all(r"[a-z]+").alias("tok")
+        ).explode("tok").filter(pl.col("tok").str.len_chars() >= 3)
+        return df.to_arrow()
+
+    vocab = distinct(ds.map_batches(_toks, batch_format="pyarrow"), ["tok"])
+    return ed1_pairs(vocab, col="tok")
+
+
+_SQL_TYPO_PAIRS = """
+WITH toks AS (
+  SELECT DISTINCT lower(unnest(regexp_split_to_array(p_name, '[^a-zA-Z]+'))) AS tok
+  FROM part
+), t AS (
+  SELECT tok FROM toks WHERE length(tok) >= 3
+)
+SELECT a.tok AS tok_a, b.tok AS tok_b
+FROM t a JOIN t b ON a.tok < b.tok AND levenshtein(a.tok, b.tok) = 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: tfidf_terms — per-document keyword extraction (top-3 by tf·idf)
 
 
@@ -5709,6 +5750,7 @@ def queries() -> dict:
         "skyline_orders": q_skyline_orders,
         "idw_grid": q_idw_grid,
         "flag_quartiles": q_flag_quartiles,
+        "typo_pairs": q_typo_pairs,
         # -- last driver row in rounds 1-3 ----------------------------------
         "bbox_customers": q_bbox_customers,
         "catalog": q_catalog,
@@ -5897,6 +5939,7 @@ def oracle_sql() -> dict:
         "skyline_orders": _SQL_SKYLINE_ORDERS,
         "idw_grid": _SQL_IDW_GRID,
         "flag_quartiles": _SQL_FLAG_QUARTILES,
+        "typo_pairs": _SQL_TYPO_PAIRS,
         "bbox_customers": _SQL_BBOX,
         "catalog": _SQL_CATALOG,
         "users_per_type": _SQL_USERS_PER_TYPE,

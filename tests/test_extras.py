@@ -275,3 +275,56 @@ class TestQuantileCont:
             for p, alias in [(0.25, "q25"), (0.5, "q50"), (0.9, "q90")]:
                 exp = np.quantile(vals, p)  # linear interpolation = quantile_cont
                 assert abs(out.loc[grp, alias] - exp) < 1e-12, (grp, alias)
+
+
+class TestEd1Pairs:
+    def test_mask_cases(self):
+        from edkray.ops.editdist import ed1_mask
+
+        a = np.array(["red", "cold", "abc", "abc", "abc", "kitten", "abc"])
+        b = np.array(["rod", "old", "abcd", "abc", "axc", "sitten", "bcda"])
+        got = ed1_mask(a, b).tolist()
+        #      sub    del    ins    eq     sub    sub     far
+        assert got == [True, True, True, False, True, True, False]
+        # insertion at front / middle / end (symmetric order), then a 2-edit
+        assert ed1_mask(np.array(["bc", "ac", "ab", "xabc", "axbz"]),
+                        np.array(["abc", "abc", "abc", "abc", "abc"])).tolist() == [
+            True, True, True, True, False]
+
+    def test_pairs_match_bruteforce(self, ray_session):
+        import itertools
+
+        import ray.data
+
+        from edkray.ops.editdist import ed1_pairs
+
+        rng = np.random.default_rng(77)
+        vocab = set()
+        base = ["table", "chair", "spark", "shard", "merge", "query"]
+        for w in base:
+            vocab.add(w)
+            for _ in range(3):  # random 1-edits and 2-edits
+                i = rng.integers(0, len(w))
+                c = chr(ord("a") + rng.integers(0, 26))
+                vocab.add(w[:i] + c + w[i + 1:])
+                vocab.add(w[:i] + w[i + 1:])
+                vocab.add(w[:i] + c + w[i:])
+        vocab = sorted(vocab)
+
+        def ed(x, y):
+            if len(x) > len(y):
+                x, y = y, x
+            prev = list(range(len(x) + 1))
+            for j, cy in enumerate(y, 1):
+                cur = [j]
+                for i, cx in enumerate(x, 1):
+                    cur.append(min(prev[i] + 1, cur[i - 1] + 1,
+                                   prev[i - 1] + (cx != cy)))
+                prev = cur
+            return prev[-1]
+
+        exp = sorted((x, y) for x, y in itertools.combinations(vocab, 2)
+                     if ed(x, y) == 1)
+        ds = ray.data.from_arrow(pa.table({"tok": pa.array(vocab)})).repartition(4)
+        got = sorted(map(tuple, ed1_pairs(ds).to_pandas().to_numpy()))
+        assert got == exp
