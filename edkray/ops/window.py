@@ -171,3 +171,74 @@ def ewma_by_key(
         return res.to_arrow()
 
     return bucketed_group_map(ds, keys, _fold, num_buckets=num_buckets)
+
+
+def funnel_counts(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Ordered funnel analysis: how many keys (users) reach each step of
+    ``steps``, where step k counts keys with an event of type
+    ``steps[k]`` STRICTLY after their earliest completion time of step
+    k-1 (the greedy earliest-transition semantics — replayable in SQL
+    as a chain of min-ts joins).
+
+    Scale shape: rows co-shuffle ONCE by key hash
+    (:func:`~edkray.ops.shuffle.bucketed_group_map` — every key's
+    events land in one bucket); inside a bucket the whole step chain is
+    vectorized polars (filter → join → group min per step), and only
+    the per-bucket COUNTS (≤ len(steps) rows) leave the bucket. A
+    zero-filled seed keeps steps that no key reaches present with
+    n_keys = 0. Output: (step, step_type, n_keys) per step.
+    """
+    import polars as pl
+
+    from edkray.ops.shuffle import bucketed_group_map
+
+    narrow = ds.map_batches(
+        lambda b: b.select([*keys, ts_col, type_col]),
+        batch_format="pyarrow",
+    )
+
+    def _bucket(tbl: pa.Table) -> pa.Table:
+        df = pl.from_arrow(tbl)
+        cur = (
+            df.filter(pl.col(type_col) == steps[0])
+            .group_by(keys)
+            .agg(pl.col(ts_col).min().alias("__t"))
+        )
+        ns = [len(cur)]
+        for s in steps[1:]:
+            cur = (
+                df.filter(pl.col(type_col) == s)
+                .join(cur, on=keys, how="inner")
+                .filter(pl.col(ts_col) > pl.col("__t"))
+                .group_by(keys)
+                .agg(pl.col(ts_col).min().alias("__t"))
+            )
+            ns.append(len(cur))
+        return pa.table({
+            "step": pa.array(range(1, len(steps) + 1), pa.int64()),
+            "n_keys": pa.array(ns, pa.int64()),
+        })
+
+    partials = bucketed_group_map(narrow, keys, _bucket, num_buckets=num_buckets)
+    seed = ray.data.from_arrow(pa.table({
+        "step": pa.array(range(1, len(steps) + 1), pa.int64()),
+        "n_keys": pa.array([0] * len(steps), pa.int64()),
+    }))
+    totals = grouped_agg(partials.union(seed), ["step"],
+                         [("sum", "n_keys", "n_keys")])
+
+    def _label(b: pa.Table) -> pa.Table:
+        st = b["step"].to_numpy(zero_copy_only=False)
+        names = np.asarray(steps, dtype=object)[st - 1]
+        return pa.table({"step": b["step"],
+                         "step_type": pa.array(list(names), pa.string()),
+                         "n_keys": b["n_keys"]})
+
+    return totals.map_batches(_label, batch_format="pyarrow")

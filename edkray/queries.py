@@ -1504,6 +1504,41 @@ FROM t a JOIN t b ON a.tok < b.tok AND levenshtein(a.tok, b.tok) = 1
 
 
 # --------------------------------------------------------------------------
+# Q: funnel_steps — ordered view→click→purchase funnel over events
+
+
+def q_funnel_steps(sf_dir: str):
+    """Users reaching each step of the view→click→purchase funnel with
+    strictly increasing timestamps, greedy earliest-transition
+    semantics (ops/window.py:funnel_counts — one key co-shuffle, the
+    whole step chain vectorized in-bucket, only per-bucket counts on
+    the wire). Oracle replays the same min-ts join chain in SQL."""
+    from edkray.ops.window import funnel_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return funnel_counts(ds, ["user_id"], "ts", "event_type",
+                         steps=["view", "click", "purchase"])
+
+
+_SQL_FUNNEL_STEPS = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS ts1 FROM events WHERE event_type = 'view' GROUP BY 1
+), t2 AS (
+  SELECT e.user_id, min(e.ts) AS ts2
+  FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > t1.ts1 GROUP BY 1
+), t3 AS (
+  SELECT e.user_id, min(e.ts) AS ts3
+  FROM events e JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > t2.ts2 GROUP BY 1
+)
+SELECT 1 AS step, 'view' AS step_type, count(*) AS n_keys FROM t1
+UNION ALL SELECT 2, 'click', count(*) FROM t2
+UNION ALL SELECT 3, 'purchase', count(*) FROM t3
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: tfidf_terms — per-document keyword extraction (top-3 by tf·idf)
 
 
@@ -5751,6 +5786,7 @@ def queries() -> dict:
         "idw_grid": q_idw_grid,
         "flag_quartiles": q_flag_quartiles,
         "typo_pairs": q_typo_pairs,
+        "funnel_steps": q_funnel_steps,
         # -- last driver row in rounds 1-3 ----------------------------------
         "bbox_customers": q_bbox_customers,
         "catalog": q_catalog,
@@ -5940,6 +5976,7 @@ def oracle_sql() -> dict:
         "idw_grid": _SQL_IDW_GRID,
         "flag_quartiles": _SQL_FLAG_QUARTILES,
         "typo_pairs": _SQL_TYPO_PAIRS,
+        "funnel_steps": _SQL_FUNNEL_STEPS,
         "bbox_customers": _SQL_BBOX,
         "catalog": _SQL_CATALOG,
         "users_per_type": _SQL_USERS_PER_TYPE,

@@ -328,3 +328,38 @@ class TestEd1Pairs:
         ds = ray.data.from_arrow(pa.table({"tok": pa.array(vocab)})).repartition(4)
         got = sorted(map(tuple, ed1_pairs(ds).to_pandas().to_numpy()))
         assert got == exp
+
+
+class TestFunnel:
+    def test_counts_and_zero_step(self, ray_session):
+        import ray.data
+
+        from edkray.ops.window import funnel_counts
+
+        rows = [
+            # u1 completes A->B->C in order
+            (1, 1, "A"), (1, 2, "B"), (1, 3, "C"),
+            # u2 has B before A: reaches A only
+            (2, 5, "B"), (2, 6, "A"),
+            # u3: A then C (no B): reaches A only
+            (3, 1, "A"), (3, 2, "C"),
+            # u4: A, B at same ts as A (strict > excludes), later B ok
+            (4, 1, "A"), (4, 1, "B"), (4, 2, "B"),
+        ]
+        tbl = pa.table({
+            "u": pa.array([r[0] for r in rows]),
+            "ts": pa.array([r[1] for r in rows]),
+            "et": pa.array([r[2] for r in rows]),
+        })
+        out = funnel_counts(ray.data.from_arrow(tbl).repartition(3),
+                            ["u"], "ts", "et", steps=["A", "B", "C"],
+                            num_buckets=4).to_pandas().set_index("step")
+        assert out.loc[1, "n_keys"] == 4
+        assert out.loc[2, "n_keys"] == 2  # u1 and u4
+        assert out.loc[3, "n_keys"] == 1  # u1
+        assert out.loc[3, "step_type"] == "C"
+        # a step nobody reaches still appears with 0
+        out2 = funnel_counts(ray.data.from_arrow(tbl), ["u"], "ts", "et",
+                             steps=["C", "B", "A"], num_buckets=2
+                             ).to_pandas().set_index("step")
+        assert out2.loc[3, "n_keys"] == 0
