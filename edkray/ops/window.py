@@ -242,3 +242,70 @@ def funnel_counts(
                          "n_keys": b["n_keys"]})
 
     return totals.map_batches(_label, batch_format="pyarrow")
+
+
+def gap_stats(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    ts_col: str,
+    tiebreak: list[str] | None = None,
+    unit_us: float = 1_000_000.0,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Per-key inter-event gap statistics (the LAG window): rows sort by
+    ``(ts, *tiebreak)`` inside each key, gaps are consecutive ts
+    deltas, output is one row per key with (n_gaps, mean_gap, max_gap)
+    in units of ``unit_us`` microseconds (default: seconds).
+
+    Scale shape: ONE key-hash co-shuffle
+    (:func:`~edkray.ops.shuffle.bucketed_group_map`); the sort + diff +
+    aggregate runs as a single vectorized polars plan per bucket.
+    Keys with a single event emit n_gaps = 0 and null gap stats
+    (matching SQL's LAG semantics where no gap row exists).
+    """
+    import polars as pl
+
+    from edkray.ops.shuffle import bucketed_group_map
+
+    order = [ts_col, *(tiebreak or [])]
+
+    def _bucket(tbl: pa.Table) -> pa.Table:
+        # gaps stay EXACT integer microseconds in-plan; the float unit
+        # conversion happens once in the numpy finalize below so the
+        # division sequence is bit-identical to the SQL oracle's
+        # (polars may constant-fold x/c into x*(1/c), which differs in
+        # the last ulp and flips round() at .5 knife-edges)
+        df = (
+            pl.from_arrow(tbl)
+            .sort([*keys, *order])
+            .with_columns(
+                pl.col(ts_col).cast(pl.Int64).diff().over(keys).alias("__gap")
+            )
+        )
+        # first row of each key has a null diff -> not a gap
+        out = (
+            df.group_by(keys)
+            .agg(
+                pl.col("__gap").drop_nulls().len().cast(pl.Int64).alias("n_gaps"),
+                pl.col("__gap").sum().alias("__sum_us"),
+                pl.col("__gap").max().alias("__max_us"),
+            )
+        )
+        return out.to_arrow()
+
+    per_key = bucketed_group_map(ds, keys, _bucket, num_buckets=num_buckets)
+
+    def _units(b: pa.Table) -> pa.Table:
+        n = b["n_gaps"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = b["__sum_us"].to_numpy(zero_copy_only=False).astype(np.float64)
+        m = b["__max_us"].to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = (s / n) / unit_us
+        return pa.table({
+            **{k: b[k] for k in keys},
+            "n_gaps": b["n_gaps"],
+            "mean_gap": mean,
+            "max_gap": m / unit_us,
+        })
+
+    return per_key.map_batches(_units, batch_format="pyarrow")

@@ -1539,6 +1539,39 @@ UNION ALL SELECT 3, 'purchase', count(*) FROM t3
 
 
 # --------------------------------------------------------------------------
+# Q: user_gaps — per-user inter-event gap stats (the LAG window)
+
+
+def q_user_gaps(sf_dir: str):
+    """Per-user inter-event gap statistics in event-time order
+    (ops/window.py:gap_stats — one key co-shuffle, sort + diff +
+    aggregate as a single vectorized polars plan per bucket). Oracle:
+    SQL LAG over the same (ts, event_id) order."""
+    from edkray.ops.window import gap_stats
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    out = gap_stats(ds, ["user_id"], "ts", tiebreak=["event_id"])
+    return out.map_batches(
+        lambda b: _round_cols(b, ["mean_gap", "max_gap"], 4), batch_format="pyarrow"
+    )
+
+
+_SQL_USER_GAPS = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT user_id,
+       count(gap_us) AS n_gaps,
+       round((sum(gap_us) / count(gap_us)) / 1000000.0, 4) AS mean_gap,
+       round(max(gap_us) / 1000000.0, 4) AS max_gap
+FROM g GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: tfidf_terms — per-document keyword extraction (top-3 by tf·idf)
 
 
@@ -5787,6 +5820,7 @@ def queries() -> dict:
         "flag_quartiles": q_flag_quartiles,
         "typo_pairs": q_typo_pairs,
         "funnel_steps": q_funnel_steps,
+        "user_gaps": q_user_gaps,
         # -- last driver row in rounds 1-3 ----------------------------------
         "bbox_customers": q_bbox_customers,
         "catalog": q_catalog,
@@ -5977,6 +6011,7 @@ def oracle_sql() -> dict:
         "flag_quartiles": _SQL_FLAG_QUARTILES,
         "typo_pairs": _SQL_TYPO_PAIRS,
         "funnel_steps": _SQL_FUNNEL_STEPS,
+        "user_gaps": _SQL_USER_GAPS,
         "bbox_customers": _SQL_BBOX,
         "catalog": _SQL_CATALOG,
         "users_per_type": _SQL_USERS_PER_TYPE,

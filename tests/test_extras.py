@@ -363,3 +363,38 @@ class TestFunnel:
                              steps=["C", "B", "A"], num_buckets=2
                              ).to_pandas().set_index("step")
         assert out2.loc[3, "n_keys"] == 0
+
+
+class TestGapStats:
+    def test_matches_pandas(self, ray_session):
+        import ray.data
+
+        from edkray.ops.window import gap_stats
+
+        rng = np.random.default_rng(8)
+        n = 4000
+        us = rng.integers(0, 10**9, n) * 1000
+        tbl = pa.table({
+            "u": pa.array(rng.integers(0, 37, n)),
+            "ts": pa.array(us).cast(pa.timestamp("us")),
+            "i": pa.array(np.arange(n)),
+        })
+        got = gap_stats(ray.data.from_arrow(tbl).repartition(5), ["u"], "ts",
+                        tiebreak=["i"]).to_pandas().set_index("u").sort_index()
+        pdf = tbl.to_pandas().sort_values(["u", "ts", "i"])
+        pdf["gap"] = pdf.groupby("u")["ts"].diff().dt.total_seconds()
+        exp = pdf.groupby("u")["gap"].agg(["count", "mean", "max"])
+        assert (got["n_gaps"] == exp["count"]).all()
+        assert np.allclose(got["mean_gap"], exp["mean"], atol=1e-6)
+        assert np.allclose(got["max_gap"], exp["max"], atol=1e-9)
+
+    def test_single_event_key(self, ray_session):
+        import ray.data
+
+        from edkray.ops.window import gap_stats
+
+        tbl = pa.table({"u": pa.array([1, 2, 2]),
+                        "ts": pa.array([10**6, 2 * 10**6, 5 * 10**6]).cast(pa.timestamp("us"))})
+        got = gap_stats(ray.data.from_arrow(tbl), ["u"], "ts").to_pandas().set_index("u")
+        assert got.loc[1, "n_gaps"] == 0 and np.isnan(got.loc[1, "mean_gap"])
+        assert got.loc[2, "n_gaps"] == 1 and got.loc[2, "max_gap"] == 3.0
