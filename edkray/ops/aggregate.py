@@ -1125,3 +1125,41 @@ def grouped_quantile_cont(
         return pa.Table.from_pylist(rows)
 
     return bucketed_group_map(counts, keys, _finalize, num_buckets=num_buckets)
+
+
+def pivot_counts(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    pivot_col: str,
+    categories: list[str],
+    prefix: str = "n_",
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Long→wide pivot of category counts: one output row per key with
+    a ``{prefix}{category}`` count column per category. Categories are
+    EXPLICIT (the distributed-pivot contract — a deterministic output
+    schema can't depend on discovering values at runtime; discover
+    them first with :func:`distinct` if needed). Values outside
+    ``categories`` are ignored.
+
+    Scale shape: the per-batch combiner already emits the WIDE partial
+    (one row per key per batch, vectorized boolean-sum per category),
+    so the shuffle carries key-cardinality-sized wide rows and the
+    final combine is a plain :func:`grouped_agg` sum per column —
+    pivoting costs nothing beyond the groupby it replaces.
+    """
+    specs = [("sum", f"{prefix}{c}", f"{prefix}{c}") for c in categories]
+
+    def _partial(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select([*keys, pivot_col]))
+        return (
+            df.group_by(keys)
+            .agg([
+                (pl.col(pivot_col) == c).sum().cast(pl.Int64).alias(f"{prefix}{c}")
+                for c in categories
+            ])
+            .to_arrow()
+        )
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow", batch_size=batch_size)
+    return grouped_agg(partials, keys, specs, batch_size=batch_size)

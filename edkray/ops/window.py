@@ -309,3 +309,36 @@ def gap_stats(
         })
 
     return per_key.map_batches(_units, batch_format="pyarrow")
+
+
+def cumsum_by_key(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak: list[str] | None = None,
+    out: str = "running_sum",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Per-key running total in event-time order — SQL
+    ``SUM(value) OVER (PARTITION BY keys ORDER BY ts, *tiebreak ROWS
+    UNBOUNDED PRECEDING)``. One key co-shuffle
+    (:func:`~edkray.ops.shuffle.bucketed_group_map`), then a single
+    vectorized sort + ``cum_sum().over(keys)`` per bucket; the
+    accumulation order matches the SQL window's exactly, so float
+    results agree addition-by-addition."""
+    import polars as pl
+
+    from edkray.ops.shuffle import bucketed_group_map
+
+    order = [ts_col, *(tiebreak or [])]
+
+    def _bucket(tbl: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(tbl)
+            .sort([*keys, *order])
+            .with_columns(pl.col(value_col).cum_sum().over(keys).alias(out))
+            .to_arrow()
+        )
+
+    return bucketed_group_map(ds, keys, _bucket, num_buckets=num_buckets)

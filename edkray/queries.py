@@ -1572,6 +1572,66 @@ FROM g GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# Q: running_totals — per-user cumulative sum in event-time order
+
+
+def q_running_totals(sf_dir: str):
+    """Per-user running total of event value (ops/window.py:
+    cumsum_by_key — one key co-shuffle, vectorized cum_sum over the
+    (ts, event_id) order; the accumulation sequence matches the SQL
+    window frame addition-by-addition)."""
+    from edkray.ops.window import cumsum_by_key
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = cumsum_by_key(ds, ["user_id"], "ts", "value", tiebreak=["event_id"])
+    out = out.map_batches(
+        lambda b: b.select(["event_id", "user_id", "running_sum"]),
+        batch_format="pyarrow",
+    )
+    return out.map_batches(
+        lambda b: _round_cols(b, ["running_sum"], 4), batch_format="pyarrow"
+    )
+
+
+_SQL_RUNNING_TOTALS = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING), 4) AS running_sum
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: user_type_pivot — long→wide pivot of per-user event-type counts
+
+_EVENT_TYPES = ["view", "click", "signup", "error", "purchase"]
+
+
+def q_user_type_pivot(sf_dir: str):
+    """Per-user event counts pivoted wide, one column per event type
+    (ops/aggregate.py:pivot_counts — the per-batch combiner emits the
+    wide partial directly, so the shuffle carries key-sized wide rows
+    and the pivot costs nothing beyond the groupby). Oracle: FILTER
+    counts per category."""
+    from edkray.ops.aggregate import pivot_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return pivot_counts(ds, ["user_id"], "event_type", _EVENT_TYPES)
+
+
+_SQL_USER_TYPE_PIVOT = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'view') AS n_view,
+       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+       count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+       count(*) FILTER (WHERE event_type = 'error') AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase
+FROM events GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: tfidf_terms — per-document keyword extraction (top-3 by tf·idf)
 
 
@@ -5821,6 +5881,8 @@ def queries() -> dict:
         "typo_pairs": q_typo_pairs,
         "funnel_steps": q_funnel_steps,
         "user_gaps": q_user_gaps,
+        "running_totals": q_running_totals,
+        "user_type_pivot": q_user_type_pivot,
         # -- last driver row in rounds 1-3 ----------------------------------
         "bbox_customers": q_bbox_customers,
         "catalog": q_catalog,
@@ -6012,6 +6074,8 @@ def oracle_sql() -> dict:
         "typo_pairs": _SQL_TYPO_PAIRS,
         "funnel_steps": _SQL_FUNNEL_STEPS,
         "user_gaps": _SQL_USER_GAPS,
+        "running_totals": _SQL_RUNNING_TOTALS,
+        "user_type_pivot": _SQL_USER_TYPE_PIVOT,
         "bbox_customers": _SQL_BBOX,
         "catalog": _SQL_CATALOG,
         "users_per_type": _SQL_USERS_PER_TYPE,

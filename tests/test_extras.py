@@ -398,3 +398,42 @@ class TestGapStats:
         got = gap_stats(ray.data.from_arrow(tbl), ["u"], "ts").to_pandas().set_index("u")
         assert got.loc[1, "n_gaps"] == 0 and np.isnan(got.loc[1, "mean_gap"])
         assert got.loc[2, "n_gaps"] == 1 and got.loc[2, "max_gap"] == 3.0
+
+
+class TestCumsumPivot:
+    def test_cumsum_matches_pandas(self, ray_session):
+        import ray.data
+
+        from edkray.ops.window import cumsum_by_key
+
+        rng = np.random.default_rng(21)
+        n = 3000
+        tbl = pa.table({
+            "u": pa.array(rng.integers(0, 23, n)),
+            "ts": pa.array(rng.integers(0, 10**8, n)).cast(pa.timestamp("us")),
+            "i": pa.array(np.arange(n)),
+            "v": pa.array(rng.normal(size=n)),
+        })
+        got = cumsum_by_key(ray.data.from_arrow(tbl).repartition(4), ["u"], "ts",
+                            "v", tiebreak=["i"]).to_pandas().sort_values("i")
+        pdf = tbl.to_pandas().sort_values(["u", "ts", "i"])
+        pdf["exp"] = pdf.groupby("u")["v"].cumsum()
+        exp = pdf.sort_values("i")
+        assert np.allclose(got["running_sum"].to_numpy(), exp["exp"].to_numpy(), atol=1e-9)
+
+    def test_pivot_counts(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import pivot_counts
+
+        rng = np.random.default_rng(4)
+        n = 5000
+        g = rng.integers(0, 40, n)
+        c = rng.choice(["x", "y", "z"], n)
+        tbl = pa.table({"g": pa.array(g), "c": pa.array(c)})
+        got = pivot_counts(ray.data.from_arrow(tbl).repartition(6), ["g"], "c",
+                           ["x", "y", "z"]).to_pandas().set_index("g").sort_index()
+        pdf = tbl.to_pandas()
+        for cat in "xyz":
+            exp = pdf[pdf.c == cat].groupby("g").size().reindex(got.index, fill_value=0)
+            assert (got[f"n_{cat}"] == exp).all(), cat
