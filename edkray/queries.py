@@ -1632,6 +1632,66 @@ FROM events GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# Q: vocab_overlap / vocab_only_docs — INTERSECT / EXCEPT set ops
+
+
+def _doc_part_vocabs(sf_dir: str):
+    import polars as pl
+
+    def _tok(col):
+        def _fn(b: pa.Table) -> pa.Table:
+            return (
+                pl.from_arrow(b)
+                .select(pl.col(col).str.to_lowercase()
+                        .str.extract_all(r"[a-z]+").alias("tok"))
+                .explode("tok")
+                .filter(pl.col("tok").str.len_chars() >= 3)
+                .to_arrow()
+            )
+        return _fn
+
+    docs = _read(sf_dir, "documents", ["text"]).map_batches(
+        _tok("text"), batch_format="pyarrow")
+    parts = _read(sf_dir, "part", ["p_name"]).map_batches(
+        _tok("p_name"), batch_format="pyarrow")
+    return docs, parts
+
+
+def q_vocab_overlap(sf_dir: str):
+    """Tokens present in BOTH the document corpus and the part-name
+    vocabulary (ops/setops.py:set_op 'intersect' — per-batch dedup
+    combiner, one hash shuffle of tagged keys, two-flag max decision).
+    Oracle: SQL INTERSECT."""
+    from edkray.ops.setops import set_op
+
+    docs, parts = _doc_part_vocabs(sf_dir)
+    return set_op(docs, parts, ["tok"], how="intersect")
+
+
+def q_vocab_only_docs(sf_dir: str):
+    """Tokens in the document corpus but NOT in part names
+    (ops/setops.py:set_op 'except' — same single tagged shuffle).
+    Oracle: SQL EXCEPT."""
+    from edkray.ops.setops import set_op
+
+    docs, parts = _doc_part_vocabs(sf_dir)
+    return set_op(docs, parts, ["tok"], how="except")
+
+
+_SQL_VOCAB_BASE = """
+WITH dt AS (
+  SELECT lower(unnest(regexp_split_to_array(text, '[^a-zA-Z]+'))) AS tok FROM documents
+), pt AS (
+  SELECT lower(unnest(regexp_split_to_array(p_name, '[^a-zA-Z]+'))) AS tok FROM part
+), d AS (SELECT tok FROM dt WHERE length(tok) >= 3),
+     p AS (SELECT tok FROM pt WHERE length(tok) >= 3)
+"""
+
+_SQL_VOCAB_OVERLAP = _SQL_VOCAB_BASE + "SELECT tok FROM d INTERSECT SELECT tok FROM p"
+_SQL_VOCAB_ONLY_DOCS = _SQL_VOCAB_BASE + "SELECT tok FROM d EXCEPT SELECT tok FROM p"
+
+
+# --------------------------------------------------------------------------
 # Q: tfidf_terms — per-document keyword extraction (top-3 by tf·idf)
 
 
@@ -5883,6 +5943,8 @@ def queries() -> dict:
         "user_gaps": q_user_gaps,
         "running_totals": q_running_totals,
         "user_type_pivot": q_user_type_pivot,
+        "vocab_overlap": q_vocab_overlap,
+        "vocab_only_docs": q_vocab_only_docs,
         # -- last driver row in rounds 1-3 ----------------------------------
         "bbox_customers": q_bbox_customers,
         "catalog": q_catalog,
@@ -6076,6 +6138,8 @@ def oracle_sql() -> dict:
         "user_gaps": _SQL_USER_GAPS,
         "running_totals": _SQL_RUNNING_TOTALS,
         "user_type_pivot": _SQL_USER_TYPE_PIVOT,
+        "vocab_overlap": _SQL_VOCAB_OVERLAP,
+        "vocab_only_docs": _SQL_VOCAB_ONLY_DOCS,
         "bbox_customers": _SQL_BBOX,
         "catalog": _SQL_CATALOG,
         "users_per_type": _SQL_USERS_PER_TYPE,

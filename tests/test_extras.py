@@ -437,3 +437,21 @@ class TestCumsumPivot:
         for cat in "xyz":
             exp = pdf[pdf.c == cat].groupby("g").size().reindex(got.index, fill_value=0)
             assert (got[f"n_{cat}"] == exp).all(), cat
+
+
+class TestSetOps:
+    def test_intersect_except(self, ray_session):
+        import ray.data
+
+        from edkray.ops.setops import set_op
+
+        a = pa.table({"k": pa.array([1, 1, 2, 3, 4, 4]), "s": pa.array(list("aabcdd"))})
+        b = pa.table({"k": pa.array([2, 4, 5]), "s": pa.array(list("bdz"))})
+        da = ray.data.from_arrow(a).repartition(3)
+        db = ray.data.from_arrow(b).repartition(2)
+        inter = set_op(da, db, ["k", "s"], "intersect").to_pandas()
+        exc = set_op(da, db, ["k", "s"], "except").to_pandas()
+        assert sorted(map(tuple, inter.to_numpy())) == [(2, "b"), (4, "d")]
+        assert sorted(map(tuple, exc.to_numpy())) == [(1, "a"), (3, "c")]
+        with pytest.raises(ValueError):
+            set_op(da, db, ["k"], "union")
