@@ -1163,3 +1163,45 @@ def pivot_counts(
 
     partials = ds.map_batches(_partial, batch_format="pyarrow", batch_size=batch_size)
     return grouped_agg(partials, keys, specs, batch_size=batch_size)
+
+
+def histogram(
+    ds: ray.data.Dataset,
+    col: str,
+    bins: int,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Global equi-width histogram: pass 1 computes min/max (a narrow
+    native aggregate — combiners all the way down), pass 2 assigns
+    ``bin = min(floor((x-mn)/(mx-mn)·bins), bins-1)`` per batch and
+    counts via :func:`grouped_agg` (the wire carries ≤ ``bins`` rows
+    per block). Output: (bin, lo, hi, n) per non-empty bin, edge
+    formulas written to match the SQL oracle's operation order so the
+    float boundaries agree bit-for-bit."""
+    stats = ds.aggregate(Min(col), Max(col))
+    mn = float(stats[f"min({col})"])
+    mx = float(stats[f"max({col})"])
+    if mx <= mn:
+        raise ValueError(f"histogram: degenerate range [{mn}, {mx}] for {col}")
+
+    def _bin(b: pa.Table) -> pa.Table:
+        v = b[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.minimum(np.floor((v - mn) / (mx - mn) * bins).astype(np.int64),
+                         bins - 1)
+        return pa.table({"bin": idx})
+
+    counts = grouped_agg(
+        ds.map_batches(_bin, batch_format="pyarrow", batch_size=batch_size),
+        ["bin"], [("count", None, "n")],
+    )
+
+    def _edges(b: pa.Table) -> pa.Table:
+        k = b["bin"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "bin": b["bin"],
+            "lo": mn + k * (mx - mn) / bins,
+            "hi": mn + (k + 1.0) * (mx - mn) / bins,
+            "n": b["n"],
+        })
+
+    return counts.map_batches(_edges, batch_format="pyarrow")

@@ -1692,6 +1692,39 @@ _SQL_VOCAB_ONLY_DOCS = _SQL_VOCAB_BASE + "SELECT tok FROM d EXCEPT SELECT tok FR
 
 
 # --------------------------------------------------------------------------
+# Q: price_histogram — global equi-width histogram (two-pass)
+
+
+def q_price_histogram(sf_dir: str):
+    """20-bin equi-width histogram of order totalprice
+    (ops/aggregate.py:histogram — a narrow min/max pass, then per-batch
+    bin assignment + combiner counts; edge formulas replicate the SQL
+    operation order bit-for-bit)."""
+    from edkray.ops.aggregate import histogram
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    out = histogram(ds, "o_totalprice", bins=20)
+    return out.map_batches(lambda b: _round_cols(b, ["lo", "hi"], 4),
+                           batch_format="pyarrow")
+
+
+_SQL_PRICE_HISTOGRAM = """
+WITH s AS (
+  SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+), b AS (
+  SELECT least(CAST(floor((o_totalprice - mn) / (mx - mn) * 20) AS BIGINT), 19) AS bin,
+         mn, mx
+  FROM orders, s
+)
+SELECT bin,
+       round(mn + bin * (mx - mn) / 20, 4) AS lo,
+       round(mn + (bin + 1.0) * (mx - mn) / 20, 4) AS hi,
+       count(*) AS n
+FROM b GROUP BY 1, mn, mx
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: tfidf_terms — per-document keyword extraction (top-3 by tf·idf)
 
 
@@ -5945,6 +5978,7 @@ def queries() -> dict:
         "user_type_pivot": q_user_type_pivot,
         "vocab_overlap": q_vocab_overlap,
         "vocab_only_docs": q_vocab_only_docs,
+        "price_histogram": q_price_histogram,
         # -- last driver row in rounds 1-3 ----------------------------------
         "bbox_customers": q_bbox_customers,
         "catalog": q_catalog,
@@ -6140,6 +6174,7 @@ def oracle_sql() -> dict:
         "user_type_pivot": _SQL_USER_TYPE_PIVOT,
         "vocab_overlap": _SQL_VOCAB_OVERLAP,
         "vocab_only_docs": _SQL_VOCAB_ONLY_DOCS,
+        "price_histogram": _SQL_PRICE_HISTOGRAM,
         "bbox_customers": _SQL_BBOX,
         "catalog": _SQL_CATALOG,
         "users_per_type": _SQL_USERS_PER_TYPE,

@@ -455,3 +455,32 @@ class TestSetOps:
         assert sorted(map(tuple, exc.to_numpy())) == [(1, "a"), (3, "c")]
         with pytest.raises(ValueError):
             set_op(da, db, ["k"], "union")
+
+
+class TestHistogram:
+    def test_matches_numpy(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import histogram
+
+        rng = np.random.default_rng(19)
+        v = rng.uniform(-5, 17, 8000)
+        tbl = pa.table({"x": pa.array(v)})
+        got = histogram(ray.data.from_arrow(tbl).repartition(5), "x", bins=12
+                        ).to_pandas().set_index("bin").sort_index()
+        mn, mx = v.min(), v.max()
+        idx = np.minimum(np.floor((v - mn) / (mx - mn) * 12).astype(int), 11)
+        exp = np.bincount(idx, minlength=12)
+        assert got["n"].sum() == len(v)
+        for b in got.index:
+            assert got.loc[b, "n"] == exp[b]
+            assert abs(got.loc[b, "lo"] - (mn + b * (mx - mn) / 12)) < 1e-12
+
+    def test_degenerate_range(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import histogram
+
+        tbl = pa.table({"x": pa.array([3.0, 3.0])})
+        with pytest.raises(ValueError, match="degenerate"):
+            histogram(ray.data.from_arrow(tbl), "x", bins=4)
