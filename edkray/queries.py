@@ -1725,6 +1725,43 @@ FROM b GROUP BY 1, mn, mx
 
 
 # --------------------------------------------------------------------------
+# Q: above_avg_orders — decorrelated correlated subquery
+
+
+def q_above_avg_orders(sf_dir: str):
+    """Orders priced above their OWN customer's average — the classic
+    correlated subquery, decorrelated into a per-key mean
+    (ops/aggregate.py:grouped_agg, combiner-pre-aggregated) plus a
+    LARGE↔LARGE co-shuffled join on the same key
+    (ops/joins.py:bucketed_join — customer cardinality scales with the
+    corpus, so no broadcast). Exact-equality rows (single-order
+    customers) fall out identically on both engines."""
+    from edkray.ops.aggregate import grouped_agg
+    from edkray.ops.joins import bucketed_join
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    avgs = grouped_agg(ds, ["o_custkey"], [("mean", "o_totalprice", "__avg")])
+    joined = bucketed_join(ds, avgs, on=["o_custkey"], how="inner", num_buckets=16)
+
+    def _filt(b: pa.Table) -> pa.Table:
+        keep = pc.greater(b["o_totalprice"], b["__avg"])
+        return b.filter(keep).select(["o_orderkey", "o_custkey", "o_totalprice"])
+
+    return joined.map_batches(_filt, batch_format="pyarrow")
+
+
+_SQL_ABOVE_AVG_ORDERS = """
+WITH a AS (
+  SELECT o_custkey, sum(o_totalprice) / count(o_totalprice) AS avg_p
+  FROM orders GROUP BY 1
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM orders o JOIN a USING (o_custkey)
+WHERE o.o_totalprice > a.avg_p
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: tfidf_terms — per-document keyword extraction (top-3 by tf·idf)
 
 
@@ -5979,6 +6016,7 @@ def queries() -> dict:
         "vocab_overlap": q_vocab_overlap,
         "vocab_only_docs": q_vocab_only_docs,
         "price_histogram": q_price_histogram,
+        "above_avg_orders": q_above_avg_orders,
         # -- last driver row in rounds 1-3 ----------------------------------
         "bbox_customers": q_bbox_customers,
         "catalog": q_catalog,
@@ -6175,6 +6213,7 @@ def oracle_sql() -> dict:
         "vocab_overlap": _SQL_VOCAB_OVERLAP,
         "vocab_only_docs": _SQL_VOCAB_ONLY_DOCS,
         "price_histogram": _SQL_PRICE_HISTOGRAM,
+        "above_avg_orders": _SQL_ABOVE_AVG_ORDERS,
         "bbox_customers": _SQL_BBOX,
         "catalog": _SQL_CATALOG,
         "users_per_type": _SQL_USERS_PER_TYPE,
