@@ -1205,3 +1205,29 @@ def histogram(
         })
 
     return counts.map_batches(_edges, batch_format="pyarrow")
+
+
+def grouped_string_agg(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_col: str,
+    alias: str = "agg",
+    sep: str = ",",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """SQL ``string_agg(value, sep ORDER BY value)`` per group:
+    deterministic (value-sorted) concatenation built on
+    :func:`grouped_collect` (per-batch partial lists as the combiner,
+    one bucketed shuffle of list rows, in-bucket flatten + sort), plus
+    a vectorized join-to-string finalize. A group's concatenated
+    string must fit one row — same bound as any per-key collect."""
+
+    def _join(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).with_columns(
+            pl.col(alias).list.join(sep).alias(alias)
+        )
+        return df.to_arrow()
+
+    collected = grouped_collect(ds, keys, value_col, alias=alias, sort=True,
+                                num_buckets=num_buckets)
+    return collected.map_batches(_join, batch_format="pyarrow")

@@ -342,3 +342,71 @@ def cumsum_by_key(
         )
 
     return bucketed_group_map(ds, keys, _bucket, num_buckets=num_buckets)
+
+
+def trajectory_stats(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    ts_col: str,
+    lon_col: str,
+    lat_col: str,
+    tiebreak: list[str] | None = None,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Per-key movement summary over an ordered point stream: number of
+    legs, total great-circle path length, and net first→last
+    displacement (km). The geospatial LAG window — consecutive-event
+    hops per entity.
+
+    Scale shape: ONE key co-shuffle
+    (:func:`~edkray.ops.shuffle.bucketed_group_map`); inside a bucket
+    the leg distances are a single vectorized haversine over the
+    shifted coordinate arrays (masked at key boundaries), then a
+    polars group aggregate. Single-point keys emit n_legs = 0 and
+    zero distances.
+    """
+    import polars as pl
+
+    from edkray.geo.distance import haversine_km
+    from edkray.ops.shuffle import bucketed_group_map
+
+    order = [ts_col, *(tiebreak or [])]
+
+    def _bucket(tbl: pa.Table) -> pa.Table:
+        df = pl.from_arrow(tbl).sort([*keys, *order])
+        lon = df[lon_col].to_numpy().astype(np.float64)
+        lat = df[lat_col].to_numpy().astype(np.float64)
+        same = np.ones(len(df), dtype=bool)
+        for k in keys:
+            kv = df[k].to_numpy()
+            same &= np.r_[False, kv[1:] == kv[:-1]]
+        leg = np.zeros(len(df))
+        if len(df) > 1:
+            d = haversine_km(lon[:-1], lat[:-1], lon[1:], lat[1:])
+            leg[1:] = np.where(same[1:], d, 0.0)
+        out = (
+            df.with_columns(pl.Series("__leg", leg),
+                            pl.Series("__isleg", same))
+            .group_by(keys)
+            .agg(
+                pl.col("__isleg").sum().cast(pl.Int64).alias("n_legs"),
+                pl.col("__leg").sum().alias("path_km"),
+                pl.col(lon_col).first().alias("__lon0"),
+                pl.col(lat_col).first().alias("__lat0"),
+                pl.col(lon_col).last().alias("__lon1"),
+                pl.col(lat_col).last().alias("__lat1"),
+            )
+        )
+        net = haversine_km(out["__lon0"].to_numpy(), out["__lat0"].to_numpy(),
+                           out["__lon1"].to_numpy(), out["__lat1"].to_numpy())
+        return (
+            out.with_columns(pl.Series("net_km", net))
+            .drop(["__lon0", "__lat0", "__lon1", "__lat1"])
+            .to_arrow()
+        )
+
+    narrow = ds.map_batches(
+        lambda b: b.select([*keys, *order, lon_col, lat_col]),
+        batch_format="pyarrow",
+    )
+    return bucketed_group_map(narrow, keys, _bucket, num_buckets=num_buckets)

@@ -1762,6 +1762,90 @@ WHERE o.o_totalprice > a.avg_p
 
 
 # --------------------------------------------------------------------------
+# Q: region_nations — deterministic per-group string aggregation
+
+
+def q_region_nations(sf_dir: str):
+    """Comma-joined, value-sorted nation list per region
+    (ops/aggregate.py:grouped_string_agg over grouped_collect — list
+    combiner per batch, one bucketed shuffle, vectorized join-to-
+    string; broadcast join for the tiny region dimension)."""
+    from edkray.ops.aggregate import grouped_string_agg
+    from edkray.ops.joins import broadcast_join
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    region_tbl = pq.read_table(_p(sf_dir, "region"), columns=["r_regionkey", "r_name"])
+    joined = broadcast_join(nation, region_tbl, on=["n_regionkey"],
+                            right_on=["r_regionkey"], how="inner")
+    return grouped_string_agg(joined, ["r_name"], "n_name", alias="nations")
+
+
+_SQL_REGION_NATIONS = """
+SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM region JOIN nation ON r_regionkey = n_regionkey
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: user_trajectories — per-user path length / net displacement
+
+
+def _sql_hav(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    return (
+        f"2 * 6371.0088 * asin(sqrt("
+        f"pow(sin(radians({lat2} - {lat1}) / 2), 2)"
+        f" + cos(radians({lat1})) * cos(radians({lat2}))"
+        f" * pow(sin(radians({lon2} - {lon1}) / 2), 2)))"
+    )
+
+
+def q_user_trajectories(sf_dir: str):
+    """Per-user movement summary over the event stream — legs, total
+    great-circle path, net first→last displacement
+    (ops/window.py:trajectory_stats — one key co-shuffle, vectorized
+    haversine over shifted coordinate arrays, key boundaries masked).
+    Oracle: SQL LAG + ordered first/last over the same total order."""
+    from edkray.ops.window import trajectory_stats
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    pts = ds.map_batches(lambda b: _add_lonlat(b, "event_id"), batch_format="pyarrow")
+    out = trajectory_stats(pts, ["user_id"], "ts", "lon", "lat",
+                           tiebreak=["event_id"])
+    return out.map_batches(
+        lambda b: _round_cols(b, ["path_km", "net_km"], 4), batch_format="pyarrow"
+    )
+
+
+_SQL_USER_TRAJECTORIES = f"""
+WITH p AS (
+  SELECT user_id, ts, event_id,
+         {_sql_lon('event_id')} AS lon, {_sql_lat('event_id')} AS lat
+  FROM events
+), l AS (
+  SELECT user_id, lon, lat,
+         lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), agg AS (
+  SELECT user_id, count(plon) AS n_legs,
+         sum(CASE WHEN plon IS NULL THEN 0
+             ELSE {_sql_hav('plon', 'plat', 'lon', 'lat')} END) AS path_km
+  FROM l GROUP BY 1
+), e AS (
+  SELECT user_id,
+         first(lon ORDER BY ts, event_id) AS lon0,
+         first(lat ORDER BY ts, event_id) AS lat0,
+         last(lon ORDER BY ts, event_id) AS lon1,
+         last(lat ORDER BY ts, event_id) AS lat1
+  FROM p GROUP BY 1
+)
+SELECT a.user_id, a.n_legs, round(a.path_km, 4) AS path_km,
+       round({_sql_hav('e.lon0', 'e.lat0', 'e.lon1', 'e.lat1')}, 4) AS net_km
+FROM agg a JOIN e USING (user_id)
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: tfidf_terms — per-document keyword extraction (top-3 by tf·idf)
 
 
@@ -6017,6 +6101,8 @@ def queries() -> dict:
         "vocab_only_docs": q_vocab_only_docs,
         "price_histogram": q_price_histogram,
         "above_avg_orders": q_above_avg_orders,
+        "region_nations": q_region_nations,
+        "user_trajectories": q_user_trajectories,
         # -- last driver row in rounds 1-3 ----------------------------------
         "bbox_customers": q_bbox_customers,
         "catalog": q_catalog,
@@ -6214,6 +6300,8 @@ def oracle_sql() -> dict:
         "vocab_only_docs": _SQL_VOCAB_ONLY_DOCS,
         "price_histogram": _SQL_PRICE_HISTOGRAM,
         "above_avg_orders": _SQL_ABOVE_AVG_ORDERS,
+        "region_nations": _SQL_REGION_NATIONS,
+        "user_trajectories": _SQL_USER_TRAJECTORIES,
         "bbox_customers": _SQL_BBOX,
         "catalog": _SQL_CATALOG,
         "users_per_type": _SQL_USERS_PER_TYPE,

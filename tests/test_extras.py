@@ -484,3 +484,43 @@ class TestHistogram:
         tbl = pa.table({"x": pa.array([3.0, 3.0])})
         with pytest.raises(ValueError, match="degenerate"):
             histogram(ray.data.from_arrow(tbl), "x", bins=4)
+
+
+class TestStringAggTrajectory:
+    def test_string_agg_sorted(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import grouped_string_agg
+
+        tbl = pa.table({"g": pa.array(["a", "a", "b", "a"]),
+                        "v": pa.array(["z", "m", "q", "k"])})
+        out = grouped_string_agg(ray.data.from_arrow(tbl).repartition(2),
+                                 ["g"], "v", alias="s", num_buckets=2
+                                 ).to_pandas().set_index("g")
+        assert out.loc["a", "s"] == "k,m,z"
+        assert out.loc["b", "s"] == "q"
+
+    def test_trajectory_matches_manual(self, ray_session):
+        import ray.data
+
+        from edkray.geo.distance import haversine_km
+        from edkray.ops.window import trajectory_stats
+
+        # user 1: 3 points; user 2: single point
+        lon = np.array([0.0, 10.0, 10.0, 50.0])
+        lat = np.array([0.0, 0.0, 20.0, 30.0])
+        tbl = pa.table({
+            "u": pa.array([1, 1, 1, 2]),
+            "ts": pa.array([1, 2, 3, 1]).cast(pa.timestamp("us")),
+            "i": pa.array([0, 1, 2, 3]),
+            "lon": pa.array(lon), "lat": pa.array(lat),
+        })
+        out = trajectory_stats(ray.data.from_arrow(tbl).repartition(2),
+                               ["u"], "ts", "lon", "lat", tiebreak=["i"],
+                               num_buckets=2).to_pandas().set_index("u")
+        exp_path = (haversine_km(0, 0, 10, 0) + haversine_km(10, 0, 10, 20))
+        assert out.loc[1, "n_legs"] == 2
+        assert abs(out.loc[1, "path_km"] - exp_path) < 1e-9
+        assert abs(out.loc[1, "net_km"] - haversine_km(0, 0, 10, 20)) < 1e-9
+        assert out.loc[2, "n_legs"] == 0 and out.loc[2, "path_km"] == 0.0
+        assert out.loc[2, "net_km"] == 0.0
