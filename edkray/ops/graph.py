@@ -182,7 +182,14 @@ def connected_components(
             f"(diameter > 2^{max_iter} is impossible — raise max_iter only "
             f"if the input graph is adversarial)"
         )
-    return bucketed_group_map(msgs, [NODE], _label_kernel, num_buckets=num_buckets)
+    out = bucketed_group_map(msgs, [NODE], _label_kernel, num_buckets=num_buckets)
+    # Zero input edges → every block empty → Ray loses the schema
+    # (ds.schema() is None and downstream joins crash). Anchor the
+    # fixed (doc_id, cluster_id) int64 schema with one 0-row block.
+    return out.union(ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "cluster_id": pa.array([], pa.int64()),
+    })))
 
 
 def dedup_decisions(

@@ -1019,8 +1019,13 @@ def radius_pairs(
             out_dist: pa.array(d),
         })
 
-    return bucketed_group_map(cand, [cell_c], _pairs, num_buckets=num_buckets,
-                              batch_size=batch_size)
+    out = bucketed_group_map(cand, [cell_c], _pairs, num_buckets=num_buckets,
+                             batch_size=batch_size)
+    # Zero qualifying pairs leaves every block empty and Ray Data then
+    # reports schema=None (colless to_pandas); union one 0-row TYPED
+    # block so the (key_a, key_b, dist_km) schema survives the no-pair
+    # case (e.g. tiny inputs where no two points fall within radius).
+    return out.union(ray.data.from_arrow(empty))
 
 
 def idw_grid(

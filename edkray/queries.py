@@ -1099,7 +1099,16 @@ def q_radius_pairs(sf_dir: str):
         ds, key_col="c_custkey", lon_col="lon", lat_col="lat",
         radius_km=_RADIUS_KM, cell_res=7,
     )
-    return out.map_batches(lambda b: _round_cols(b, ["dist_km"]), batch_format="pyarrow")
+    out = out.map_batches(lambda b: _round_cols(b, ["dist_km"]), batch_format="pyarrow")
+    # Trailing map over all-empty blocks never runs, so re-anchor the
+    # typed schema LAST — keeps ds.schema() non-None when the radius
+    # yields zero pairs (tiny inputs).
+    empty = pa.table({
+        "key_a": pa.array([], pa.int64()),
+        "key_b": pa.array([], pa.int64()),
+        "dist_km": pa.array([], pa.float64()),
+    })
+    return out.union(ray.data.from_arrow(empty))
 
 
 _SQL_RADIUS_PAIRS = f"""
@@ -1144,7 +1153,12 @@ def q_spatial_clusters(sf_dir: str):
     labels = labels.map_batches(
         lambda b: pa.table({"c_custkey": b["doc_id"], "cluster_id": b["cluster_id"]}),
         batch_format="pyarrow",
-    )
+    ).union(ray.data.from_arrow(pa.table({
+        # no-edge corpora: trailing maps skip empty blocks and drop the
+        # schema; re-anchor so the left join below sees typed columns
+        "c_custkey": pa.array([], pa.int64()),
+        "cluster_id": pa.array([], pa.int64()),
+    })))
     joined = bucketed_join(ds, labels, on=["c_custkey"], how="left", num_buckets=16)
 
     def _fill(b: pa.Table) -> pa.Table:

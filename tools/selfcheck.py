@@ -25,7 +25,14 @@ def to_pandas(res):
     import ray.data
 
     if isinstance(res, ray.data.Dataset):
-        return res.to_pandas()
+        df = res.to_pandas()
+        if df.shape[1] == 0 and len(df) == 0:
+            # Ray's to_pandas drops columns for 0-row datasets; rebuild
+            # the typed empty frame from the dataset schema when known.
+            sch = res.schema(fetch_if_missing=True)
+            if sch is not None:
+                df = pa.schema(list(zip(sch.names, sch.types))).empty_table().to_pandas()
+        return df
     if isinstance(res, pa.Table):
         return res.to_pandas()
     return res
