@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from .shuffle import bucketed_group_map
@@ -623,3 +624,145 @@ def triangle_count(
     parts = bucketed_group_map(tagged, ["a", "b"], _close, num_buckets=num_buckets)
     total = sum(r["n"] for r in parts.take_all())  # O(num_buckets) scalars
     return pa.table({"n_triangles": pa.array([total], type=pa.int64())})
+
+
+def hits(
+    edges: ray.data.Dataset,
+    num_iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    num_buckets: int = 32,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """HITS hubs & authorities (Kleinberg 1999) over an edge list — the
+    second classic web link-analysis ranking next to :func:`pagerank`
+    (crawl frontier scoring distinguishes good *pointers* from good
+    *content*; PageRank alone conflates the two). The reference engine
+    has no graph analytics; this extends the link-analysis family.
+
+    Semantics (pinned, SQL-replayable with unrolled CTEs):
+
+    - node set = {src} ∪ {dst}; hub_0(u) = 1.0 for every node
+    - per iteration t: auth_t(v) = Σ_{(u,v)∈E} hub_{t-1}(u), then
+      auth_t /= Σ_v auth_t(v) (L1 normalization — division by one
+      global scalar, exactly replayable in SQL, unlike the L2 variant
+      only up to a sqrt); hub_t(u) = Σ_{(u,v)∈E} auth_t(v), then
+      hub_t /= Σ_u hub_t(u)
+    - duplicate edges count once per occurrence (multigraph, as in
+      :func:`pagerank`); nodes with no in-edges have auth 0.0, no
+      out-edges hub 0.0 — all nodes appear in the output
+
+    Scale shape: per iteration TWO narrow co-shuffles (edges join the
+    (node, float) score table — :func:`edkray.ops.joins.bucketed_join`,
+    both sides hash-partitioned once, no broadcast) and two combined
+    grouped sums; only (int64, float64) pairs ever move, never
+    documents. The normalizer is ONE driver scalar per half-iteration
+    (``Dataset.sum`` — a distributed fold of per-block partials).
+    Score state checkpoints per iteration via ``materialize()`` (same
+    contract as pagerank's shuffle mode).
+    """
+    from .aggregate import grouped_agg
+    from .joins import bucketed_join
+
+    def _nodes(batch: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            batch[src].to_numpy(zero_copy_only=False).astype(np.int64),
+            batch[dst].to_numpy(zero_copy_only=False).astype(np.int64),
+        ]))
+        return pa.table({"node": pa.array(u)})
+
+    # every trailing map/agg below re-anchors its schema with a 0-row
+    # typed block — Ray drops the schema of all-empty datasets and the
+    # bucketed joins need .schema() (the no-edge corner)
+    e = edges.map_batches(
+        lambda b: pa.table({
+            src: pc.cast(b[src], pa.int64()),
+            dst: pc.cast(b[dst], pa.int64()),
+        }),
+        batch_format="pyarrow", batch_size=batch_size,
+    ).union(ray.data.from_arrow(pa.table({
+        src: pa.array([], pa.int64()), dst: pa.array([], pa.int64()),
+    }))).materialize()
+
+    nodes = grouped_agg(
+        e.map_batches(_nodes, batch_format="pyarrow", batch_size=batch_size),
+        ["node"], [("count", None, "__n")],
+    ).drop_columns(["__n"]).union(ray.data.from_arrow(pa.table({
+        "node": pa.array([], pa.int64()),
+    }))).materialize()
+
+    # hub_0 = 1.0 everywhere
+    score = nodes.map_batches(
+        lambda b: b.append_column("score", pa.array(np.ones(b.num_rows))),
+        batch_format="pyarrow",
+    ).union(ray.data.from_arrow(pa.table({
+        "node": pa.array([], pa.int64()), "score": pa.array([], pa.float64()),
+    }))).materialize()
+
+    def _half(score_ds: ray.data.Dataset, join_key: str, out_key: str):
+        """One half-iteration: attach score to edges on join_key, sum
+        the contributions by the opposite endpoint, L1-normalize."""
+        j = bucketed_join(
+            e, score_ds, on=[join_key], right_on=["node"],
+            num_buckets=num_buckets, batch_size=batch_size,
+        )
+        raw = grouped_agg(
+            j.map_batches(
+                lambda b: pa.table({"node": b[out_key], "score": b["score"]}),
+                batch_format="pyarrow",
+            ),
+            ["node"], [("sum", "score", "score")],
+        ).materialize()
+        total = raw.sum("score") or 1.0
+
+        def _norm(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": b["node"],
+                "score": pc.divide(b["score"], pa.scalar(float(total))),
+            })
+
+        out = raw.map_batches(_norm, batch_format="pyarrow")
+        return out.union(ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        }))).materialize()
+
+    auth = score  # placeholder; overwritten in the loop
+    hub = score
+    for _ in range(num_iters):
+        auth = _half(hub, src, dst)   # auth(v) = Σ hub(u) over in-edges
+        hub = _half(auth, dst, src)   # hub(u) = Σ auth(v) over out-edges
+
+    def _renamed(ds: ray.data.Dataset, alias: str) -> ray.data.Dataset:
+        return ds.map_batches(
+            lambda b: pa.table({"node": b["node"], alias: b["score"]}),
+            batch_format="pyarrow",
+        ).union(ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()), alias: pa.array([], pa.float64()),
+        })))
+
+    out = bucketed_join(
+        nodes, _renamed(auth, "auth"),
+        on=["node"], how="left", num_buckets=num_buckets,
+    )
+    out = bucketed_join(
+        out, _renamed(hub, "hub"),
+        on=["node"], how="left", num_buckets=num_buckets,
+    )
+
+    def _fill(b: pa.Table) -> pa.Table:
+        # Column names chosen so the unique int key sorts first
+        # alphabetically — row-order-insensitive comparators that sort
+        # rows by column order then key on the int, not a float.
+        return pa.table({
+            "node": b["node"],
+            "score_auth": pc.coalesce(b["auth"], pa.scalar(0.0)),
+            "score_hub": pc.coalesce(b["hub"], pa.scalar(0.0)),
+        })
+
+    filled = out.map_batches(_fill, batch_format="pyarrow")
+    return filled.union(ray.data.from_arrow(pa.table({
+        "node": pa.array([], pa.int64()),
+        "score_auth": pa.array([], pa.float64()),
+        "score_hub": pa.array([], pa.float64()),
+    })))

@@ -801,7 +801,20 @@ def bucketed_join(
         r = df.filter(pl.col("__side") == 1).select(list(on) + rcarry)
         return l.join(r, on=list(on), how=how, coalesce=True).to_arrow()
 
-    return bucketed_group_map(tagged, list(on), _join, num_buckets=num_buckets)
+    out = bucketed_group_map(tagged, list(on), _join, num_buckets=num_buckets)
+    # 0-row inputs → all buckets empty → Ray forgets the schema
+    # (schema() is None, breaking chained joins). The joined output
+    # schema is statically known — anchor it with one 0-row block.
+    ltypes = dict(zip(lsch.names, lsch.types))
+    rtypes = dict(zip(rsch.names, rsch.types))
+    out_schema = pa.schema(
+        [pa.field(c, ltypes[c]) for c in list(on) + lcarry]
+        + [pa.field(c, rtypes[c]) for c in rcarry]
+    )
+    # round-trip through polars so the anchor's types match the real
+    # blocks bit-for-bit (polars emits large_string/large_list)
+    anchor = pl.from_arrow(out_schema.empty_table()).to_arrow()
+    return out.union(ray.data.from_arrow(anchor))
 
 
 def range_join_broadcast(

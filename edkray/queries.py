@@ -965,6 +965,71 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# Q: zonal_stats — per-polygon aggregate of a point value field (the GIS
+# zonal-statistics classic: rasterio.zonal_stats / QGIS "Zonal statistics",
+# the vector-side analogue of the reference's per-tile mosaics)
+
+
+def q_zonal_stats(sf_dir: str):
+    """Zonal statistics: customers are tagged with their containing
+    admin polygon (ops/joins.py:PipJoin — polygons ``ray.put`` once,
+    STRtree built per actor in ``__init__``) and c_acctbal is
+    aggregated per zone (count/mean/min/max via ops/aggregate.py:
+    grouped_agg — per-batch partials, only |zones| rows shuffle).
+    Points outside every polygon form the '__none__' zone. The oracle
+    replays the same convex-quad containment predicate as _sql_pip
+    with the aggregates inline."""
+    from edkray.fixtures import make_admin
+    from edkray.ops.aggregate import grouped_agg
+    from edkray.ops.joins import PipJoin
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    ds = ds.map_batches(lambda b: _add_lonlat(b, "c_custkey"), batch_format="pyarrow")
+    ref = ray.put(make_admin())
+    ds = ds.map_batches(
+        PipJoin, fn_constructor_kwargs=dict(polygons_ref=ref),
+        batch_format="pyarrow", concurrency=_pool(),
+    )
+
+    def _fill(b: pa.Table) -> pa.Table:
+        filled = pc.fill_null(b["admin_id"], "__none__")
+        return pa.table({"admin_id": filled, "c_acctbal": b["c_acctbal"]})
+
+    ds = ds.map_batches(_fill, batch_format="pyarrow")
+    agg = grouped_agg(ds, ["admin_id"], [
+        ("count", None, "n_pts"),
+        ("mean", "c_acctbal", "bal_mean"),
+        ("min", "c_acctbal", "bal_min"),
+        ("max", "c_acctbal", "bal_max"),
+    ])
+    return agg.map_batches(lambda b: _round_cols(b, ["bal_mean"]), batch_format="pyarrow")
+
+
+def _sql_zonal_stats() -> str:
+    def cr(x1, y1, x2, y2):
+        return f"(({x2} - {x1}) * (lat - {y1}) - ({y2} - {y1}) * (lon - {x1})) > 0"
+
+    inside = " AND ".join(
+        cr(f"a.x{i}", f"a.y{i}", f"a.x{i % 4 + 1}", f"a.y{i % 4 + 1}") for i in range(1, 5)
+    )
+    return f"""
+WITH admin(admin_id, x1, y1, x2, y2, x3, y3, x4, y4) AS (VALUES
+  {_admin_values_sql()}
+), pts AS (
+  SELECT c_acctbal, {_sql_lon('c_custkey')} AS lon, {_sql_lat('c_custkey')} AS lat
+  FROM customer
+)
+SELECT coalesce(a.admin_id, '__none__') AS admin_id,
+       count(*) AS n_pts,
+       round(avg(c_acctbal), 4) AS bal_mean,
+       min(c_acctbal) AS bal_min,
+       max(c_acctbal) AS bal_max
+FROM pts LEFT JOIN admin a ON {inside}
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Q: spatial_flagship — geocode → bucket → tile → PIP → per-(tile, admin)
 # counts: the full discover→mosaic chain as one SQL-checkable pipeline
 
@@ -2882,6 +2947,69 @@ nodes AS (
 pr0 AS (SELECT node, 1.0 / (SELECT n FROM params) AS rank FROM nodes),
 {chain}
 SELECT node, rank FROM pr{num_iters}
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: hits_scores — HITS hubs & authorities over the same link graph
+
+
+def q_hits_scores(sf_dir: str, num_iters: int = 3):
+    """HITS hubs & authorities (ops/graph.py:hits) over the same
+    deterministic synthetic link graph as q_pagerank (doc → (doc²+k)
+    mod N for k ∈ {1,7,13}). Per iteration two narrow (node, float)
+    co-shuffles — edges join the score table, grouped sums by the
+    opposite endpoint, ONE driver scalar per L1 normalization —
+    documents never move. The oracle unrolls the identical 3
+    iterations as CTEs with the same op order (sum → divide by the
+    global sum)."""
+    from edkray.ops.graph import hits
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        s = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        srcs, dsts = [], []
+        for k in (1, 7, 13):
+            srcs.append(s)
+            dsts.append((s * s + k) % n)
+        return pa.table({
+            "src": pa.array(np.concatenate(srcs)),
+            "dst": pa.array(np.concatenate(dsts)),
+        })
+
+    edges = docs.map_batches(_edges, batch_format="pyarrow")
+    return hits(edges, num_iters=num_iters, num_buckets=16)
+
+
+def _sql_hits(num_iters: int = 3) -> str:
+    steps = []
+    for i in range(1, num_iters + 1):
+        steps.append(f"""a{i}r AS (
+  SELECT e.dst AS node, sum(h.s) AS v FROM edges e JOIN h{i-1} h ON h.node = e.src GROUP BY e.dst
+), a{i} AS (SELECT node, v / (SELECT sum(v) FROM a{i}r) AS s FROM a{i}r),
+h{i}r AS (
+  SELECT e.src AS node, sum(a.s) AS v FROM edges e JOIN a{i} a ON a.node = e.dst GROUP BY e.src
+), h{i} AS (SELECT node, v / (SELECT sum(v) FROM h{i}r) AS s FROM h{i}r)""")
+    chain = ",\n".join(steps)
+    return f"""
+WITH params AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT doc_id AS src, (doc_id * doc_id + k) % (SELECT n FROM params) AS dst
+  FROM documents, unnest([1, 7, 13]) AS t(k)
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges
+  )
+),
+h0 AS (SELECT node, 1.0 AS s FROM nodes),
+{chain}
+SELECT n.node, coalesce(a.s, 0.0) AS score_auth, coalesce(h.s, 0.0) AS score_hub
+FROM nodes n
+LEFT JOIN a{num_iters} a ON a.node = n.node
+LEFT JOIN h{num_iters} h ON h.node = n.node
 """
 
 
@@ -6186,6 +6314,9 @@ def queries() -> dict:
         "incremental_dedup": q_incremental_dedup,
         "url_canon": q_url_canon,
         "gopher_quality": q_gopher_quality,
+        # -- post-deadline round-5 additions (beyond the driver window) ------
+        "hits_scores": q_hits_scores,
+        "zonal_stats": q_zonal_stats,
     }
 
 
@@ -6257,6 +6388,10 @@ def oracle_sql() -> dict:
         "url_canon": _sql_url_canon(),
         "gopher_quality": _SQL_GOPHER,
         "pagerank_scores": _sql_pagerank(),
+        # same 3 HITS iterations unrolled CTE-by-CTE, L1 normalization
+        "hits_scores": _sql_hits(),
+        # _sql_pip containment predicate + inline zonal aggregates
+        "zonal_stats": _sql_zonal_stats(),
         "robots_kept": _SQL_ROBOTS,
         "doc_chunks": _SQL_DOC_CHUNKS,
         "inlink_counts": _SQL_INLINK_COUNTS,

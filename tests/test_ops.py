@@ -2881,6 +2881,62 @@ class TestPageRank:
             assert abs(rank - exp[node]) < 1e-12
 
 
+class TestHits:
+    """ops/graph.py:hits — hubs & authorities vs a numpy reference
+    (L1-normalized per half-iteration, multigraph, dangling → 0)."""
+
+    @staticmethod
+    def _np_hits(edges, num_iters=3):
+        nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+        idx = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        si = np.array([idx[a] for a, _ in edges])
+        di = np.array([idx[b] for _, b in edges])
+        hub = np.ones(n)
+        auth = np.zeros(n)
+        for _ in range(num_iters):
+            auth = np.bincount(di, weights=hub[si], minlength=n)
+            auth = auth / auth.sum()
+            hub = np.bincount(si, weights=auth[di], minlength=n)
+            hub = hub / hub.sum()
+        return {v: (auth[idx[v]], hub[idx[v]]) for v in nodes}
+
+    def test_matches_numpy_reference(self, ray_session):
+        from edkray.ops.graph import hits
+
+        rng = np.random.default_rng(7)
+        edges = [(int(a), int(b)) for a, b in zip(
+            rng.integers(0, 30, 120), rng.integers(0, 30, 120))]
+        exp = self._np_hits(edges)
+        got = hits(TestPageRank._edges_ds(edges), num_iters=3, num_buckets=4).to_pandas()
+        assert len(got) == len(exp)
+        for node, a, h in zip(got["node"], got["score_auth"], got["score_hub"]):
+            ea, eh = exp[node]
+            assert abs(a - ea) < 1e-9 and abs(h - eh) < 1e-9, node
+
+    def test_dangling_nodes_zero(self, ray_session):
+        from edkray.ops.graph import hits
+
+        # 2 has no out-edges → hub 0; 0 has no in-edges → auth 0
+        got = hits(TestPageRank._edges_ds([(0, 1), (1, 2)]), num_iters=2,
+                   num_buckets=2).to_pandas().set_index("node")
+        assert got.loc[2, "score_hub"] == 0.0
+        assert got.loc[0, "score_auth"] == 0.0
+        assert abs(got["score_auth"].sum() - 1.0) < 1e-12
+        assert abs(got["score_hub"].sum() - 1.0) < 1e-12
+
+    def test_empty_edges_keep_schema(self, ray_session):
+        import ray.data
+
+        from edkray.ops.graph import hits
+
+        empty = ray.data.from_arrow(pa.table({
+            "src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}))
+        out = hits(empty, num_iters=1, num_buckets=2)
+        assert out.schema() is not None
+        assert set(out.schema().names) == {"node", "score_auth", "score_hub"}
+
+
 class TestGopherRules:
     """ops/text.py:gopher_rules — pinned rule semantics (no Ray needed)."""
 
