@@ -1231,3 +1231,121 @@ def grouped_string_agg(
     collected = grouped_collect(ds, keys, value_col, alias=alias, sort=True,
                                 num_buckets=num_buckets)
     return collected.map_batches(_join, batch_format="pyarrow")
+
+
+def grouped_corr(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    x_col: str,
+    y_col: str,
+    alias: str = "corr",
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Per-group Pearson correlation of two numeric columns via
+    sufficient-statistic folds: each batch contributes the six partials
+    (n, Σx, Σy, Σx², Σy², Σxy) per key — the combiner pattern of
+    :func:`grouped_agg` — so the shuffle moves six doubles per
+    (key, batch) and the corpus never re-groups.  Finalize applies the
+    closed form
+
+        r = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − Σx²ᵗᵒᵗ)·(n·Σy² − Σy²ᵗᵒᵗ))
+
+    Groups with zero variance in either column emit null (SQL ``corr``
+    semantics).  Output: ``keys + [n, alias]`` with ``n`` the pair
+    count.  Rows where either column is null are dropped from all six
+    statistics (SQL pairwise-deletion semantics)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).drop_nulls([x_col, y_col])
+        x = pl.col(x_col).cast(pl.Float64)
+        y = pl.col(y_col).cast(pl.Float64)
+        return (
+            df.group_by(keys)
+            .agg(
+                pl.len().cast(pl.Int64).alias("__n"),
+                x.sum().alias("__sx"),
+                y.sum().alias("__sy"),
+                (x * x).sum().alias("__sxx"),
+                (y * y).sum().alias("__syy"),
+                (x * y).sum().alias("__sxy"),
+            )
+            .to_arrow()
+        )
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow", batch_size=batch_size)
+    folded = partials.groupby(keys).aggregate(
+        *[Sum(c, alias_name=c) for c in ("__n", "__sx", "__sy", "__sxx", "__syy", "__sxy")]
+    )
+
+    def _finalize(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        n = df["__n"].to_numpy().astype(np.float64)
+        sx = df["__sx"].to_numpy()
+        sy = df["__sy"].to_numpy()
+        sxx = df["__sxx"].to_numpy()
+        syy = df["__syy"].to_numpy()
+        sxy = df["__sxy"].to_numpy()
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        num = n * sxy - sx * sy
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = num / np.sqrt(vx * vy)
+        r = np.where((vx <= 0.0) | (vy <= 0.0), np.nan, r)
+        out = df.select(keys).with_columns(
+            pl.Series("n", n.astype(np.int64)),
+            pl.Series(alias, r),
+        )
+        return out.to_arrow()
+
+    return folded.map_batches(_finalize, batch_format="pyarrow")
+
+
+def cube_agg(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    aggs: list[AggSpec],
+    all_label: str = "ALL",
+    batch_size: int = 65536,
+    max_group_rows: int = 2_000_000,
+) -> ray.data.Dataset:
+    """SQL ``GROUP BY CUBE(keys...)``: the finest-level aggregate plus
+    every other subset of the key set (2^|keys| grouping sets), rolled
+    key columns holding ``all_label`` (same sentinel contract as
+    :func:`rollup_agg`).
+
+    Scale shape: ONE wide shuffle (:func:`grouped_agg` at the finest
+    level, combiner-pre-aggregated); every other grouping set
+    re-aggregates the finest, already-reduced level driver-side under
+    the ENFORCED ``max_group_rows`` bound (a cube is only meaningful
+    over a report-sized finest level).  Re-aggregable fns only
+    (sum/count/min/max)."""
+    from itertools import combinations
+
+    for fn, _, _ in aggs:
+        if fn not in ("sum", "count", "min", "max"):
+            raise ValueError(f"cube_agg supports sum/count/min/max, not {fn}")
+
+    finest_ds = grouped_agg(ds, keys, aggs, batch_size=batch_size)
+    try:
+        finest = pl.from_pandas(finest_ds.to_pandas(limit=max_group_rows))
+    except ValueError as e:
+        raise ValueError(
+            f"cube_agg: finest level exceeds max_group_rows={max_group_rows}; "
+            f"a cube over an unbounded key set is not a report — aggregate "
+            f"with grouped_agg and cube a bounded projection instead"
+        ) from e
+
+    combine = [
+        (pl.col(a).sum() if fn in ("sum", "count")
+         else pl.col(a).min() if fn == "min" else pl.col(a).max()).alias(a)
+        for fn, _, a in aggs
+    ]
+    out_cols = [*keys, *(a for _, _, a in aggs)]
+    levels = [finest.select(out_cols)]
+    for r in range(len(keys) - 1, -1, -1):
+        for subset in combinations(keys, r):
+            kept = list(subset)
+            lvl = finest.group_by(kept).agg(combine) if kept else finest.select(combine)
+            pad = [pl.lit(all_label).alias(k) for k in keys if k not in subset]
+            levels.append(lvl.with_columns(pad).select(out_cols))
+    return ray.data.from_arrow(pl.concat(levels).to_arrow())

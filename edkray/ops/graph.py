@@ -766,3 +766,101 @@ def hits(
         "score_auth": pa.array([], pa.float64()),
         "score_hub": pa.array([], pa.float64()),
     })))
+
+
+def bfs_hops(
+    edges: ray.data.Dataset,
+    seeds,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Multi-source BFS over an edge list: shortest hop distance from
+    the seed set to every node reachable within ``max_hops`` (crawl
+    frontier scheduling / seed-proximity scoring for web corpora —
+    which pages sit k clicks from a trusted seed list).
+
+    Semantics (pinned, SQL-replayable as a bounded recursive CTE with
+    a final ``min(hop)``): hop(seed) = 0; each round expands the
+    newly-discovered frontier one edge, keeping the FIRST (minimum)
+    hop per node. Directed edges; duplicate edges are harmless (the
+    frontier dedupes per bucket).
+
+    Scale shape: per round ONE co-shuffle of (edges ∪ frontier rows)
+    on the source node via :func:`~edkray.ops.shuffle.bucketed_group_map`
+    — the per-bucket kernel semi-joins edges against the frontier and
+    emits unique destinations, so only (node id, hop) pairs move and
+    message volume is bounded by the round's discovered set, not the
+    corpus. The distance table checkpoints per round via
+    ``materialize()`` (the iterative-frontier persistence pattern
+    shared with :func:`pagerank`); rounds stop early when a frontier
+    comes back empty.
+
+    ``seeds``: a Dataset with a ``node`` column, or a small list /
+    ndarray of node ids (driver-built, seed lists are curated and
+    tiny by nature)."""
+    import polars as pl
+
+    from .aggregate import grouped_agg
+
+    if isinstance(seeds, ray.data.Dataset):
+        dist = seeds.map_batches(
+            lambda b: pa.table({
+                "node": pc.cast(b["node"], pa.int64()),
+                "hop": pa.array(np.zeros(len(b), np.int64)),
+            }),
+            batch_format="pyarrow",
+        )
+        dist = grouped_agg(dist, ["node"], [("min", "hop", "hop")])
+    else:
+        ids = np.unique(np.asarray(list(seeds), dtype=np.int64))
+        dist = ray.data.from_arrow(pa.table({
+            "node": pa.array(ids),
+            "hop": pa.array(np.zeros(len(ids), np.int64)),
+        }))
+    dist = dist.materialize()
+
+    def _tag_edges(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": pc.cast(b[src], pa.int64()),
+            "d": pc.cast(b[dst], pa.int64()),
+            "__f": pa.array(np.zeros(len(b), bool)),
+        })
+
+    tagged_edges = edges.map_batches(_tag_edges, batch_format="pyarrow")
+
+    for r in range(max_hops):
+        frontier = dist.filter(expr=f"hop == {r}")
+        if frontier.count() == 0:
+            break
+        nxt = r + 1
+
+        def _tag_frontier(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "k": pc.cast(b["node"], pa.int64()),
+                "d": pa.array(np.zeros(len(b), np.int64)),
+                "__f": pa.array(np.ones(len(b), bool)),
+            })
+
+        def _bucket(tbl: pa.Table, hop_next: int = nxt) -> pa.Table:
+            df = pl.from_arrow(tbl)
+            fr = df.filter(pl.col("__f")).select("k").unique()
+            out = (
+                df.filter(~pl.col("__f"))
+                .join(fr, on="k", how="semi")
+                .select(pl.col("d").alias("node"))
+                .unique()
+                .with_columns(pl.lit(hop_next).cast(pl.Int64).alias("hop"))
+            )
+            return out.to_arrow()
+
+        msgs = tagged_edges.union(
+            frontier.map_batches(_tag_frontier, batch_format="pyarrow")
+        )
+        cand = bucketed_group_map(msgs, ["k"], _bucket, num_buckets=num_buckets)
+        dist = grouped_agg(
+            dist.union(cand), ["node"], [("min", "hop", "hop")]
+        ).materialize()
+
+    return dist

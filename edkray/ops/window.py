@@ -410,3 +410,81 @@ def trajectory_stats(
         batch_format="pyarrow",
     )
     return bucketed_group_map(narrow, keys, _bucket, num_buckets=num_buckets)
+
+
+def transition_counts(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    ts_col: str,
+    type_col: str,
+    tiebreak: list[str] | None = None,
+    num_buckets: int = 32,
+    max_states: int = 4096,
+) -> ray.data.Dataset:
+    """First-order Markov transition estimation over per-key event
+    sequences: order each key's rows by ``(ts, *tiebreak)``, count
+    every consecutive ``(from_type -> to_type)`` pair globally, and
+    attach ``p = n / sum(n) OVER from_type`` (the row-conditional
+    transition probability, unrounded — callers own presentation
+    rounding).
+
+    Scale shape: ONE key-hash co-shuffle
+    (:func:`~edkray.ops.shuffle.bucketed_group_map` over a 3-column
+    projection); inside each bucket the lag + pair-count collapses to
+    at most |states|² partial rows, so the final reduce and the
+    probability normalization touch report-sized data only (bound
+    ENFORCED via ``max_states``² — a transition matrix over an
+    unbounded state alphabet is not a report). The reference engine
+    has no sequence analytics; this extends the events/window family
+    (reference temporal semantics: stitching/classes/dataset.py
+    time-ordered band sequences)."""
+    import polars as pl
+
+    from edkray.ops.aggregate import grouped_agg
+    from edkray.ops.shuffle import bucketed_group_map
+
+    order = [ts_col, *(tiebreak or [])]
+
+    def _bucket(tbl: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(tbl)
+            .sort([*keys, *order])
+            .with_columns(pl.col(type_col).shift(1).over(keys).alias("__from"))
+            .drop_nulls("__from")
+        )
+        out = (
+            df.group_by(["__from", type_col])
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .rename({"__from": "from_type", type_col: "to_type"})
+        )
+        return out.to_arrow()
+
+    narrow = ds.map_batches(
+        lambda b: b.select([*keys, *order, type_col]), batch_format="pyarrow"
+    )
+    partials = bucketed_group_map(narrow, keys, _bucket, num_buckets=num_buckets)
+    counts = grouped_agg(partials, ["from_type", "to_type"], [("sum", "n", "n")])
+
+    # the transition matrix is a report: |states|² rows at most.  Fold
+    # it driver-side under an ENFORCED bound (the A5 contract) to
+    # normalize rows into probabilities in one deterministic pass.
+    limit = max_states * max_states
+    try:
+        df = pl.from_pandas(counts.to_pandas(limit=limit))
+    except ValueError as e:
+        raise ValueError(
+            f"transition_counts: more than {limit} distinct transitions — "
+            f"the state alphabet is not bounded; raise max_states explicitly"
+        ) from e
+    if len(df) == 0:
+        empty = pa.table({
+            "from_type": pa.array([], pa.string()),
+            "to_type": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "p": pa.array([], pa.float64()),
+        })
+        return ray.data.from_arrow(empty)
+    df = df.sort(["from_type", "to_type"]).with_columns(
+        (pl.col("n") / pl.col("n").sum().over("from_type")).alias("p")
+    )
+    return ray.data.from_arrow(df.to_arrow())

@@ -6168,6 +6168,181 @@ def q_ivf_topk(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Q: event_transitions — first-order Markov transition matrix over
+# per-user event sequences
+
+
+def q_event_transitions(sf_dir: str):
+    """Global (from_type → to_type) transition counts + row-conditional
+    probabilities over per-user event-time-ordered sequences
+    (ops/window.py:transition_counts — one key co-shuffle, the lag +
+    pair-count collapses to ≤ |types|² partial rows per bucket, the
+    probability normalization folds the report-sized matrix under an
+    ENFORCED bound). Oracle: SQL LAG over the same (ts, event_id)
+    order, window-sum normalization."""
+    from edkray.ops.window import transition_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type", "event_id"])
+    out = transition_counts(ds, ["user_id"], "ts", "event_type",
+                            tiebreak=["event_id"])
+    return out.map_batches(
+        lambda b: _round_cols(b, ["p"], 6), batch_format="pyarrow"
+    )
+
+
+_SQL_EVENT_TRANSITIONS = """
+WITH t AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+  FROM events
+), c AS (
+  SELECT from_type, event_type AS to_type, count(*)::BIGINT AS n
+  FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: flag_price_corr — per-group Pearson correlation via six-statistic
+# combiner folds
+
+
+def q_flag_price_corr(sf_dir: str):
+    """Pearson correlation of quantity vs extended price per return
+    flag (ops/aggregate.py:grouped_corr — six sufficient-statistic
+    partials per (key, batch) on the wire, closed-form finalize; the
+    corpus never re-groups). Oracle replays the identical closed form
+    over SQL double sums (not DuckDB's streaming corr(), whose update
+    order differs in the last ulps — the shared 6-dp rounding absorbs
+    the partial-vs-sequential summation difference)."""
+    from edkray.ops.aggregate import grouped_corr
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+    out = grouped_corr(ds, ["l_returnflag"], "l_quantity", "l_extendedprice")
+    return out.map_batches(
+        lambda b: _round_cols(b, ["corr"], 6), batch_format="pyarrow"
+    )
+
+
+_SQL_FLAG_PRICE_CORR = """
+WITH s AS (
+  SELECT l_returnflag,
+         count(*)::BIGINT AS n,
+         sum(CAST(l_quantity AS DOUBLE)) AS sx,
+         sum(CAST(l_extendedprice AS DOUBLE)) AS sy,
+         sum(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)) AS sxx,
+         sum(CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)) AS syy,
+         sum(CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)) AS sxy
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: cube_orders — GROUP BY CUBE over (priority, status)
+
+
+def q_cube_orders(sf_dir: str):
+    """CUBE(o_orderpriority, o_orderstatus) over orders
+    (ops/aggregate.py:cube_agg — one combiner-pre-aggregated shuffle at
+    the finest level, the other 2^k−1 grouping sets re-aggregate the
+    already-reduced report driver-side under an ENFORCED row bound).
+    Rolled keys carry the 'ALL' sentinel (no NULL reaches the driver's
+    value-hash). Oracle: SQL CUBE with the same coalesce."""
+    from edkray.ops.aggregate import cube_agg
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+    out = cube_agg(
+        ds,
+        ["o_orderpriority", "o_orderstatus"],
+        [
+            ("sum", "o_totalprice", "sum_price"),
+            ("count", None, "n_orders"),
+            ("min", "o_totalprice", "min_price"),
+        ],
+    )
+    return out.map_batches(
+        lambda b: _round_cols(b, ["sum_price", "min_price"], 2),
+        batch_format="pyarrow",
+    )
+
+
+_SQL_CUBE_ORDERS = """
+SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       round(sum(o_totalprice), 2) AS sum_price,
+       count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS min_price
+FROM orders
+GROUP BY CUBE(o_orderpriority, o_orderstatus)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: bfs_hops — multi-source BFS hop distance over the link graph
+
+
+def q_bfs_hops(sf_dir: str, max_hops: int = 4):
+    """Shortest hop distance from a seed set over the same
+    deterministic quadratic link graph as pagerank_scores
+    (ops/graph.py:bfs_hops — one (edges ∪ frontier) co-shuffle per
+    round, only (node, hop) pairs move, per-round materialize
+    checkpoint, early stop on an empty frontier). Seeds: doc_id
+    divisible by 211. Oracle: bounded recursive CTE + min(hop)."""
+    from edkray.ops.graph import bfs_hops
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        s = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        srcs, dsts = [], []
+        for k in (1, 7, 13):
+            srcs.append(s)
+            dsts.append((s * s + k) % n)
+        return pa.table({
+            "src": pa.array(np.concatenate(srcs)),
+            "dst": pa.array(np.concatenate(dsts)),
+        })
+
+    edges = docs.map_batches(_edges, batch_format="pyarrow")
+    def _seeds(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": pa.array(ids[ids % 211 == 0])})
+
+    seeds = docs.map_batches(_seeds, batch_format="pyarrow")
+    return bfs_hops(edges, seeds, max_hops=max_hops)
+
+
+def _sql_bfs_hops(max_hops: int = 4) -> str:
+    return f"""
+WITH RECURSIVE params AS (
+  SELECT count(*)::BIGINT AS n FROM documents
+), edges AS (
+  SELECT doc_id AS src, (doc_id * doc_id + k) % (SELECT n FROM params) AS dst
+  FROM documents, (VALUES (1), (7), (13)) AS ks(k)
+), walk(node, hop) AS (
+  SELECT doc_id, 0 FROM documents WHERE doc_id % 211 = 0
+  UNION
+  SELECT e.dst, w.hop + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.hop < {max_hops}
+)
+SELECT node, min(hop)::BIGINT AS hop FROM walk GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 
 
@@ -6317,6 +6492,10 @@ def queries() -> dict:
         # -- post-deadline round-5 additions (beyond the driver window) ------
         "hits_scores": q_hits_scores,
         "zonal_stats": q_zonal_stats,
+        "event_transitions": q_event_transitions,
+        "flag_price_corr": q_flag_price_corr,
+        "cube_orders": q_cube_orders,
+        "bfs_hops": q_bfs_hops,
     }
 
 
@@ -6392,6 +6571,11 @@ def oracle_sql() -> dict:
         "hits_scores": _sql_hits(),
         # _sql_pip containment predicate + inline zonal aggregates
         "zonal_stats": _sql_zonal_stats(),
+        "event_transitions": _SQL_EVENT_TRANSITIONS,
+        "flag_price_corr": _SQL_FLAG_PRICE_CORR,
+        "cube_orders": _SQL_CUBE_ORDERS,
+        # bounded recursive-CTE closure over the same quadratic graph
+        "bfs_hops": _sql_bfs_hops(),
         "robots_kept": _SQL_ROBOTS,
         "doc_chunks": _SQL_DOC_CHUNKS,
         "inlink_counts": _SQL_INLINK_COUNTS,

@@ -3748,3 +3748,188 @@ class TestEwmaAndWeightedSample:
                        "w": pa.array([1.0, 0.0])})
         with pytest.raises(Exception):
             weighted_sample(ray.data.from_arrow(t2), "k", "w", n=1).take_all()
+
+
+class TestTransitionCounts:
+    def test_matches_pandas_lag(self, ray_session):
+        import ray.data
+
+        from edkray.ops.window import transition_counts
+
+        rng = np.random.default_rng(17)
+        n = 5000
+        df = pd.DataFrame({
+            "u": rng.integers(0, 200, n),
+            "ts": pd.to_datetime(rng.integers(0, 10**9, n), unit="s"),
+            "t": rng.choice(["a", "b", "c", "d"], n),
+            "i": np.arange(n),
+        })
+        out = transition_counts(
+            ray.data.from_pandas(df), ["u"], "ts", "t", tiebreak=["i"]
+        ).to_pandas()
+
+        s = df.sort_values(["u", "ts", "i"], kind="stable")
+        frm = s.groupby("u")["t"].shift(1)
+        pairs = pd.DataFrame({"from_type": frm, "to_type": s["t"]}).dropna()
+        exp = pairs.groupby(["from_type", "to_type"]).size().rename("n").reset_index()
+        exp["p"] = exp["n"] / exp.groupby("from_type")["n"].transform("sum")
+        exp["n"] = exp["n"].astype("int64")
+        _df_eq(out, exp, float_cols=("p",))
+
+    def test_single_event_keys_emit_nothing(self, ray_session):
+        import ray.data
+
+        from edkray.ops.window import transition_counts
+
+        df = pd.DataFrame({
+            "u": [1, 2, 3],
+            "ts": pd.to_datetime([1, 2, 3], unit="s"),
+            "t": ["a", "b", "c"],
+        })
+        out = transition_counts(ray.data.from_pandas(df), ["u"], "ts", "t")
+        assert out.count() == 0
+        # schema survives the empty result (the r4 empty-schema lesson)
+        assert sorted(out.schema().names) == ["from_type", "n", "p", "to_type"]
+
+    def test_state_bound_enforced(self, ray_session):
+        import ray.data
+
+        from edkray.ops.window import transition_counts
+
+        df = pd.DataFrame({
+            "u": np.zeros(40, np.int64),
+            "ts": pd.to_datetime(np.arange(40), unit="s"),
+            "t": [f"t{i}" for i in range(40)],
+        })
+        with pytest.raises(ValueError, match="max_states"):
+            transition_counts(
+                ray.data.from_pandas(df), ["u"], "ts", "t", max_states=3
+            ).to_pandas()
+
+
+class TestGroupedCorr:
+    def test_matches_numpy_corrcoef(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import grouped_corr
+
+        rng = np.random.default_rng(23)
+        n = 30_000
+        g = rng.choice(["p", "q", "r"], n)
+        x = rng.normal(size=n)
+        y = 0.6 * x + rng.normal(scale=0.5, size=n)
+        df = pd.DataFrame({"g": g, "x": x, "y": y})
+        out = (
+            grouped_corr(ray.data.from_pandas(df), ["g"], "x", "y")
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        for _, row in out.iterrows():
+            m = df[df["g"] == row["g"]]
+            exp = np.corrcoef(m["x"], m["y"])[0, 1]
+            assert abs(row["corr"] - exp) < 1e-9
+            assert row["n"] == len(m)
+
+    def test_zero_variance_is_null(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import grouped_corr
+
+        df = pd.DataFrame({"g": ["a"] * 5, "x": [2.0] * 5, "y": [1.0, 2, 3, 4, 5]})
+        out = grouped_corr(ray.data.from_pandas(df), ["g"], "x", "y").to_pandas()
+        assert len(out) == 1 and np.isnan(out["corr"].iloc[0])
+
+    def test_nulls_pairwise_deleted(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import grouped_corr
+
+        df = pd.DataFrame({
+            "g": ["a"] * 6,
+            "x": [1.0, 2, 3, None, 5, 6],
+            "y": [2.0, 4, 5, 7, None, 12],
+        })
+        out = grouped_corr(ray.data.from_pandas(df), ["g"], "x", "y").to_pandas()
+        m = df.dropna()
+        exp = np.corrcoef(m["x"], m["y"])[0, 1]
+        assert out["n"].iloc[0] == 4
+        assert abs(out["corr"].iloc[0] - exp) < 1e-9
+
+
+class TestCubeAgg:
+    def test_matches_pandas_grouping_sets(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import cube_agg
+
+        rng = np.random.default_rng(31)
+        n = 8000
+        df = pd.DataFrame({
+            "a": rng.choice(["x", "y", "z"], n),
+            "b": rng.choice(["u", "v"], n),
+            "v": rng.normal(size=n),
+        })
+        out = cube_agg(
+            ray.data.from_pandas(df), ["a", "b"],
+            [("sum", "v", "sv"), ("count", None, "nr"), ("max", "v", "mx")],
+        ).to_pandas()
+
+        def lvl(keys):
+            if keys:
+                g = df.groupby(keys, as_index=False).agg(
+                    sv=("v", "sum"), nr=("v", "size"), mx=("v", "max"))
+            else:
+                g = pd.DataFrame([{"sv": df["v"].sum(), "nr": len(df),
+                                   "mx": df["v"].max()}])
+            for k in ("a", "b"):
+                if k not in keys:
+                    g[k] = "ALL"
+            return g[["a", "b", "sv", "nr", "mx"]]
+
+        exp = pd.concat([lvl(["a", "b"]), lvl(["a"]), lvl(["b"]), lvl([])],
+                        ignore_index=True)
+        exp["nr"] = exp["nr"].astype("int64")
+        _df_eq(out, exp, float_cols=("sv", "mx"))
+
+    def test_bound_enforced(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import cube_agg
+
+        df = pd.DataFrame({"a": [str(i) for i in range(50)], "v": range(50)})
+        with pytest.raises(ValueError, match="max_group_rows"):
+            cube_agg(ray.data.from_pandas(df), ["a"], [("sum", "v", "s")],
+                     max_group_rows=10)
+
+
+class TestBfsHops:
+    def _hops(self, edges, seeds, max_hops):
+        import ray.data
+
+        from edkray.ops.graph import bfs_hops
+
+        eds = ray.data.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+        out = bfs_hops(eds, seeds, max_hops=max_hops).to_pandas()
+        return dict(zip(out["node"], out["hop"]))
+
+    def test_chain_and_unreachable(self, ray_session):
+        # 0->1->2->3->4 plus an island 9->10
+        edges = [(0, 1), (1, 2), (2, 3), (3, 4), (9, 10)]
+        got = self._hops(edges, [0], max_hops=3)
+        assert got == {0: 0, 1: 1, 2: 2, 3: 3}  # 4 beyond max_hops; 9/10 unreachable
+
+    def test_min_hop_wins_and_multi_seed(self, ray_session):
+        # two paths to 3: 0->1->3 (hop 2) and 0->2, 2->3 also hop 2; seed 5->3 hop 1
+        edges = [(0, 1), (1, 3), (0, 2), (2, 3), (5, 3)]
+        got = self._hops(edges, [0, 5], max_hops=4)
+        assert got == {0: 0, 5: 0, 1: 1, 2: 1, 3: 1}
+
+    def test_early_stop_on_empty_frontier(self, ray_session):
+        got = self._hops([(0, 1)], [0], max_hops=10)
+        assert got == {0: 0, 1: 1}
+
+    def test_cycle_terminates(self, ray_session):
+        edges = [(0, 1), (1, 2), (2, 0)]
+        got = self._hops(edges, [0], max_hops=6)
+        assert got == {0: 0, 1: 1, 2: 2}
