@@ -488,3 +488,115 @@ def transition_counts(
         (pl.col("n") / pl.col("n").sum().over("from_type")).alias("p")
     )
     return ray.data.from_arrow(df.to_arrow())
+
+
+def merge_intervals(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    start_col: str,
+    end_col: str,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Coalesce overlapping-or-touching intervals per key (the SQL
+    gaps-and-islands pattern over ranges): sort each key's intervals by
+    (start, end), start a new island whenever an interval's start
+    exceeds the running max end of everything before it, and emit one
+    row per island — ``keys + [start, end, n_intervals]``. Touching
+    intervals (next.start == running max end) MERGE (closed-interval
+    semantics, matching the SQL ``s > prev_max`` new-group test).
+
+    The crawl-scheduling / availability primitive: collapsing fetch
+    windows, outage spans, or coverage ranges into disjoint spans.
+    Works on any orderable numeric/timestamp columns (compared as
+    int64 internally when temporal).
+
+    Scale shape: ONE key-hash co-shuffle
+    (:func:`~edkray.ops.shuffle.bucketed_group_map` over a 3-column
+    projection); island assignment is a single vectorized polars plan
+    per bucket (cum_max + shift + cum_sum), output is island-sized."""
+    import polars as pl
+
+    from edkray.ops.shuffle import bucketed_group_map
+
+    def _bucket(tbl: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(tbl)
+            .sort([*keys, start_col, end_col])
+            .with_columns(pl.col(end_col).cum_max().over(keys).alias("__cmax"))
+            .with_columns(pl.col("__cmax").shift(1).over(keys).alias("__prev"))
+        )
+        df = df.with_columns(
+            (pl.col("__prev").is_null() | (pl.col(start_col) > pl.col("__prev")))
+            .cast(pl.Int64)
+            .alias("__new")
+        ).with_columns(pl.col("__new").cum_sum().over(keys).alias("__gid"))
+        out = (
+            df.group_by([*keys, "__gid"], maintain_order=True)
+            .agg(
+                pl.col(start_col).min().alias("start"),
+                pl.col(end_col).max().alias("end"),
+                pl.len().cast(pl.Int64).alias("n_intervals"),
+            )
+            .drop("__gid")
+        )
+        return out.to_arrow()
+
+    narrow = ds.map_batches(
+        lambda b: b.select([*keys, start_col, end_col]), batch_format="pyarrow"
+    )
+    return bucketed_group_map(narrow, keys, _bucket, num_buckets=num_buckets)
+
+
+def max_streak(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    ts_col: str,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Longest run of CONSECUTIVE active days per key (the classic
+    gaps-and-islands engagement metric): distinct calendar days of
+    ``ts_col`` per key, islands split where the day-to-day gap exceeds
+    1, output ``keys + [n_days, max_streak]`` (total distinct active
+    days and the longest consecutive run).
+
+    Scale shape: per-batch day-distinct pre-aggregation shrinks rows
+    to (key, day) pairs BEFORE the one key-hash co-shuffle; the island
+    scan is one vectorized polars plan per bucket."""
+    import polars as pl
+
+    from edkray.ops.shuffle import bucketed_group_map
+
+    def _days(b: pa.Table) -> pa.Table:
+        # pre-distinct inside the batch: the shuffle carries (key, day)
+        return (
+            pl.from_arrow(b.select([*keys, ts_col]))
+            .with_columns(pl.col(ts_col).cast(pl.Date).alias("__day"))
+            .select([*keys, "__day"])
+            .unique()
+            .to_arrow()
+        )
+
+    def _bucket(tbl: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(tbl)
+            .unique([*keys, "__day"])
+            .sort([*keys, "__day"])
+            .with_columns(
+                (pl.col("__day").cast(pl.Int32).diff().over(keys) > 1)
+                .fill_null(True)
+                .cast(pl.Int64)
+                .alias("__new")
+            )
+            .with_columns(pl.col("__new").cum_sum().over(keys).alias("__gid"))
+        )
+        runs = df.group_by([*keys, "__gid"]).agg(
+            pl.len().cast(pl.Int64).alias("__run")
+        )
+        out = runs.group_by(keys).agg(
+            pl.col("__run").sum().alias("n_days"),
+            pl.col("__run").max().alias("max_streak"),
+        )
+        return out.to_arrow()
+
+    days = ds.map_batches(_days, batch_format="pyarrow")
+    return bucketed_group_map(days, keys, _bucket, num_buckets=num_buckets)

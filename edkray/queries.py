@@ -6343,6 +6343,103 @@ SELECT node, min(hop)::BIGINT AS hop FROM walk GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# Q: fetch_windows — coalesce overlapping per-user fetch intervals
+
+
+def q_fetch_windows(sf_dir: str):
+    """Disjoint per-user spans from overlapping fetch intervals
+    (ops/window.py:merge_intervals — the gaps-and-islands pattern over
+    ranges: one key co-shuffle of 3-column rows, vectorized
+    cum_max + shift island scan per bucket, island-sized output).
+    Intervals derive deterministically from events: [epoch_us(ts),
+    epoch_us(ts) + (event_id % 7200 + 1) s]. Oracle replays the same
+    running-max new-group test with SQL windows."""
+    from edkray.ops.window import merge_intervals
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def _iv(b: pa.Table) -> pa.Table:
+        ts = b["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "user_id": b["user_id"],
+            "s": pa.array(ts),
+            "e": pa.array(ts + (eid % 7200 + 1) * 1_000_000),
+        })
+
+    out = merge_intervals(ds.map_batches(_iv, batch_format="pyarrow"),
+                          ["user_id"], "s", "e")
+    return out.map_batches(
+        lambda b: pa.table({
+            "user_id": b["user_id"],
+            "w_start": b["start"],
+            "w_end": b["end"],
+            "n_intervals": b["n_intervals"],
+        }),
+        batch_format="pyarrow",
+    )
+
+
+_SQL_FETCH_WINDOWS = """
+WITH iv AS (
+  SELECT user_id,
+         epoch_us(ts) AS s,
+         epoch_us(ts) + ((event_id % 7200) + 1) * 1000000 AS e
+  FROM events
+), o AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM iv
+), f AS (
+  SELECT user_id, s, e,
+         CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END AS newgrp
+  FROM o
+), g AS (
+  SELECT user_id, s, e,
+         sum(newgrp) OVER (PARTITION BY user_id ORDER BY s, e) AS gid
+  FROM f
+)
+SELECT user_id, min(s) AS w_start, max(e) AS w_end,
+       count(*)::BIGINT AS n_intervals
+FROM g GROUP BY user_id, gid
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: activity_streaks — longest consecutive-active-day run per user
+
+
+def q_activity_streaks(sf_dir: str):
+    """Total distinct active days and the longest consecutive-day
+    streak per user (ops/window.py:max_streak — per-batch day-distinct
+    pre-aggregation shrinks the shuffle to (key, day) pairs, then one
+    key co-shuffle and a vectorized island scan per bucket). Oracle:
+    the SQL day − row_number() islands anchor."""
+    from edkray.ops.window import max_streak
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return max_streak(ds, ["user_id"], "ts")
+
+
+_SQL_ACTIVITY_STREAKS = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), r AS (
+  SELECT user_id, day,
+         row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+  FROM d
+), runs AS (
+  SELECT user_id, day - CAST(rn AS INTEGER) AS anchor,
+         count(*)::BIGINT AS run
+  FROM r GROUP BY 1, 2
+)
+SELECT user_id, sum(run)::BIGINT AS n_days, max(run)::BIGINT AS max_streak
+FROM runs GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 
 
@@ -6496,6 +6593,8 @@ def queries() -> dict:
         "flag_price_corr": q_flag_price_corr,
         "cube_orders": q_cube_orders,
         "bfs_hops": q_bfs_hops,
+        "fetch_windows": q_fetch_windows,
+        "activity_streaks": q_activity_streaks,
     }
 
 
@@ -6576,6 +6675,10 @@ def oracle_sql() -> dict:
         "cube_orders": _SQL_CUBE_ORDERS,
         # bounded recursive-CTE closure over the same quadratic graph
         "bfs_hops": _sql_bfs_hops(),
+        # running-max new-group islands replayed with SQL windows
+        "fetch_windows": _SQL_FETCH_WINDOWS,
+        # day − row_number() islands anchor
+        "activity_streaks": _SQL_ACTIVITY_STREAKS,
         "robots_kept": _SQL_ROBOTS,
         "doc_chunks": _SQL_DOC_CHUNKS,
         "inlink_counts": _SQL_INLINK_COUNTS,

@@ -3933,3 +3933,99 @@ class TestBfsHops:
         edges = [(0, 1), (1, 2), (2, 0)]
         got = self._hops(edges, [0], max_hops=6)
         assert got == {0: 0, 1: 1, 2: 2}
+
+
+class TestMergeIntervals:
+    def _run(self, rows):
+        import ray.data
+
+        from edkray.ops.window import merge_intervals
+
+        df = pd.DataFrame(rows, columns=["k", "s", "e"])
+        out = merge_intervals(ray.data.from_pandas(df), ["k"], "s", "e").to_pandas()
+        return sorted(map(tuple, out[["k", "start", "end", "n_intervals"]].to_numpy()))
+
+    def test_overlap_touch_and_gap(self, ray_session):
+        rows = [
+            ("a", 0, 10), ("a", 5, 12), ("a", 12, 20),  # overlap + touch → one island
+            ("a", 25, 30),                                # gap → new island
+            ("b", 1, 2),
+        ]
+        assert self._run(rows) == [("a", 0, 20, 3), ("a", 25, 30, 1), ("b", 1, 2, 1)]
+
+    def test_contained_interval_extends_running_max(self, ray_session):
+        # [0,100] swallows [10,20]; [30,40] still belongs to the island
+        rows = [("a", 0, 100), ("a", 10, 20), ("a", 30, 40), ("a", 101, 110)]
+        assert self._run(rows) == [("a", 0, 100, 3), ("a", 101, 110, 1)]
+
+    def test_matches_pandas_sweep(self, ray_session):
+        import ray.data
+
+        from edkray.ops.window import merge_intervals
+
+        rng = np.random.default_rng(41)
+        n = 4000
+        k = rng.integers(0, 80, n)
+        s = rng.integers(0, 100_000, n)
+        e = s + rng.integers(1, 5000, n)
+        df = pd.DataFrame({"k": k, "s": s, "e": e})
+        out = merge_intervals(ray.data.from_pandas(df), ["k"], "s", "e").to_pandas()
+
+        exp = []
+        for kk, g in df.sort_values(["k", "s", "e"]).groupby("k"):
+            cur_s = cur_e = None
+            cnt = 0
+            for _, r in g.iterrows():
+                if cur_e is None or r["s"] > cur_e:
+                    if cur_e is not None:
+                        exp.append((kk, cur_s, cur_e, cnt))
+                    cur_s, cur_e, cnt = r["s"], r["e"], 1
+                else:
+                    cur_e = max(cur_e, r["e"])
+                    cnt += 1
+            if cur_e is not None:
+                exp.append((kk, cur_s, cur_e, cnt))
+        exp_df = pd.DataFrame(exp, columns=["k", "start", "end", "n_intervals"])
+        exp_df["n_intervals"] = exp_df["n_intervals"].astype("int64")
+        _df_eq(out, exp_df)
+
+
+class TestMaxStreak:
+    def test_basic_islands(self, ray_session):
+        import ray.data
+
+        from edkray.ops.window import max_streak
+
+        days = (["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-07",
+                 "2024-01-08", "2024-01-03"])  # dup day collapses
+        df = pd.DataFrame({
+            "u": [1] * 6,
+            "ts": pd.to_datetime(days) + pd.Timedelta(hours=5),
+        })
+        out = max_streak(ray.data.from_pandas(df), ["u"], "ts").to_pandas()
+        assert out["n_days"].iloc[0] == 5 and out["max_streak"].iloc[0] == 3
+
+    def test_matches_pandas_sweep(self, ray_session):
+        import ray.data
+
+        from edkray.ops.window import max_streak
+
+        rng = np.random.default_rng(43)
+        n = 6000
+        df = pd.DataFrame({
+            "u": rng.integers(0, 150, n),
+            "ts": pd.to_datetime(rng.integers(0, 90, n), unit="D")
+                  + pd.to_timedelta(rng.integers(0, 86400, n), unit="s"),
+        })
+        out = max_streak(ray.data.from_pandas(df), ["u"], "ts").to_pandas()
+
+        rows = []
+        for u, g in df.groupby("u"):
+            days = np.unique(g["ts"].dt.normalize().to_numpy())
+            d = days.astype("datetime64[D]").astype(np.int64)
+            runs = np.split(d, np.where(np.diff(d) > 1)[0] + 1)
+            rows.append((u, len(d), max(len(r) for r in runs)))
+        exp = pd.DataFrame(rows, columns=["u", "n_days", "max_streak"])
+        exp["n_days"] = exp["n_days"].astype("int64")
+        exp["max_streak"] = exp["max_streak"].astype("int64")
+        _df_eq(out, exp)
