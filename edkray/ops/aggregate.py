@@ -1349,3 +1349,288 @@ def cube_agg(
             pad = [pl.lit(all_label).alias(k) for k in keys if k not in subset]
             levels.append(lvl.with_columns(pad).select(out_cols))
     return ray.data.from_arrow(pl.concat(levels).to_arrow())
+
+
+def grouped_entropy(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    val_col: str,
+    alias: str = "entropy",
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Shannon entropy (bits) of the ``val_col`` category distribution
+    per key group, via two NARROW shuffles: exact (key, val) counts
+    from :func:`grouped_agg` (combiner keeps the wire at distinct
+    pairs per batch), then per-key sufficient sums (Σn, Σ n·log₂n) —
+    entropy folds closed-form as ``log₂N − (Σ n·log₂n)/N`` so the
+    corpus never re-groups and no per-key value list is materialized.
+    Output: ``keys + [n, alias]`` with ``n`` the group row count."""
+    counts = grouped_agg(ds, keys + [val_col], [("count", None, "__n")],
+                         batch_size=batch_size)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        n = pl.col("__n").cast(pl.Float64)
+        return (
+            pl.from_arrow(batch)
+            .group_by(keys)
+            .agg(
+                pl.col("__n").sum().alias("__N"),
+                (n * n.log(2.0)).sum().alias("__s"),
+            )
+            .to_arrow()
+        )
+
+    folded = counts.map_batches(
+        _partial, batch_format="pyarrow", batch_size=batch_size
+    ).groupby(keys).aggregate(
+        Sum("__N", alias_name="__N"), Sum("__s", alias_name="__s")
+    )
+
+    def _finalize(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        big_n = pl.col("__N").cast(pl.Float64)
+        return (
+            df.with_columns(
+                (big_n.log(2.0) - pl.col("__s") / big_n).alias(alias),
+                pl.col("__N").alias("n"),
+            )
+            .select(keys + ["n", alias])
+            .to_arrow()
+        )
+
+    return folded.map_batches(_finalize, batch_format="pyarrow")
+
+
+def chi_squared(
+    ds: ray.data.Dataset,
+    col_a: str,
+    col_b: str,
+    max_cells: int = 1_000_000,
+) -> pa.Table:
+    """Pearson chi-squared test of independence between two categorical
+    columns. Distributed part: exact contingency counts via
+    :func:`grouped_agg` (narrow — distinct (a, b) cells per batch on
+    the wire). The fold to the statistic runs driver-side over the
+    REPORT-SIZED contingency table (|A|×|B| cells) under an ENFORCED
+    ``max_cells`` bound, using the observed-cells-only closed form
+
+        χ² = N · Σ o²/(rₐ·c_b) − N
+
+    (algebraically equal to Σ(o−e)²/e over ALL cells, including
+    unobserved zero cells, since Σe = N). Output: one row
+    ``(chi2, dof, n)``."""
+    counts = grouped_agg(ds, [col_a, col_b], [("count", None, "__n")])
+    try:
+        df = counts.to_pandas(limit=max_cells)
+    except ValueError as e:
+        raise ValueError(
+            f"chi_squared: contingency cells exceed max_cells={max_cells}; "
+            f"a test over an unbounded category pair is not a report — "
+            f"bucket the columns first"
+        ) from e
+    c = pl.from_pandas(df).with_columns(
+        pl.col("__n").cast(pl.Float64),
+        pl.col("__n").sum().over(col_a).cast(pl.Float64).alias("__ra"),
+        pl.col("__n").sum().over(col_b).cast(pl.Float64).alias("__cb"),
+    )
+    big_n = float(c["__n"].sum())
+    chi2 = big_n * float(
+        (c["__n"] * c["__n"] / (c["__ra"] * c["__cb"])).sum()
+    ) - big_n
+    dof = (c[col_a].n_unique() - 1) * (c[col_b].n_unique() - 1)
+    return pa.table({
+        "chi2": pa.array([chi2], pa.float64()),
+        "dof": pa.array([dof], pa.int64()),
+        "n": pa.array([int(big_n)], pa.int64()),
+    })
+
+
+def rank_with_ties(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    alias: str = "rnk",
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """SQL ``RANK() OVER (PARTITION BY keys ORDER BY order_col) <= k``
+    with TIES KEPT (unlike :func:`top_k_per_group`'s row_number
+    semantics — a value tied at the boundary keeps every row).
+
+    Two-level: the local combiner keeps each batch's rank()≤k rows
+    (safe: a row dropped locally has ≥k strictly-better rows in its
+    own batch, hence globally), the hash-bucket shuffle moves the
+    survivors only, and the in-bucket pass computes the exact min-rank.
+    Output: input columns + ``alias`` (int64 rank, 1-based)."""
+    rk = (
+        pl.col(order_col)
+        .rank(method="min", descending=descending)
+        .over(keys)
+        .cast(pl.Int64)
+    )
+
+    def _local(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch)
+            .filter(rk <= k)
+            .to_arrow()
+        )
+
+    pre = ds.map_batches(_local, batch_format="pyarrow", batch_size=batch_size)
+    from edkray.ops.shuffle import bucketed_group_map
+
+    def _final(table: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(table)
+            .with_columns(rk.alias(alias))
+            .filter(pl.col(alias) <= k)
+            .to_arrow()
+        )
+
+    return bucketed_group_map(pre, keys, _final, num_buckets=16)
+
+
+def pairwise_set_jaccard(
+    ds: ray.data.Dataset,
+    elem_col: str,
+    set_col: str,
+    max_sets: int = 100_000,
+    batch_size: int = 65536,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Jaccard similarity between every pair of ``set_col`` categories
+    by their DISTINCT ``elem_col`` membership sets (e.g. how similar
+    two event types are by the users who perform them).
+
+    One bucketed shuffle of locally-deduped (elem, set) pairs: each
+    element's rows land in one bucket, a vectorized self-join per
+    bucket emits (set_a < set_b) co-membership partial counts, and a
+    narrow groupby folds them into exact intersection sizes. Per-set
+    sizes (≤ ``max_sets`` rows, ENFORCED — the set-category
+    vocabulary, not the corpus) fold driver-side and ride into the
+    finalize closure. Pairs with empty intersection are omitted (SQL
+    inner-join semantics). Output: (set_a, set_b, n_common, jaccard)."""
+    sizes_ds = count_distinct(ds, [set_col], elem_col, alias="__c")
+    try:
+        sizes_df = sizes_ds.to_pandas(limit=max_sets)
+    except ValueError as e:
+        raise ValueError(
+            f"pairwise_set_jaccard: set-category count exceeds "
+            f"max_sets={max_sets}; all-pairs output is quadratic in it — "
+            f"bucket or LSH instead"
+        ) from e
+    sizes = dict(zip(sizes_df[set_col], sizes_df["__c"].astype(float)))
+
+    def _local(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch.select([elem_col, set_col])).unique().to_arrow()
+        )
+
+    pre = ds.map_batches(_local, batch_format="pyarrow", batch_size=batch_size)
+    from edkray.ops.shuffle import bucketed_group_map
+
+    def _pairs(table: pa.Table) -> pa.Table:
+        df = pl.from_arrow(table).unique(subset=[elem_col, set_col])
+        j = df.join(df, on=elem_col, suffix="__b").filter(
+            pl.col(set_col) < pl.col(f"{set_col}__b")
+        )
+        return (
+            j.group_by([set_col, f"{set_col}__b"])
+            .agg(pl.len().cast(pl.Int64).alias("__i"))
+            .rename({set_col: "set_a", f"{set_col}__b": "set_b"})
+            .to_arrow()
+        )
+
+    partial = bucketed_group_map(pre, [elem_col], _pairs,
+                                 num_buckets=num_buckets)
+    inter = partial.groupby(["set_a", "set_b"]).aggregate(
+        Sum("__i", alias_name="n_common")
+    )
+
+    def _finalize(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        ca = df["set_a"].replace_strict(sizes, return_dtype=pl.Float64)
+        cb = df["set_b"].replace_strict(sizes, return_dtype=pl.Float64)
+        n = df["n_common"].cast(pl.Float64)
+        return (
+            df.with_columns((n / (ca + cb - n)).alias("jaccard"))
+            .select(["set_a", "set_b", "n_common", "jaccard"])
+            .to_arrow()
+        )
+
+    return inter.map_batches(_finalize, batch_format="pyarrow")
+
+
+def grouped_kl(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    val_col: str,
+    alias: str = "kl",
+    max_vals: int = 1_000_000,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """KL divergence (bits) of each key group's ``val_col`` category
+    distribution from the GLOBAL distribution — the distribution-shift
+    score CCNet-style curation uses per domain/source.
+
+    Exact (key, val) counts via :func:`grouped_agg` (narrow), the
+    global per-val marginal (≤ ``max_vals`` rows, ENFORCED — the value
+    vocabulary) folds driver-side into the finalize closure, and KL
+    collapses to per-key sufficient sums:
+
+        KL(P‖Q) = (Σ n·(log₂n − log₂q)) / N − log₂N
+
+    so the second shuffle moves two doubles per (key, batch). Every
+    group's support is a subset of the global support by construction
+    (q > 0 wherever n > 0). Output: ``keys + [n, alias]``."""
+    counts = grouped_agg(ds, keys + [val_col], [("count", None, "__n")],
+                         batch_size=batch_size)
+    counts = counts.materialize()  # reused by the marginal + the fold
+
+    gl = grouped_agg(counts, [val_col], [("sum", "__n", "__g")])
+    try:
+        gl_df = gl.to_pandas(limit=max_vals)
+    except ValueError as e:
+        raise ValueError(
+            f"grouped_kl: value vocabulary exceeds max_vals={max_vals}; "
+            f"bucket val_col first"
+        ) from e
+    total = float(gl_df["__g"].sum())
+    log2q = {
+        v: float(np.log2(g / total)) for v, g in zip(gl_df[val_col], gl_df["__g"])
+    }
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        n = pl.col("__n").cast(pl.Float64)
+        lq = df[val_col].replace_strict(log2q, return_dtype=pl.Float64)
+        return (
+            df.with_columns(lq.alias("__lq"))
+            .group_by(keys)
+            .agg(
+                pl.col("__n").sum().alias("__N"),
+                (n * (n.log(2.0) - pl.col("__lq"))).sum().alias("__s"),
+            )
+            .to_arrow()
+        )
+
+    folded = counts.map_batches(
+        _partial, batch_format="pyarrow", batch_size=batch_size
+    ).groupby(keys).aggregate(
+        Sum("__N", alias_name="__N"), Sum("__s", alias_name="__s")
+    )
+
+    def _finalize(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        big_n = pl.col("__N").cast(pl.Float64)
+        return (
+            df.with_columns(
+                (pl.col("__s") / big_n - big_n.log(2.0)).alias(alias),
+                pl.col("__N").alias("n"),
+            )
+            .select(keys + ["n", alias])
+            .to_arrow()
+        )
+
+    return folded.map_batches(_finalize, batch_format="pyarrow")

@@ -6440,6 +6440,181 @@ FROM runs GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# Q: user_entropy — Shannon entropy of each user's event-type mix
+
+
+def q_user_entropy(sf_dir: str):
+    """Per-user Shannon entropy (bits) of the event-type distribution
+    (ops/aggregate.py:grouped_entropy — exact (user, type) counts via
+    the combiner, then per-user sufficient sums; both shuffles narrow,
+    the corpus never re-groups). Oracle replays the closed form
+    log₂N − Σ n·log₂n / N over SQL counts."""
+    from edkray.ops.aggregate import grouped_entropy
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    out = grouped_entropy(ds, ["user_id"], "event_type")
+    return out.map_batches(
+        lambda b: _round_cols(b, ["entropy"], 6), batch_format="pyarrow"
+    )
+
+
+_SQL_USER_ENTROPY = """
+WITH c AS (
+  SELECT user_id, event_type, count(*)::DOUBLE AS n
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT user_id, sum(n) AS N, sum(n * log2(n)) AS s
+  FROM c GROUP BY 1
+)
+SELECT user_id, N::BIGINT AS n, round(log2(N) - s / N, 6) AS entropy
+FROM t
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: priority_status_chisq — chi-squared association test
+
+
+def q_priority_status_chisq(sf_dir: str):
+    """Chi-squared independence test between o_orderpriority and
+    o_orderstatus (ops/aggregate.py:chi_squared — distributed
+    contingency counts, report-sized driver fold under an ENFORCED
+    cell bound). Oracle replays the observed-cells closed form
+    χ² = N·Σ o²/(rₐ·c_b) − N via SQL window sums."""
+    from edkray.ops.aggregate import chi_squared
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+    out = chi_squared(ds, "o_orderpriority", "o_orderstatus")
+    return _round_cols(out, ["chi2"], 6)
+
+
+_SQL_PRIORITY_STATUS_CHISQ = """
+WITH c AS (
+  SELECT o_orderpriority AS a, o_orderstatus AS b, count(*)::DOUBLE AS n
+  FROM orders GROUP BY 1, 2
+), m AS (
+  SELECT n,
+         sum(n) OVER (PARTITION BY a) AS ra,
+         sum(n) OVER (PARTITION BY b) AS cb,
+         sum(n) OVER () AS tot
+  FROM c
+), d AS (
+  SELECT (count(DISTINCT o_orderpriority) - 1)
+         * (count(DISTINCT o_orderstatus) - 1) AS dof
+  FROM orders
+)
+SELECT round(any_value(tot) * sum(n * n / (ra * cb)) - any_value(tot), 6) AS chi2,
+       (SELECT dof FROM d)::BIGINT AS dof,
+       any_value(tot)::BIGINT AS n
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: rank_ties_orders — per-priority top orders with RANK ties kept
+
+
+def q_rank_ties_orders(sf_dir: str, k: int = 5):
+    """Orders ranking in the top 5 totalprice per priority under SQL
+    RANK semantics — boundary ties all kept, unlike the row_number
+    top-k (ops/aggregate.py:rank_with_ties — local rank()≤k combiner,
+    survivors-only bucket shuffle, exact in-bucket min-rank). Oracle:
+    QUALIFY rank() <= 5."""
+    from edkray.ops.aggregate import rank_with_ties
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    return rank_with_ties(ds, ["o_orderpriority"], "o_totalprice", k)
+
+
+_SQL_RANK_TIES_ORDERS = """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       rank() OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice DESC)::BIGINT AS rnk
+FROM orders
+QUALIFY rnk <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: type_user_jaccard — event-type similarity by shared-user sets
+
+
+def q_type_user_jaccard(sf_dir: str):
+    """Jaccard similarity between every event-type pair by the users
+    who perform them (ops/aggregate.py:pairwise_set_jaccard — one
+    bucketed shuffle of locally-deduped (user, type) pairs, vectorized
+    per-bucket self-join, narrow intersection fold; per-type set sizes
+    broadcast through the finalize closure under an ENFORCED bound).
+    Oracle: distinct self-join + size join."""
+    from edkray.ops.aggregate import pairwise_set_jaccard
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    out = pairwise_set_jaccard(ds, "user_id", "event_type")
+    return out.map_batches(
+        lambda b: _round_cols(b, ["jaccard"], 6), batch_format="pyarrow"
+    )
+
+
+_SQL_TYPE_USER_JACCARD = """
+WITH d AS (
+  SELECT DISTINCT event_type AS t, user_id AS u FROM events
+), s AS (
+  SELECT t, count(*)::DOUBLE AS c FROM d GROUP BY 1
+), i AS (
+  SELECT a.t AS set_a, b.t AS set_b, count(*)::BIGINT AS n_common
+  FROM d a JOIN d b ON a.u = b.u AND a.t < b.t
+  GROUP BY 1, 2
+)
+SELECT set_a, set_b, n_common,
+       round(n_common / (sa.c + sb.c - n_common), 6) AS jaccard
+FROM i
+JOIN s sa ON sa.t = i.set_a
+JOIN s sb ON sb.t = i.set_b
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: source_lang_kl — per-source language-distribution shift
+
+
+def q_source_lang_kl(sf_dir: str):
+    """KL divergence (bits) of each source's language distribution
+    from the corpus-global one — the CCNet-style curation shift score
+    (ops/aggregate.py:grouped_kl — narrow counts, vocabulary-sized
+    global marginal in the closure, per-key sufficient sums). Oracle
+    replays KL = Σ n·(log₂n − log₂q)/N − log₂N over SQL counts."""
+    from edkray.ops.aggregate import grouped_kl
+
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+    out = grouped_kl(ds, ["source"], "lang")
+    return out.map_batches(
+        lambda b: _round_cols(b, ["kl"], 6), batch_format="pyarrow"
+    )
+
+
+_SQL_SOURCE_LANG_KL = """
+WITH c AS (
+  SELECT source, lang, count(*)::DOUBLE AS n
+  FROM documents GROUP BY 1, 2
+), g AS (
+  SELECT lang, sum(n) AS gl FROM c GROUP BY 1
+), tot AS (
+  SELECT sum(n) AS t FROM c
+), j AS (
+  SELECT c.source, c.n,
+         log2(g.gl / (SELECT t FROM tot)) AS lq
+  FROM c JOIN g USING (lang)
+), s AS (
+  SELECT source, sum(n) AS N, sum(n * (log2(n) - lq)) AS s2
+  FROM j GROUP BY 1
+)
+SELECT source, N::BIGINT AS n, round(s2 / N - log2(N), 6) AS kl
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 
 
@@ -6595,6 +6770,11 @@ def queries() -> dict:
         "bfs_hops": q_bfs_hops,
         "fetch_windows": q_fetch_windows,
         "activity_streaks": q_activity_streaks,
+        "user_entropy": q_user_entropy,
+        "priority_status_chisq": q_priority_status_chisq,
+        "rank_ties_orders": q_rank_ties_orders,
+        "type_user_jaccard": q_type_user_jaccard,
+        "source_lang_kl": q_source_lang_kl,
     }
 
 
@@ -6679,6 +6859,11 @@ def oracle_sql() -> dict:
         "fetch_windows": _SQL_FETCH_WINDOWS,
         # day − row_number() islands anchor
         "activity_streaks": _SQL_ACTIVITY_STREAKS,
+        "user_entropy": _SQL_USER_ENTROPY,
+        "priority_status_chisq": _SQL_PRIORITY_STATUS_CHISQ,
+        "rank_ties_orders": _SQL_RANK_TIES_ORDERS,
+        "type_user_jaccard": _SQL_TYPE_USER_JACCARD,
+        "source_lang_kl": _SQL_SOURCE_LANG_KL,
         "robots_kept": _SQL_ROBOTS,
         "doc_chunks": _SQL_DOC_CHUNKS,
         "inlink_counts": _SQL_INLINK_COUNTS,

@@ -4029,3 +4029,206 @@ class TestMaxStreak:
         exp["n_days"] = exp["n_days"].astype("int64")
         exp["max_streak"] = exp["max_streak"].astype("int64")
         _df_eq(out, exp)
+
+
+class TestGroupedEntropy:
+    def test_matches_scipy_formula(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import grouped_entropy
+
+        rng = np.random.default_rng(41)
+        n = 20_000
+        df = pd.DataFrame({
+            "g": rng.integers(0, 50, n),
+            "v": rng.choice(list("abcdef"), n, p=[0.4, 0.25, 0.15, 0.1, 0.07, 0.03]),
+        })
+        out = (
+            grouped_entropy(ray.data.from_pandas(df).repartition(7), ["g"], "v")
+            .to_pandas().set_index("g")
+        )
+        for g, m in df.groupby("g"):
+            p = m["v"].value_counts(normalize=True).to_numpy()
+            exp = -(p * np.log2(p)).sum()
+            assert abs(out.loc[g, "entropy"] - exp) < 1e-9
+            assert out.loc[g, "n"] == len(m)
+
+    def test_single_category_group_is_zero(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import grouped_entropy
+
+        df = pd.DataFrame({"g": ["a"] * 7, "v": ["only"] * 7})
+        out = grouped_entropy(ray.data.from_pandas(df), ["g"], "v").to_pandas()
+        assert len(out) == 1 and abs(out["entropy"].iloc[0]) < 1e-12
+
+
+class TestChiSquared:
+    def test_matches_full_cell_definition(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import chi_squared
+
+        rng = np.random.default_rng(43)
+        n = 10_000
+        df = pd.DataFrame({
+            "a": rng.choice(["p", "q", "r"], n),
+            "b": rng.choice(["x", "y"], n, p=[0.7, 0.3]),
+        })
+        out = chi_squared(ray.data.from_pandas(df).repartition(5), "a", "b").to_pandas()
+        ct = pd.crosstab(df["a"], df["b"])  # includes zero cells
+        e = np.outer(ct.sum(1), ct.sum(0)) / ct.values.sum()
+        exp = ((ct.values - e) ** 2 / e).sum()
+        assert abs(out["chi2"].iloc[0] - exp) < 1e-8
+        assert out["dof"].iloc[0] == (ct.shape[0] - 1) * (ct.shape[1] - 1)
+        assert out["n"].iloc[0] == n
+
+    def test_zero_cells_counted_in_expected(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import chi_squared
+
+        # (a2, y) never observed — the closed form must still equal the
+        # all-cells definition, which charges the expected count for it.
+        df = pd.DataFrame({
+            "a": ["a1"] * 6 + ["a2"] * 4,
+            "b": ["x", "y"] * 3 + ["x"] * 4,
+        })
+        out = chi_squared(ray.data.from_pandas(df), "a", "b").to_pandas()
+        ct = pd.crosstab(df["a"], df["b"])
+        e = np.outer(ct.sum(1), ct.sum(0)) / ct.values.sum()
+        exp = ((ct.values - e) ** 2 / e).sum()
+        assert abs(out["chi2"].iloc[0] - exp) < 1e-10
+
+    def test_cell_bound_enforced(self, ray_session):
+        import pytest
+        import ray.data
+
+        from edkray.ops.aggregate import chi_squared
+
+        df = pd.DataFrame({"a": [str(i) for i in range(40)],
+                           "b": [str(i) for i in range(40)]})
+        with pytest.raises(ValueError, match="max_cells"):
+            chi_squared(ray.data.from_pandas(df), "a", "b", max_cells=10)
+
+
+class TestRankWithTies:
+    def test_boundary_ties_all_kept(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import rank_with_ties
+
+        # group g: values 9,8,8,8,7,1 — rank()<=3 keeps 9 and ALL three
+        # 8s (rank 2); row_number top-3 would cut one 8 arbitrarily.
+        df = pd.DataFrame({
+            "g": ["g"] * 6 + ["h"] * 2,
+            "v": [9.0, 8, 8, 8, 7, 1, 5, 5],
+            "id": range(8),
+        })
+        out = (
+            rank_with_ties(ray.data.from_pandas(df).repartition(4), ["g"], "v", 3)
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        got = set(out["id"])
+        assert got == {0, 1, 2, 3, 6, 7}
+        r = out.set_index("id")["rnk"]
+        assert r[0] == 1 and r[1] == 2 and r[2] == 2 and r[3] == 2
+        assert r[6] == 1 and r[7] == 1
+
+    def test_matches_pandas_rank_across_batches(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import rank_with_ties
+
+        rng = np.random.default_rng(47)
+        n = 30_000
+        df = pd.DataFrame({
+            "g": rng.integers(0, 20, n),
+            "v": rng.integers(0, 200, n).astype(float),  # many ties
+            "id": np.arange(n),
+        })
+        k = 5
+        out = rank_with_ties(
+            ray.data.from_pandas(df).repartition(9), ["g"], "v", k
+        ).to_pandas()
+        df["r"] = df.groupby("g")["v"].rank(method="min", ascending=False)
+        exp = df[df["r"] <= k]
+        assert set(out["id"]) == set(exp["id"])
+        merged = out.merge(exp[["id", "r"]], on="id")
+        assert (merged["rnk"] == merged["r"]).all()
+
+
+class TestPairwiseSetJaccard:
+    def test_matches_python_sets(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import pairwise_set_jaccard
+
+        rng = np.random.default_rng(53)
+        n = 25_000
+        df = pd.DataFrame({
+            "u": rng.integers(0, 800, n),
+            "t": rng.choice(["a", "b", "c", "d"], n, p=[0.4, 0.3, 0.2, 0.1]),
+        })
+        out = (
+            pairwise_set_jaccard(ray.data.from_pandas(df).repartition(6), "u", "t")
+            .to_pandas().set_index(["set_a", "set_b"])
+        )
+        sets = {t: set(m["u"]) for t, m in df.groupby("t")}
+        ts = sorted(sets)
+        for i in range(len(ts)):
+            for j in range(i + 1, len(ts)):
+                inter = len(sets[ts[i]] & sets[ts[j]])
+                if inter == 0:
+                    assert (ts[i], ts[j]) not in out.index
+                    continue
+                row = out.loc[(ts[i], ts[j])]
+                assert row["n_common"] == inter
+                exp = inter / len(sets[ts[i]] | sets[ts[j]])
+                assert abs(row["jaccard"] - exp) < 1e-12
+
+    def test_disjoint_pair_omitted(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import pairwise_set_jaccard
+
+        df = pd.DataFrame({"u": [1, 2, 3, 4], "t": ["a", "a", "b", "b"]})
+        out = pairwise_set_jaccard(ray.data.from_pandas(df), "u", "t").to_pandas()
+        assert len(out) == 0
+
+
+class TestGroupedKL:
+    def test_matches_direct_formula(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import grouped_kl
+
+        rng = np.random.default_rng(59)
+        n = 20_000
+        df = pd.DataFrame({
+            "g": rng.choice(["s1", "s2", "s3"], n, p=[0.5, 0.3, 0.2]),
+            "v": rng.choice(list("abcd"), n),
+        })
+        # skew s3 toward 'a'
+        df.loc[df["g"] == "s3", "v"] = rng.choice(
+            list("abcd"), (df["g"] == "s3").sum(), p=[0.85, 0.05, 0.05, 0.05])
+        out = (
+            grouped_kl(ray.data.from_pandas(df).repartition(7), ["g"], "v")
+            .to_pandas().set_index("g")
+        )
+        q = df["v"].value_counts(normalize=True)
+        for g, m in df.groupby("g"):
+            p = m["v"].value_counts(normalize=True)
+            exp = sum(p[v] * np.log2(p[v] / q[v]) for v in p.index)
+            assert abs(out.loc[g, "kl"] - exp) < 1e-9
+            assert out.loc[g, "n"] == len(m)
+
+    def test_global_distribution_has_zero_kl(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import grouped_kl
+
+        # one group == the whole corpus → KL must be exactly 0
+        df = pd.DataFrame({"g": ["only"] * 9, "v": list("aaabbbccc")})
+        out = grouped_kl(ray.data.from_pandas(df), ["g"], "v").to_pandas()
+        assert len(out) == 1 and abs(out["kl"].iloc[0]) < 1e-12
