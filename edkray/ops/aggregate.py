@@ -1634,3 +1634,58 @@ def grouped_kl(
         )
 
     return folded.map_batches(_finalize, batch_format="pyarrow")
+
+
+def grouped_weighted_quantile(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    val_col: str,
+    weight_col: str,
+    q: float = 0.5,
+    alias: str = "wq",
+    num_buckets: int = 16,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Weighted lower quantile per key group: the smallest value whose
+    cumulative weight (values ascending) reaches ``q`` of the group's
+    total weight — weighted median at q=0.5 (e.g. the price below
+    which half the shipped QUANTITY sits, not half the line rows).
+
+    Scale shape mirrors :func:`grouped_quantile_disc`: the combiner
+    collapses each batch to distinct (key, value, Σweight) rows — the
+    value histogram, not the corpus — one hash-bucket shuffle
+    co-locates each key's histogram, and the in-bucket pass is a
+    vectorized sort + cumulative-weight scan. Output:
+    ``keys + [alias]``."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch)
+            .drop_nulls([val_col, weight_col])
+            .group_by(keys + [val_col])
+            .agg(pl.col(weight_col).cast(pl.Float64).sum().alias("__w"))
+            .to_arrow()
+        )
+
+    pre = ds.map_batches(_partial, batch_format="pyarrow", batch_size=batch_size)
+    from edkray.ops.shuffle import bucketed_group_map
+
+    def _pick(table: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(table)
+            .group_by(keys + [val_col])
+            .agg(pl.col("__w").sum())
+            .sort(keys + [val_col])
+            .with_columns(
+                pl.col("__w").cum_sum().over(keys).alias("__cw"),
+                pl.col("__w").sum().over(keys).alias("__tw"),
+            )
+        )
+        return (
+            df.filter(pl.col("__cw") >= q * pl.col("__tw"))
+            .group_by(keys, maintain_order=True)
+            .agg(pl.col(val_col).first().alias(alias))
+            .to_arrow()
+        )
+
+    return bucketed_group_map(pre, keys, _pick, num_buckets=num_buckets)

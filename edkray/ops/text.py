@@ -1287,3 +1287,61 @@ def tfidf_terms(
     scored = joined.map_batches(_score, batch_format="pyarrow", batch_size=batch_size)
     return top_k_per_group(scored, [id_col], ["tfidf", "term"], k,
                            descending=[True, False], batch_size=batch_size)
+
+
+def inverted_index(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+):
+    """Build an inverted index: term → document frequency + the sorted
+    posting list (the core search-engine structure bm25_topk consults
+    conceptually; here materialized as a queryable table).
+
+    Scale shape: per-batch DISTINCT (term, doc) pairs are the combiner
+    (a doc never splits, so local dedup is exact); one hash-bucket
+    shuffle co-locates each term's postings; df and the sorted,
+    comma-joined posting string compute vectorized per bucket. Pass
+    ``max_df`` to drop stopword-scale terms INSIDE the bucket before
+    the posting string is built — at corpus scale a stopword's posting
+    list is corpus-sized and must never be materialized (same rule as
+    the reference's zero-result guards; a production index would also
+    shard the survivors' postings). Output: (term, df, postings)."""
+    import polars as pl
+
+    from edkray.ops.shuffle import bucketed_group_map
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch)
+            .select(
+                pl.col(id_col),
+                pl.col(text_col).str.extract_all(r"\S+").alias("term"),
+            )
+            .explode("term")
+            .drop_nulls("term")
+            .unique()
+            .to_arrow()
+        )
+
+    pre = ds.map_batches(_pairs, batch_format="pyarrow", batch_size=batch_size)
+
+    def _postings(table: pa.Table) -> pa.Table:
+        df = pl.from_arrow(table).unique(subset=["term", id_col])
+        if max_df is not None:
+            # df-count + filter BEFORE the posting string exists, so a
+            # stopword's corpus-sized list is never materialized.
+            df = df.filter(pl.len().over("term") <= max_df)
+        return (
+            df.group_by("term")
+            .agg(
+                pl.len().cast(pl.Int64).alias("df"),
+                pl.col(id_col).sort().cast(pl.Utf8).str.join(",").alias("postings"),
+            )
+            .to_arrow()
+        )
+
+    return bucketed_group_map(pre, ["term"], _postings, num_buckets=num_buckets)

@@ -600,3 +600,113 @@ def max_streak(
 
     days = ds.map_batches(_days, batch_format="pyarrow")
     return bucketed_group_map(days, keys, _bucket, num_buckets=num_buckets)
+
+
+def dense_daily_counts(
+    ds,
+    ts_col: str,
+    max_days: int = 200_000,
+    batch_size: int = 65536,
+):
+    """Daily event counts over a DENSE calendar — every day between the
+    global min and max date appears, zero-filled (the gap-visible time
+    series a monitoring rollup needs; plain groupby silently drops
+    empty days).
+
+    Distributed part: per-batch day counts (combiner) fold through one
+    narrow groupby. The zero-fill runs driver-side over the
+    REPORT-SIZED day range under an ENFORCED ``max_days`` bound
+    (200k days ≈ 550 years — the calendar is a report, not a corpus).
+    Output: (day: date32, n: int64)."""
+    import pyarrow.compute as pc
+
+    from edkray.ops.aggregate import grouped_agg
+
+    day = ds.map_batches(
+        lambda b: pa.table(
+            {"day": pc.cast(pc.floor_temporal(b[ts_col], unit="day"), pa.date32())}
+        ),
+        batch_format="pyarrow", batch_size=batch_size,
+    )
+    counts = grouped_agg(day, ["day"], [("count", None, "n")])
+    df = counts.to_pandas(limit=max_days)
+    if df.empty:
+        return ray.data.from_arrow(
+            pa.table({"day": pa.array([], pa.date32()),
+                      "n": pa.array([], pa.int64())})
+        )
+    days = pd.date_range(df["day"].min(), df["day"].max(), freq="D")
+    if len(days) > max_days:
+        raise ValueError(
+            f"dense_daily_counts: calendar spans {len(days)} days > "
+            f"max_days={max_days}; bucket coarser"
+        )
+    full = pd.DataFrame({"day": days.date})
+    out = full.merge(df, on="day", how="left")
+    out["n"] = out["n"].fillna(0).astype("int64")
+    return ray.data.from_arrow(pa.table({
+        "day": pa.array(out["day"], pa.date32()),
+        "n": pa.array(out["n"], pa.int64()),
+    }))
+
+
+def gap_autocorr(
+    ds,
+    keys: list[str],
+    ts_col: str,
+    tiebreak: list[str] | None = None,
+    alias: str = "autocorr",
+    num_buckets: int = 32,
+    batch_size: int = 65536,
+):
+    """Lag-1 autocorrelation of each key's inter-event gaps — the
+    burstiness signal (≈0 for Poisson arrivals, >0 for clustered
+    traffic, <0 for alternating long/short gaps).
+
+    One key co-shuffle (hash buckets hold complete key groups); inside
+    a bucket the (ts, tiebreak) sort, the microsecond gap diff, and the
+    (gapᵢ, gapᵢ₊₁) lag pairs are all vectorized window exprs, and the
+    Pearson closed form folds per key in place — no second shuffle, no
+    pair rows on the wire. Keys with <3 events or zero gap variance
+    emit null (SQL corr semantics). Output: keys + (n_pairs, alias)."""
+    import polars as pl
+
+    from edkray.ops.shuffle import bucketed_group_map
+
+    tiebreak = tiebreak or []
+    order = [ts_col] + tiebreak
+
+    def _corr(table: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(table)
+            .sort(keys + order)
+            .with_columns(
+                (pl.col(ts_col).cast(pl.Int64)
+                 - pl.col(ts_col).cast(pl.Int64).shift(1).over(keys))
+                .cast(pl.Float64).alias("__y")
+            )
+            .with_columns(pl.col("__y").shift(1).over(keys).alias("__x"))
+            .drop_nulls(["__x", "__y"])
+        )
+        x, y = pl.col("__x"), pl.col("__y")
+        s = df.group_by(keys).agg(
+            pl.len().cast(pl.Int64).alias("n_pairs"),
+            x.sum().alias("__sx"), y.sum().alias("__sy"),
+            (x * x).sum().alias("__sxx"), (y * y).sum().alias("__syy"),
+            (x * y).sum().alias("__sxy"),
+        )
+        n = s["n_pairs"].cast(pl.Float64)
+        vx = n * s["__sxx"] - s["__sx"] * s["__sx"]
+        vy = n * s["__syy"] - s["__sy"] * s["__sy"]
+        num = n * s["__sxy"] - s["__sx"] * s["__sy"]
+        r = num / (vx * vy).sqrt()
+        r = pl.select(
+            pl.when((pl.Series(vx) <= 0.0) | (pl.Series(vy) <= 0.0))
+            .then(None).otherwise(pl.Series(r)).alias(alias)
+        )[alias]
+        return (
+            s.select(keys + ["n_pairs"]).with_columns(r.alias(alias)).to_arrow()
+        )
+
+    return bucketed_group_map(ds, keys, _corr, num_buckets=num_buckets,
+                              batch_size=batch_size)

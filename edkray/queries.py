@@ -6615,6 +6615,147 @@ FROM s
 
 
 # --------------------------------------------------------------------------
+# Q: inverted_index — term → df + sorted posting list
+
+
+def q_inverted_index(sf_dir: str, max_df: int = 1000):
+    """Inverted index over documents with a stopword df-cap
+    (ops/text.py:inverted_index — per-batch distinct (term, doc)
+    combiner, one term-bucket shuffle, df-filter BEFORE the posting
+    string exists so stopword-scale lists never materialize). Oracle:
+    distinct unnest + string_agg with the same HAVING cap."""
+    from edkray.ops.text import inverted_index
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return inverted_index(ds, max_df=max_df)
+
+
+_SQL_INVERTED_INDEX = r"""
+WITH p AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+    FROM documents
+  )
+)
+SELECT term, count(*)::BIGINT AS df,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+FROM p GROUP BY term HAVING count(*) <= 1000
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: daily_dense — zero-filled dense daily event counts
+
+
+def q_daily_dense(sf_dir: str):
+    """Daily event counts over a DENSE calendar — empty days appear as
+    zero rows (ops/window.py:dense_daily_counts — narrow combiner
+    counts, report-sized driver fill under an ENFORCED day bound).
+    Oracle: generate_series LEFT JOIN."""
+    from edkray.ops.window import dense_daily_counts
+
+    ds = _read(sf_dir, "events", ["ts"])
+    return dense_daily_counts(ds, "ts")
+
+
+_SQL_DAILY_DENSE = """
+WITH c AS (
+  SELECT CAST(ts AS DATE) AS d, count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+), r AS (
+  SELECT min(d) AS lo, max(d) AS hi FROM c
+), cal AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d FROM r
+)
+SELECT cal.d AS day, coalesce(c.n, 0)::BIGINT AS n
+FROM cal LEFT JOIN c ON cal.d = c.d
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: gap_autocorr — per-user burstiness (lag-1 gap autocorrelation)
+
+
+def q_gap_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of inter-event gaps per user
+    (ops/window.py:gap_autocorr — one key co-shuffle, vectorized
+    lag pairs + in-bucket Pearson closed form, no pair rows on the
+    wire). Oracle: double LAG over the same (ts, event_id) order,
+    identical closed form over exact integer-microsecond sums."""
+    from edkray.ops.window import gap_autocorr
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    out = gap_autocorr(ds, ["user_id"], "ts", tiebreak=["event_id"])
+    return out.map_batches(
+        lambda b: _round_cols(b, ["autocorr"], 6), batch_format="pyarrow"
+    )
+
+
+_SQL_GAP_AUTOCORR = """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER w)::DOUBLE AS y
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), p AS (
+  SELECT user_id, y,
+         lag(y) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x
+  FROM o
+), f AS (
+  SELECT user_id, x, y FROM p WHERE x IS NOT NULL AND y IS NOT NULL
+), s AS (
+  SELECT user_id, count(*)::BIGINT AS n_pairs,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM f GROUP BY 1
+)
+SELECT user_id, n_pairs,
+       CASE WHEN n_pairs * sxx - sx * sx <= 0
+              OR n_pairs * syy - sy * sy <= 0 THEN NULL
+            ELSE round((n_pairs * sxy - sx * sy)
+                       / sqrt((n_pairs * sxx - sx * sx)
+                              * (n_pairs * syy - sy * sy)), 6)
+       END AS autocorr
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: weighted_median_price — quantity-weighted median price per flag
+
+
+def q_weighted_median_price(sf_dir: str):
+    """Quantity-weighted median extended price per return flag — the
+    price below which half the shipped QUANTITY sits
+    (ops/aggregate.py:grouped_weighted_quantile — distinct
+    (key, value, Σweight) histogram combiner, one bucket shuffle,
+    vectorized cumulative-weight scan). Oracle: cumulative window sum,
+    lower-quantile pick."""
+    from edkray.ops.aggregate import grouped_weighted_quantile
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_quantity"])
+    return grouped_weighted_quantile(
+        ds, ["l_returnflag"], "l_extendedprice", "l_quantity", q=0.5
+    )
+
+
+_SQL_WEIGHTED_MEDIAN_PRICE = """
+WITH a AS (
+  SELECT l_returnflag, l_extendedprice AS v, sum(l_quantity) AS w
+  FROM lineitem GROUP BY 1, 2
+), c AS (
+  SELECT l_returnflag, v,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cw,
+         sum(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM a
+)
+SELECT l_returnflag, min(v) FILTER (WHERE cw >= 0.5 * tw) AS wq
+FROM c GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 
 
@@ -6775,6 +6916,10 @@ def queries() -> dict:
         "rank_ties_orders": q_rank_ties_orders,
         "type_user_jaccard": q_type_user_jaccard,
         "source_lang_kl": q_source_lang_kl,
+        "inverted_index": q_inverted_index,
+        "daily_dense": q_daily_dense,
+        "gap_autocorr": q_gap_autocorr,
+        "weighted_median_price": q_weighted_median_price,
     }
 
 
@@ -6864,6 +7009,10 @@ def oracle_sql() -> dict:
         "rank_ties_orders": _SQL_RANK_TIES_ORDERS,
         "type_user_jaccard": _SQL_TYPE_USER_JACCARD,
         "source_lang_kl": _SQL_SOURCE_LANG_KL,
+        "inverted_index": _SQL_INVERTED_INDEX,
+        "daily_dense": _SQL_DAILY_DENSE,
+        "gap_autocorr": _SQL_GAP_AUTOCORR,
+        "weighted_median_price": _SQL_WEIGHTED_MEDIAN_PRICE,
         "robots_kept": _SQL_ROBOTS,
         "doc_chunks": _SQL_DOC_CHUNKS,
         "inlink_counts": _SQL_INLINK_COUNTS,

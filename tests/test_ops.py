@@ -4232,3 +4232,156 @@ class TestGroupedKL:
         df = pd.DataFrame({"g": ["only"] * 9, "v": list("aaabbbccc")})
         out = grouped_kl(ray.data.from_pandas(df), ["g"], "v").to_pandas()
         assert len(out) == 1 and abs(out["kl"].iloc[0]) < 1e-12
+
+
+class TestInvertedIndex:
+    def test_postings_match_python(self, ray_session):
+        import ray.data
+
+        from edkray.ops.text import inverted_index
+
+        docs = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": ["a b c", "b c d b", "c d e", "a   e"],
+        })
+        out = (
+            inverted_index(ray.data.from_pandas(docs).repartition(3))
+            .to_pandas().set_index("term")
+        )
+        exp = {}
+        for _, r in docs.iterrows():
+            for t in set(r["text"].split()):
+                exp.setdefault(t, set()).add(r["doc_id"])
+        assert set(out.index) == set(exp)
+        for t, ids in exp.items():
+            assert out.loc[t, "df"] == len(ids)
+            assert out.loc[t, "postings"] == ",".join(map(str, sorted(ids)))
+
+    def test_max_df_drops_stopwords(self, ray_session):
+        import ray.data
+
+        from edkray.ops.text import inverted_index
+
+        docs = pd.DataFrame({
+            "doc_id": range(10),
+            "text": ["the x%d" % i for i in range(10)],
+        })
+        out = inverted_index(
+            ray.data.from_pandas(docs).repartition(4), max_df=5
+        ).to_pandas()
+        assert "the" not in set(out["term"])
+        assert len(out) == 10  # each x_i survives with df=1
+
+
+class TestDenseDailyCounts:
+    def test_zero_fills_gap_days(self, ray_session):
+        import ray.data
+
+        from edkray.ops.window import dense_daily_counts
+
+        ts = pd.to_datetime(
+            ["2024-01-01 05:00", "2024-01-01 09:00", "2024-01-04 12:00"])
+        df = pd.DataFrame({"ts": ts})
+        out = (
+            dense_daily_counts(ray.data.from_pandas(df), "ts")
+            .to_pandas().sort_values("day").reset_index(drop=True)
+        )
+        assert len(out) == 4
+        assert list(out["n"]) == [2, 0, 0, 1]
+
+    def test_day_bound_enforced(self, ray_session):
+        import pytest
+        import ray.data
+
+        from edkray.ops.window import dense_daily_counts
+
+        df = pd.DataFrame({
+            "ts": pd.to_datetime(["2000-01-01", "2024-01-01"])})
+        with pytest.raises(ValueError, match="max_days"):
+            dense_daily_counts(ray.data.from_pandas(df), "ts", max_days=100)
+
+
+class TestGapAutocorr:
+    def test_matches_numpy(self, ray_session):
+        import ray.data
+
+        from edkray.ops.window import gap_autocorr
+
+        rng = np.random.default_rng(61)
+        rows = []
+        for u in range(25):
+            n = rng.integers(4, 60)
+            t = np.cumsum(rng.integers(1, 10_000, n))
+            for x in t:
+                rows.append((u, x))
+        df = pd.DataFrame(rows, columns=["u", "off"])
+        df["ts"] = pd.Timestamp("2024-01-01") + pd.to_timedelta(df["off"], unit="us")
+        df["eid"] = np.arange(len(df))
+        out = (
+            gap_autocorr(
+                ray.data.from_pandas(df[["u", "ts", "eid"]]).repartition(6),
+                ["u"], "ts", tiebreak=["eid"])
+            .to_pandas().set_index("u")
+        )
+        for u, m in df.groupby("u"):
+            g = np.diff(np.sort(m["off"].to_numpy()).astype(np.float64))
+            x, y = g[:-1], g[1:]
+            assert out.loc[u, "n_pairs"] == len(x)
+            exp = np.corrcoef(x, y)[0, 1]
+            assert abs(out.loc[u, "autocorr"] - exp) < 1e-9
+
+    def test_short_and_constant_groups_null_or_absent(self, ray_session):
+        import ray.data
+
+        from edkray.ops.window import gap_autocorr
+
+        ts0 = pd.Timestamp("2024-01-01")
+        df = pd.DataFrame({
+            "u": [1, 1, 2, 2, 2, 2, 3],
+            "ts": [ts0, ts0 + pd.Timedelta(seconds=1),          # 1 gap, 0 pairs
+                   ts0, ts0 + pd.Timedelta(seconds=5),          # constant gaps
+                   ts0 + pd.Timedelta(seconds=10),
+                   ts0 + pd.Timedelta(seconds=15),
+                   ts0],                                        # single event
+            "eid": range(7),
+        })
+        out = gap_autocorr(ray.data.from_pandas(df), ["u"], "ts",
+                           tiebreak=["eid"]).to_pandas().set_index("u")
+        assert 1 not in out.index and 3 not in out.index
+        assert out.loc[2, "n_pairs"] == 2 and np.isnan(out.loc[2, "autocorr"])
+
+
+class TestGroupedWeightedQuantile:
+    def test_weighted_median_matches_python(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import grouped_weighted_quantile
+
+        rng = np.random.default_rng(67)
+        n = 20_000
+        df = pd.DataFrame({
+            "g": rng.integers(0, 12, n),
+            "v": rng.integers(0, 500, n).astype(float),
+            "w": rng.integers(1, 9, n).astype(float),
+        })
+        out = (
+            grouped_weighted_quantile(
+                ray.data.from_pandas(df).repartition(7), ["g"], "v", "w", q=0.5)
+            .to_pandas().set_index("g")
+        )
+        for g, m in df.groupby("g"):
+            a = m.groupby("v", as_index=False)["w"].sum().sort_values("v")
+            cw = a["w"].cumsum()
+            exp = a.loc[cw >= 0.5 * a["w"].sum(), "v"].iloc[0]
+            assert out.loc[g, "wq"] == exp
+
+    def test_unit_weights_reduce_to_plain_quantile(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import grouped_weighted_quantile
+
+        df = pd.DataFrame({"g": ["a"] * 5, "v": [1.0, 2, 3, 4, 100],
+                           "w": [1.0] * 5})
+        out = grouped_weighted_quantile(
+            ray.data.from_pandas(df), ["g"], "v", "w", q=0.5).to_pandas()
+        assert out["wq"].iloc[0] == 3.0
