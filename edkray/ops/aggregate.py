@@ -1689,3 +1689,119 @@ def grouped_weighted_quantile(
         )
 
     return bucketed_group_map(pre, keys, _pick, num_buckets=num_buckets)
+
+
+def grouped_gini(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    val_col: str,
+    alias: str = "gini",
+    num_buckets: int = 16,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Gini coefficient of ``val_col`` per key group (inequality of the
+    value distribution — 0 = uniform, →1 = one row holds everything).
+
+    Scale shape: the combiner collapses each batch to distinct
+    (key, value, count) histogram rows — the shuffle carries the value
+    histogram, never the corpus. In-bucket, the classic sorted-rank
+    form  G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n  expands over a run of
+    ``c`` equal values starting after cumulative count ``a`` to
+    x·(c·a + c(c+1)/2) — a vectorized cumsum scan, no row explosion.
+    Requires non-negative values (asserted). Output: keys + [n, alias]."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch)
+            .drop_nulls([val_col])
+            .group_by(keys + [val_col])
+            .agg(pl.len().cast(pl.Int64).alias("__c"))
+            .to_arrow()
+        )
+
+    pre = ds.map_batches(_partial, batch_format="pyarrow", batch_size=batch_size)
+    from edkray.ops.shuffle import bucketed_group_map
+
+    def _gini(table: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(table)
+            .group_by(keys + [val_col])
+            .agg(pl.col("__c").sum())
+            .sort(keys + [val_col])
+        )
+        if (df[val_col] < 0).any():
+            raise ValueError("grouped_gini: negative values are not supported")
+        c = pl.col("__c").cast(pl.Float64)
+        x = pl.col(val_col).cast(pl.Float64)
+        df = df.with_columns(
+            (c.cum_sum().over(keys) - c).alias("__a"),
+        ).with_columns(
+            (x * (c * pl.col("__a") + c * (c + 1) / 2.0)).alias("__s"),
+        )
+        out = df.group_by(keys).agg(
+            pl.col("__c").sum().cast(pl.Int64).alias("n"),
+            pl.col("__s").sum().alias("__S"),
+            (x * c).sum().alias("__T"),
+        )
+        n = pl.col("n").cast(pl.Float64)
+        return (
+            out.with_columns(
+                (2.0 * pl.col("__S") / (n * pl.col("__T")) - (n + 1.0) / n)
+                .alias(alias)
+            )
+            .select(keys + ["n", alias])
+            .to_arrow()
+        )
+
+    return bucketed_group_map(pre, keys, _gini, num_buckets=num_buckets)
+
+
+def grouped_genmeans(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    val_col: str,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Geometric and harmonic mean of ``val_col`` per key group via
+    sufficient sums (n, Σln v, Σ1/v) — the :func:`grouped_agg` combiner
+    shape, two doubles per (key, batch) on the wire. Requires strictly
+    positive values (nulls dropped; non-positive raises). Output:
+    ``keys + [n, geomean, harmmean]``."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).drop_nulls([val_col])
+        v = pl.col(val_col).cast(pl.Float64)
+        if (df[val_col] <= 0).any():
+            raise ValueError("grouped_genmeans: values must be > 0")
+        return (
+            df.group_by(keys)
+            .agg(
+                pl.len().cast(pl.Int64).alias("__n"),
+                v.log().sum().alias("__sl"),
+                (1.0 / v).sum().alias("__si"),
+            )
+            .to_arrow()
+        )
+
+    folded = ds.map_batches(
+        _partial, batch_format="pyarrow", batch_size=batch_size
+    ).groupby(keys).aggregate(
+        Sum("__n", alias_name="__n"),
+        Sum("__sl", alias_name="__sl"),
+        Sum("__si", alias_name="__si"),
+    )
+
+    def _finalize(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        n = pl.col("__n").cast(pl.Float64)
+        return (
+            df.with_columns(
+                pl.col("__n").alias("n"),
+                (pl.col("__sl") / n).exp().alias("geomean"),
+                (n / pl.col("__si")).alias("harmmean"),
+            )
+            .select(keys + ["n", "geomean", "harmmean"])
+            .to_arrow()
+        )
+
+    return folded.map_batches(_finalize, batch_format="pyarrow")

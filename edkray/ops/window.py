@@ -710,3 +710,58 @@ def gap_autocorr(
 
     return bucketed_group_map(ds, keys, _corr, num_buckets=num_buckets,
                               batch_size=batch_size)
+
+
+def bearing_sector_counts(
+    ds,
+    keys: list[str],
+    ts_col: str,
+    lon_col: str,
+    lat_col: str,
+    tiebreak: list[str] | None = None,
+    num_buckets: int = 32,
+):
+    """Compass-rose histogram of per-key leg headings: the initial
+    great-circle bearing of every consecutive-point leg, binned into
+    eight 45° sectors (0=N, 1=NE, … 7=NW) — the movement-direction
+    profile over an entity's trajectory.
+
+    Same scale shape as :func:`trajectory_stats`: one key co-shuffle,
+    vectorized spherical trig over shifted coordinate arrays (masked at
+    key boundaries), then per-bucket partial sector counts folded by a
+    narrow groupby. Output: (sector: int64, n: int64), 8 rows max."""
+    import polars as pl
+
+    from edkray.ops.shuffle import bucketed_group_map
+    from ray.data.aggregate import Sum
+
+    order = [ts_col, *(tiebreak or [])]
+
+    def _bucket(tbl: pa.Table) -> pa.Table:
+        df = pl.from_arrow(tbl).sort([*keys, *order])
+        lon = np.radians(df[lon_col].to_numpy().astype(np.float64))
+        lat = np.radians(df[lat_col].to_numpy().astype(np.float64))
+        same = np.ones(len(df), dtype=bool)
+        for k in keys:
+            kv = df[k].to_numpy()
+            same &= np.r_[False, kv[1:] == kv[:-1]]
+        if len(df) < 2:
+            return pa.table({"sector": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        lon1, lat1, lon2, lat2 = lon[:-1], lat[:-1], lon[1:], lat[1:]
+        dlon = lon2 - lon1
+        y = np.sin(dlon) * np.cos(lat2)
+        x = np.cos(lat1) * np.sin(lat2) - np.sin(lat1) * np.cos(lat2) * np.cos(dlon)
+        theta = np.degrees(np.arctan2(y, x)) % 360.0
+        sector = np.floor(((theta + 22.5) % 360.0) / 45.0).astype(np.int64)
+        sector = sector[same[1:]]
+        vals, cnts = np.unique(sector, return_counts=True)
+        return pa.table({"sector": pa.array(vals, pa.int64()),
+                         "n": pa.array(cnts.astype(np.int64), pa.int64())})
+
+    narrow = ds.map_batches(
+        lambda b: b.select([*keys, *order, lon_col, lat_col]),
+        batch_format="pyarrow",
+    )
+    partial = bucketed_group_map(narrow, keys, _bucket, num_buckets=num_buckets)
+    return partial.groupby(["sector"]).aggregate(Sum("n", alias_name="n"))

@@ -6756,6 +6756,186 @@ FROM c GROUP BY l_returnflag
 
 
 # --------------------------------------------------------------------------
+# Q: gini_orders — price-inequality (Gini) per order priority
+
+
+def q_gini_orders(sf_dir: str):
+    """Gini coefficient of order totalprice per priority
+    (ops/aggregate.py:grouped_gini — (key, value, count) histogram
+    combiner, one bucket shuffle, vectorized cumsum-rank scan). Oracle
+    replays the tie-invariant sorted-rank form 2·Σ rn·v/(n·Σv) −
+    (n+1)/n."""
+    from edkray.ops.aggregate import grouped_gini
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    out = grouped_gini(ds, ["o_orderpriority"], "o_totalprice")
+    return out.map_batches(
+        lambda b: _round_cols(b, ["gini"], 6), batch_format="pyarrow"
+    )
+
+
+_SQL_GINI_ORDERS = """
+WITH r AS (
+  SELECT o_orderpriority, o_totalprice AS v,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice) AS rn
+  FROM orders
+)
+SELECT o_orderpriority, count(*)::BIGINT AS n,
+       round(2.0 * sum(rn * v) / (count(*) * sum(v))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+FROM r GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: genmeans_quantity — geometric + harmonic mean per return flag
+
+
+def q_genmeans_quantity(sf_dir: str):
+    """Geometric and harmonic mean of line quantity per return flag
+    (ops/aggregate.py:grouped_genmeans — sufficient sums Σln v and
+    Σ1/v, two doubles per (key, batch) on the wire). Oracle:
+    exp(avg(ln v)) and n/Σ(1/v), shared 6-dp rounding."""
+    from edkray.ops.aggregate import grouped_genmeans
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    out = grouped_genmeans(ds, ["l_returnflag"], "l_quantity")
+    return out.map_batches(
+        lambda b: _round_cols(b, ["geomean", "harmmean"], 6),
+        batch_format="pyarrow",
+    )
+
+
+_SQL_GENMEANS_QUANTITY = """
+SELECT l_returnflag, count(*)::BIGINT AS n,
+       round(exp(sum(ln(l_quantity)) / count(*)), 6) AS geomean,
+       round(count(*) / sum(1.0 / l_quantity), 6) AS harmmean
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: hourly_profile — hour-of-day × day-of-week seasonality grid
+
+
+def q_hourly_profile(sf_dir: str):
+    """Event counts per (day-of-week, hour-of-day) — the seasonality
+    heat grid (vectorized pyarrow temporal kernels + grouped_agg
+    combiner; ≤168 cells on the wire per batch). Sunday = 0 to match
+    DuckDB's dayofweek."""
+    from edkray.ops.aggregate import grouped_agg
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def _parts(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "dow": pc.cast(
+                pc.day_of_week(b["ts"], count_from_zero=True, week_start=7),
+                pa.int64(),
+            ),
+            "hour": pc.cast(pc.hour(b["ts"]), pa.int64()),
+        })
+
+    parts = ds.map_batches(_parts, batch_format="pyarrow")
+    return grouped_agg(parts, ["dow", "hour"], [("count", None, "n")])
+
+
+_SQL_HOURLY_PROFILE = """
+SELECT dayofweek(ts)::BIGINT AS dow, extract(hour FROM ts)::BIGINT AS hour,
+       count(*)::BIGINT AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: benford_digits — first-significant-digit distribution
+
+
+def q_benford_digits(sf_dir: str):
+    """First-significant-digit distribution of order totalprice vs the
+    Benford expectation log₁₀(1+1/d) — the classic synthetic-data /
+    fraud smell test (vectorized numpy digit extraction + grouped_agg
+    combiner; 9 rows out). The digit formula
+    floor(v/10^floor(log₁₀ v)) is written identically in both engines
+    (clamped to [1,9]) so boundary ulps agree."""
+    from edkray.ops.aggregate import grouped_agg
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def _digit(b: pa.Table) -> pa.Table:
+        v = b["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[v > 0]
+        d = np.floor(v / np.power(10.0, np.floor(np.log10(v))))
+        d = np.clip(d, 1, 9).astype(np.int64)
+        return pa.table({"digit": pa.array(d, pa.int64())})
+
+    digits = ds.map_batches(_digit, batch_format="pyarrow")
+    counts = grouped_agg(digits, ["digit"], [("count", None, "n")])
+
+    def _p(b: pa.Table) -> pa.Table:
+        d = b["digit"].to_numpy().astype(np.float64)
+        exp = np.round(np.log10(1.0 + 1.0 / d), 6)
+        return b.append_column("p_benford", pa.array(exp, pa.float64()))
+
+    return counts.map_batches(_p, batch_format="pyarrow")
+
+
+_SQL_BENFORD_DIGITS = """
+WITH d AS (
+  SELECT least(greatest(
+           floor(o_totalprice / pow(10, floor(log10(o_totalprice)))), 1), 9)::BIGINT AS digit
+  FROM orders WHERE o_totalprice > 0
+)
+SELECT digit, count(*)::BIGINT AS n,
+       round(log10(1.0 + 1.0 / digit), 6) AS p_benford
+FROM d GROUP BY digit
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: bearing_sectors — compass-rose histogram of trajectory legs
+
+
+def q_bearing_sectors(sf_dir: str):
+    """Eight-sector compass histogram of per-user leg headings
+    (ops/window.py:bearing_sector_counts — one key co-shuffle,
+    vectorized spherical trig, narrow per-bucket sector counts).
+    Oracle replays the atan2 initial-bearing formula over the same
+    LAG pairs."""
+    from edkray.ops.window import bearing_sector_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    pts = ds.map_batches(lambda b: _add_lonlat(b, "event_id"),
+                         batch_format="pyarrow")
+    return bearing_sector_counts(pts, ["user_id"], "ts", "lon", "lat",
+                                 tiebreak=["event_id"])
+
+
+_SQL_BEARING_SECTORS = f"""
+WITH p AS (
+  SELECT user_id, ts, event_id,
+         radians({_sql_lon('event_id')}) AS lon,
+         radians({_sql_lat('event_id')}) AS lat
+  FROM events
+), l AS (
+  SELECT user_id, lon, lat,
+         lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), b AS (
+  SELECT fmod(degrees(atan2(
+           sin(lon - plon) * cos(lat),
+           cos(plat) * sin(lat) - sin(plat) * cos(lat) * cos(lon - plon)
+         )) + 360.0, 360.0) AS theta
+  FROM l WHERE plon IS NOT NULL
+)
+SELECT floor(fmod(theta + 22.5, 360.0) / 45.0)::BIGINT AS sector,
+       count(*)::BIGINT AS n
+FROM b GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 
 
@@ -6920,6 +7100,11 @@ def queries() -> dict:
         "daily_dense": q_daily_dense,
         "gap_autocorr": q_gap_autocorr,
         "weighted_median_price": q_weighted_median_price,
+        "gini_orders": q_gini_orders,
+        "genmeans_quantity": q_genmeans_quantity,
+        "hourly_profile": q_hourly_profile,
+        "benford_digits": q_benford_digits,
+        "bearing_sectors": q_bearing_sectors,
     }
 
 
@@ -7013,6 +7198,11 @@ def oracle_sql() -> dict:
         "daily_dense": _SQL_DAILY_DENSE,
         "gap_autocorr": _SQL_GAP_AUTOCORR,
         "weighted_median_price": _SQL_WEIGHTED_MEDIAN_PRICE,
+        "gini_orders": _SQL_GINI_ORDERS,
+        "genmeans_quantity": _SQL_GENMEANS_QUANTITY,
+        "hourly_profile": _SQL_HOURLY_PROFILE,
+        "benford_digits": _SQL_BENFORD_DIGITS,
+        "bearing_sectors": _SQL_BEARING_SECTORS,
         "robots_kept": _SQL_ROBOTS,
         "doc_chunks": _SQL_DOC_CHUNKS,
         "inlink_counts": _SQL_INLINK_COUNTS,

@@ -4385,3 +4385,130 @@ class TestGroupedWeightedQuantile:
         out = grouped_weighted_quantile(
             ray.data.from_pandas(df), ["g"], "v", "w", q=0.5).to_pandas()
         assert out["wq"].iloc[0] == 3.0
+
+
+class TestGroupedGini:
+    def test_matches_direct_pairwise_definition(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import grouped_gini
+
+        rng = np.random.default_rng(71)
+        n = 12_000
+        df = pd.DataFrame({
+            "g": rng.integers(0, 8, n),
+            "v": rng.exponential(100.0, n).round(2),
+        })
+        out = (
+            grouped_gini(ray.data.from_pandas(df).repartition(5), ["g"], "v")
+            .to_pandas().set_index("g")
+        )
+        for g, m in df.groupby("g"):
+            x = np.sort(m["v"].to_numpy())
+            k = len(x)
+            exp = 2.0 * np.sum(np.arange(1, k + 1) * x) / (k * x.sum()) - (k + 1) / k
+            assert abs(out.loc[g, "gini"] - exp) < 1e-9
+            assert out.loc[g, "n"] == k
+
+    def test_extremes(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import grouped_gini
+
+        df = pd.DataFrame({
+            "g": ["eq"] * 4 + ["one"] * 4,
+            "v": [5.0, 5, 5, 5, 0, 0, 0, 100],
+        })
+        out = grouped_gini(ray.data.from_pandas(df), ["g"], "v").to_pandas()
+        got = out.set_index("g")["gini"]
+        assert abs(got["eq"]) < 1e-12
+        assert abs(got["one"] - 0.75) < 1e-12  # (n-1)/n for full concentration
+
+    def test_negative_values_raise(self, ray_session):
+        import pytest
+        import ray.data
+
+        from edkray.ops.aggregate import grouped_gini
+
+        df = pd.DataFrame({"g": ["a"], "v": [-1.0]})
+        with pytest.raises(Exception, match="negative"):
+            grouped_gini(ray.data.from_pandas(df), ["g"], "v").to_pandas()
+
+
+class TestGroupedGenmeans:
+    def test_matches_scipy_definitions(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import grouped_genmeans
+
+        rng = np.random.default_rng(73)
+        n = 10_000
+        df = pd.DataFrame({
+            "g": rng.integers(0, 6, n),
+            "v": rng.uniform(0.5, 50.0, n),
+        })
+        out = (
+            grouped_genmeans(ray.data.from_pandas(df).repartition(4), ["g"], "v")
+            .to_pandas().set_index("g")
+        )
+        for g, m in df.groupby("g"):
+            x = m["v"].to_numpy()
+            assert abs(out.loc[g, "geomean"] - np.exp(np.log(x).mean())) < 1e-9
+            assert abs(out.loc[g, "harmmean"] - len(x) / (1.0 / x).sum()) < 1e-9
+
+    def test_nonpositive_raises(self, ray_session):
+        import pytest
+        import ray.data
+
+        from edkray.ops.aggregate import grouped_genmeans
+
+        df = pd.DataFrame({"g": ["a", "a"], "v": [1.0, 0.0]})
+        with pytest.raises(Exception, match="> 0"):
+            grouped_genmeans(ray.data.from_pandas(df), ["g"], "v").to_pandas()
+
+
+class TestBearingSectors:
+    def test_cardinal_directions_bin_correctly(self, ray_session):
+        import ray.data
+
+        from edkray.ops.window import bearing_sector_counts
+
+        ts0 = pd.Timestamp("2024-01-01")
+        # equator moves: due east (sector 2), due north (0), due west (6),
+        # due south (4) — one user per leg, two points each
+        legs = [
+            ((0.0, 0.0), (1.0, 0.0), 2),   # east
+            ((0.0, 0.0), (0.0, 1.0), 0),   # north
+            ((0.0, 0.0), (-1.0, 0.0), 6),  # west
+            ((0.0, 0.0), (0.0, -1.0), 4),  # south
+        ]
+        rows = []
+        for u, ((lo1, la1), (lo2, la2), _s) in enumerate(legs):
+            rows.append((u, ts0, 2 * u, lo1, la1))
+            rows.append((u, ts0 + pd.Timedelta(seconds=1), 2 * u + 1, lo2, la2))
+        df = pd.DataFrame(rows, columns=["u", "ts", "eid", "lon", "lat"])
+        out = (
+            bearing_sector_counts(
+                ray.data.from_pandas(df).repartition(3), ["u"], "ts",
+                "lon", "lat", tiebreak=["eid"])
+            .to_pandas().set_index("sector")["n"]
+        )
+        assert dict(out) == {2: 1, 0: 1, 6: 1, 4: 1}
+
+    def test_no_cross_user_legs(self, ray_session):
+        import ray.data
+
+        from edkray.ops.window import bearing_sector_counts
+
+        ts0 = pd.Timestamp("2024-01-01")
+        df = pd.DataFrame({
+            "u": [1, 2],
+            "ts": [ts0, ts0 + pd.Timedelta(seconds=1)],
+            "eid": [0, 1],
+            "lon": [0.0, 10.0],
+            "lat": [0.0, 10.0],
+        })
+        out = bearing_sector_counts(
+            ray.data.from_pandas(df), ["u"], "ts", "lon", "lat",
+            tiebreak=["eid"]).to_pandas()
+        assert len(out) == 0 or out["n"].sum() == 0
