@@ -1805,3 +1805,97 @@ def grouped_genmeans(
         )
 
     return folded.map_batches(_finalize, batch_format="pyarrow")
+
+
+def grouped_mad(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    val_col: str,
+    med_alias: str = "med",
+    mad_alias: str = "mad",
+    num_buckets: int = 16,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Median absolute deviation (and the median) per key group — the
+    robust spread statistic quality gates use where stddev is skewed
+    by outliers.
+
+    ONE histogram shuffle does both statistics: the combiner collapses
+    batches to (key, value, count) rows (:func:`grouped_quantile_disc`
+    shape — the wire carries the value histogram, not the corpus), and
+    in-bucket the lower median reads off the cumulative counts, the
+    deviation histogram |v − med| regroups in place, and the MAD reads
+    off ITS cumulative counts — no second corpus pass, no join back.
+    Both picks follow DuckDB's ``quantile_disc`` (type-1) rule. Only
+    for manageable distinct-value domains (ints, bucketed floats)."""
+    counts = grouped_agg(ds, [*keys, val_col], [("count", None, "__cnt")],
+                         batch_size=batch_size)
+    from edkray.ops.shuffle import bucketed_group_map
+
+    def _finalize(tbl: pa.Table) -> pa.Table:
+        df = pl.from_arrow(tbl).sort([*keys, val_col])
+        df = df.with_columns(
+            pl.col("__cnt").cum_sum().over(keys).alias("__cum"),
+            pl.col("__cnt").sum().over(keys).alias("__tot"),
+        )
+        tgt = (pl.col("__tot") * 0.5).ceil().clip(lower_bound=1)
+        med = (
+            df.filter(pl.col("__cum") >= tgt)
+            .group_by(keys, maintain_order=True)
+            .agg(pl.col(val_col).first().alias(med_alias))
+        )
+        dev = (
+            df.join(med, on=keys)
+            .with_columns(
+                (pl.col(val_col) - pl.col(med_alias)).abs().alias("__d")
+            )
+            .group_by([*keys, "__d"])
+            .agg(pl.col("__cnt").sum())
+            .sort([*keys, "__d"])
+            .with_columns(
+                pl.col("__cnt").cum_sum().over(keys).alias("__cum"),
+                pl.col("__cnt").sum().over(keys).alias("__tot"),
+            )
+        )
+        mad = (
+            dev.filter(pl.col("__cum") >= tgt)
+            .group_by(keys, maintain_order=True)
+            .agg(pl.col("__d").first().alias(mad_alias))
+        )
+        return med.join(mad, on=keys).to_arrow()
+
+    return bucketed_group_map(counts, keys, _finalize, num_buckets=num_buckets)
+
+
+def grouped_percent_rank(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    val_col: str,
+    alias: str = "pr",
+    descending: bool = False,
+    num_buckets: int = 16,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """SQL ``percent_rank() OVER (PARTITION BY keys ORDER BY val_col)``
+    for every row: (rank−1)/(n−1) with min-rank tie semantics,
+    single-row groups emit 0.0. One key co-shuffle
+    (:func:`~edkray.ops.shuffle.bucketed_group_map`), vectorized rank
+    window in-bucket; output is input columns + ``alias`` (the corpus
+    annotated, not reduced — downstream should consume it streaming)."""
+    from edkray.ops.shuffle import bucketed_group_map
+
+    def _pr(table: pa.Table) -> pa.Table:
+        rk = (
+            pl.col(val_col)
+            .rank(method="min", descending=descending)
+            .over(keys)
+            .cast(pl.Float64)
+        )
+        n = pl.len().over(keys).cast(pl.Float64)
+        expr = (
+            pl.when(n > 1).then((rk - 1.0) / (n - 1.0)).otherwise(0.0)
+        ).alias(alias)
+        return pl.from_arrow(table).with_columns(expr).to_arrow()
+
+    return bucketed_group_map(ds, keys, _pr, num_buckets=num_buckets,
+                              batch_size=batch_size)

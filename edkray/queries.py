@@ -6936,6 +6936,199 @@ FROM b GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# Q: mad_quantity — robust spread (median + MAD) per return flag
+
+
+def q_mad_quantity(sf_dir: str):
+    """Median and median-absolute-deviation of line quantity per
+    return flag (ops/aggregate.py:grouped_mad — ONE value-histogram
+    shuffle yields both statistics; the deviation histogram regroups
+    in-bucket, no second corpus pass). Oracle: nested quantile_disc
+    (type-1), matched rule-for-rule."""
+    from edkray.ops.aggregate import grouped_mad
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return grouped_mad(ds, ["l_returnflag"], "l_quantity")
+
+
+_SQL_MAD_QUANTITY = """
+WITH m AS (
+  SELECT l_returnflag, quantile_disc(l_quantity, 0.5) AS med
+  FROM lineitem GROUP BY 1
+)
+SELECT l.l_returnflag, any_value(m.med) AS med,
+       quantile_disc(abs(l.l_quantity - m.med), 0.5) AS mad
+FROM lineitem l JOIN m USING (l_returnflag)
+GROUP BY l.l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: acctbal_percent_rank — supplier balance percentile within nation
+
+
+def q_acctbal_percent_rank(sf_dir: str):
+    """percent_rank of every supplier's account balance within its
+    nation (ops/aggregate.py:grouped_percent_rank — one key
+    co-shuffle, vectorized min-rank window; the corpus is annotated,
+    not reduced). Oracle: SQL percent_rank()."""
+    from edkray.ops.aggregate import grouped_percent_rank
+
+    ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
+    out = grouped_percent_rank(ds, ["s_nationkey"], "s_acctbal")
+    return out.map_batches(
+        lambda b: _round_cols(b, ["pr"], 6), batch_format="pyarrow"
+    )
+
+
+_SQL_ACCTBAL_PERCENT_RANK = """
+SELECT s_suppkey, s_nationkey, s_acctbal,
+       round(percent_rank() OVER (PARTITION BY s_nationkey
+                                  ORDER BY s_acctbal), 6) AS pr
+FROM supplier
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: lang_ttr — lexical diversity (type-token ratio) per language
+
+
+def q_lang_ttr(sf_dir: str):
+    """Corpus type-token ratio per language: distinct terms / total
+    tokens (count_distinct's deduped-pair shuffle + grouped_agg's
+    combiner totals; the two language-sized results merge driver-side
+    — a report, not a corpus). Oracle: unnest + count(DISTINCT)."""
+    import pandas as _pd
+
+    from edkray.ops.aggregate import count_distinct, grouped_agg
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def _tok(b: pa.Table) -> pa.Table:
+        import polars as pl
+        return (
+            pl.from_arrow(b)
+            .select(
+                pl.col("lang"),
+                pl.col("text").str.extract_all(r"\S+").alias("term"),
+            )
+            .explode("term")
+            .drop_nulls("term")
+            .to_arrow()
+        )
+
+    tok = ds.map_batches(_tok, batch_format="pyarrow")
+    tok = tok.materialize()  # reused by both the total and the distinct pass
+    totals = grouped_agg(tok, ["lang"], [("count", None, "n_tokens")]).to_pandas()
+    nd = count_distinct(tok, ["lang"], "term", alias="n_terms").to_pandas()
+    out = _pd.merge(totals, nd, on="lang")
+    out["ttr"] = (out["n_terms"] / out["n_tokens"]).round(6)
+    return pa.Table.from_pandas(out[["lang", "n_tokens", "n_terms", "ttr"]],
+                                preserve_index=False)
+
+
+_SQL_LANG_TTR = r"""
+WITH tok AS (
+  SELECT lang, unnest(regexp_extract_all(text, '\S+')) AS term
+  FROM documents
+)
+SELECT lang, count(*)::BIGINT AS n_tokens,
+       count(DISTINCT term)::BIGINT AS n_terms,
+       round(count(DISTINCT term) / count(*)::DOUBLE, 6) AS ttr
+FROM tok GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: top_tokens_per_lang — most frequent terms per language
+
+
+def q_top_tokens_per_lang(sf_dir: str, k: int = 3):
+    """Top-3 terms per language by corpus frequency (grouped_agg
+    combiner counts + top_k_per_group's per-batch head-k before the
+    shuffle), ties broken by term ascending. Oracle: row_number over
+    (n DESC, term)."""
+    from edkray.ops.aggregate import grouped_agg, top_k_per_group
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def _tok(b: pa.Table) -> pa.Table:
+        import polars as pl
+        return (
+            pl.from_arrow(b)
+            .select(
+                pl.col("lang"),
+                pl.col("text").str.extract_all(r"\S+").alias("term"),
+            )
+            .explode("term")
+            .drop_nulls("term")
+            .to_arrow()
+        )
+
+    counts = grouped_agg(ds.map_batches(_tok, batch_format="pyarrow"),
+                         ["lang", "term"], [("count", None, "n")])
+    return top_k_per_group(counts, ["lang"], ["n", "term"], k,
+                           descending=[True, False])
+
+
+_SQL_TOP_TOKENS_PER_LANG = r"""
+WITH c AS (
+  SELECT lang, term, count(*)::BIGINT AS n FROM (
+    SELECT lang, unnest(regexp_extract_all(text, '\S+')) AS term
+    FROM documents
+  ) GROUP BY 1, 2
+)
+SELECT lang, term, n,
+       row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) - 1 AS "rank"
+FROM c QUALIFY "rank" < 3
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: monthly_growth — month-over-month order-count growth
+
+
+def q_monthly_growth(sf_dir: str):
+    """Monthly order counts with the month-over-month growth rate
+    (grouped_agg combiner counts; the LAG ratio folds driver-side over
+    the REPORT-SIZED month table under an enforced bound). Oracle:
+    date_trunc + LAG."""
+    from edkray.ops.aggregate import grouped_agg
+
+    ds = _read(sf_dir, "orders", ["o_orderdate"])
+
+    def _month(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "month": pc.cast(pc.floor_temporal(b["o_orderdate"], unit="month"),
+                             pa.date32())
+        })
+
+    counts = grouped_agg(ds.map_batches(_month, batch_format="pyarrow"),
+                         ["month"], [("count", None, "n")])
+    df = counts.to_pandas(limit=100_000).sort_values("month").reset_index(drop=True)
+    prev = df["n"].shift(1)
+    df["growth"] = ((df["n"] - prev) / prev).round(6)
+    return pa.table({
+        "month": pa.array(df["month"], pa.date32()),
+        "n": pa.array(df["n"].astype("int64"), pa.int64()),
+        "growth": pa.array(df["growth"], pa.float64()),
+    })
+
+
+_SQL_MONTHLY_GROWTH = """
+WITH c AS (
+  SELECT date_trunc('month', o_orderdate)::DATE AS month,
+         count(*)::BIGINT AS n
+  FROM orders GROUP BY 1
+)
+SELECT month, n,
+       round((n - lag(n) OVER (ORDER BY month))
+             / lag(n) OVER (ORDER BY month)::DOUBLE, 6) AS growth
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 
 
@@ -7105,6 +7298,11 @@ def queries() -> dict:
         "hourly_profile": q_hourly_profile,
         "benford_digits": q_benford_digits,
         "bearing_sectors": q_bearing_sectors,
+        "mad_quantity": q_mad_quantity,
+        "acctbal_percent_rank": q_acctbal_percent_rank,
+        "lang_ttr": q_lang_ttr,
+        "top_tokens_per_lang": q_top_tokens_per_lang,
+        "monthly_growth": q_monthly_growth,
     }
 
 
@@ -7203,6 +7401,11 @@ def oracle_sql() -> dict:
         "hourly_profile": _SQL_HOURLY_PROFILE,
         "benford_digits": _SQL_BENFORD_DIGITS,
         "bearing_sectors": _SQL_BEARING_SECTORS,
+        "mad_quantity": _SQL_MAD_QUANTITY,
+        "acctbal_percent_rank": _SQL_ACCTBAL_PERCENT_RANK,
+        "lang_ttr": _SQL_LANG_TTR,
+        "top_tokens_per_lang": _SQL_TOP_TOKENS_PER_LANG,
+        "monthly_growth": _SQL_MONTHLY_GROWTH,
         "robots_kept": _SQL_ROBOTS,
         "doc_chunks": _SQL_DOC_CHUNKS,
         "inlink_counts": _SQL_INLINK_COUNTS,

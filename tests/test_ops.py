@@ -4512,3 +4512,74 @@ class TestBearingSectors:
             ray.data.from_pandas(df), ["u"], "ts", "lon", "lat",
             tiebreak=["eid"]).to_pandas()
         assert len(out) == 0 or out["n"].sum() == 0
+
+
+class TestGroupedMad:
+    def test_matches_type1_quantile_rule(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import grouped_mad
+
+        rng = np.random.default_rng(79)
+        n = 15_000
+        df = pd.DataFrame({
+            "g": rng.integers(0, 9, n),
+            "v": rng.integers(1, 60, n).astype(float),
+        })
+
+        def q_disc(x):
+            x = np.sort(np.asarray(x))
+            return x[max(int(np.ceil(0.5 * len(x))), 1) - 1]
+
+        out = (
+            grouped_mad(ray.data.from_pandas(df).repartition(6), ["g"], "v")
+            .to_pandas().set_index("g")
+        )
+        for g, m in df.groupby("g"):
+            med = q_disc(m["v"])
+            mad = q_disc((m["v"] - med).abs())
+            assert out.loc[g, "med"] == med
+            assert out.loc[g, "mad"] == mad
+
+    def test_outlier_robustness(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import grouped_mad
+
+        df = pd.DataFrame({"g": ["a"] * 7,
+                           "v": [10.0, 10, 10, 11, 11, 12, 10_000]})
+        out = grouped_mad(ray.data.from_pandas(df), ["g"], "v").to_pandas()
+        assert out["med"].iloc[0] == 11.0 and out["mad"].iloc[0] == 1.0
+
+
+class TestGroupedPercentRank:
+    def test_matches_pandas_percent_rank(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import grouped_percent_rank
+
+        rng = np.random.default_rng(83)
+        n = 20_000
+        df = pd.DataFrame({
+            "g": rng.integers(0, 15, n),
+            "v": rng.integers(0, 300, n).astype(float),  # ties
+            "id": np.arange(n),
+        })
+        out = (
+            grouped_percent_rank(
+                ray.data.from_pandas(df).repartition(7), ["g"], "v")
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        grp = df.groupby("g")["v"]
+        exp = (grp.rank(method="min") - 1) / (grp.transform("size") - 1)
+        assert np.allclose(out["pr"].to_numpy(),
+                           exp[out.index].to_numpy(), atol=1e-12)
+
+    def test_single_row_group_is_zero(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import grouped_percent_rank
+
+        df = pd.DataFrame({"g": ["solo"], "v": [42.0]})
+        out = grouped_percent_rank(ray.data.from_pandas(df), ["g"], "v").to_pandas()
+        assert out["pr"].iloc[0] == 0.0
