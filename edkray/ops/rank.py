@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-__all__ = ["global_rank", "ntile"]
+__all__ = ["global_rank", "ntile", "ordered_cumsum"]
 
 _PART = "__rng_part"
 
@@ -204,3 +204,92 @@ def skyline_2d(
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def ordered_cumsum(
+    ds: ray.data.Dataset,
+    value_col: str,
+    sum_col: str,
+    tiebreak: list[str],
+    cum_col: str = "cum",
+    rank_col: str = "rank",
+    num_parts: int = 64,
+    sample_per_batch: int = 128,
+    descending: bool = False,
+) -> tuple[ray.data.Dataset, int]:
+    """Exact global running total of ``sum_col`` over the total order
+    ``(value_col, *tiebreak)`` — the distributed prefix-sum behind
+    Pareto/ABC cumulative-share classification, without a global sort.
+
+    Same range-partition idiom as :func:`global_rank`, with the
+    metadata pass carrying per-part (count, Σsum_col) so each part
+    gets BOTH an exclusive rank offset and an exclusive sum offset;
+    in-part, one vectorized lexsort + local cumsum finishes the job.
+    For bit-exact parity with a SQL window sum use an INTEGER
+    ``sum_col`` (e.g. cents) — float partial sums re-associate.
+    Returns ``(ds + [rank_col, cum_col], total_sum)``."""
+    splits = _split_points(ds, value_col, num_parts, sample_per_batch)
+    parted = ds.map_batches(
+        lambda b: _assign(b, value_col, splits), batch_format="pyarrow"
+    )
+
+    def _cnt(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        return (
+            pl.from_arrow(batch.select([_PART, sum_col]))
+            .group_by(_PART)
+            .agg(
+                pl.len().cast(pl.Int64).alias("__c"),
+                pl.col(sum_col).sum().alias("__s"),
+            )
+            .to_arrow()
+        )
+
+    cnt = (
+        parted.map_batches(_cnt, batch_format="pyarrow")
+        .groupby(_PART)
+        .sum(["__c", "__s"])
+        .to_pandas()
+    )
+    n_parts = len(splits) + 1
+    sizes = np.zeros(n_parts, dtype=np.int64)
+    sums = np.zeros(n_parts, dtype=np.float64)
+    sums_i = np.zeros(n_parts, dtype=np.int64)
+    idx = cnt[_PART].to_numpy()
+    sizes[idx] = cnt["sum(__c)"].to_numpy()
+    s_vals = cnt["sum(__s)"].to_numpy()
+    integer_sums = np.issubdtype(s_vals.dtype, np.integer)
+    if integer_sums:
+        sums_i[idx] = s_vals
+    else:
+        sums[idx] = s_vals
+    total_rows = int(sizes.sum())
+    part_sums = sums_i if integer_sums else sums
+    if descending:
+        roff = np.concatenate([[0], np.cumsum(sizes[::-1])[:-1]])[::-1].copy()
+        soff = np.concatenate(
+            [[part_sums[0] * 0], np.cumsum(part_sums[::-1])[:-1]])[::-1].copy()
+    else:
+        roff = np.concatenate([[0], np.cumsum(sizes[:-1])])
+        soff = np.concatenate([[part_sums[0] * 0], np.cumsum(part_sums[:-1])])
+    total_sum = part_sums.sum()
+
+    def _cum_part(group: pa.Table) -> pa.Table:
+        part = int(group[_PART][0].as_py())
+        keys = [group[c].to_numpy(zero_copy_only=False) for c in tiebreak]
+        keys.append(group[value_col].to_numpy(zero_copy_only=False))
+        order = np.lexsort(keys)
+        if descending:
+            order = order[::-1]
+        v = group[sum_col].to_numpy(zero_copy_only=False)[order]
+        cum = soff[part] + np.cumsum(v)
+        rank = np.empty(len(order), dtype=np.int64)
+        rank[order] = roff[part] + np.arange(1, len(order) + 1)
+        cums = np.empty(len(order), dtype=cum.dtype)
+        cums[order] = cum
+        out = group.drop_columns([_PART])
+        return out.append_column(rank_col, pa.array(rank)).append_column(
+            cum_col, pa.array(cums))
+
+    ranked = parted.groupby(_PART).map_groups(_cum_part, batch_format="pyarrow")
+    return ranked, total_sum

@@ -7129,6 +7129,187 @@ FROM c
 
 
 # --------------------------------------------------------------------------
+# Q: abc_parts — Pareto/ABC cumulative-revenue classification
+
+
+def q_abc_parts(sf_dir: str):
+    """ABC inventory classification: parts ranked by revenue, class A
+    while the running share ≤ 70%, B ≤ 90%, else C
+    (ops/rank.py:ordered_cumsum — range-partitioned exact prefix sum,
+    one co-shuffle, never a global sort). Revenue is INTEGER cents so
+    the running total is bit-exact vs the SQL window sum; class
+    boundaries compare in integer math (cum·10 ≤ total·7). Output:
+    per-class part count + revenue share."""
+    from edkray.ops.aggregate import grouped_agg
+    from edkray.ops.rank import ordered_cumsum
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+
+    def _cents(b: pa.Table) -> pa.Table:
+        v = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_partkey": b["l_partkey"],
+            "cents": pa.array(np.round(v * 100.0).astype(np.int64), pa.int64()),
+        })
+
+    rev = grouped_agg(ds.map_batches(_cents, batch_format="pyarrow"),
+                      ["l_partkey"], [("sum", "cents", "rev")])
+    cum, total = ordered_cumsum(rev, "rev", "rev", ["l_partkey"],
+                                descending=True)
+    total = int(total)
+
+    def _classify(b: pa.Table) -> pa.Table:
+        c = b["cum"].to_numpy(zero_copy_only=False)
+        cls = np.where(c * 10 <= total * 7, "A",
+                       np.where(c * 10 <= total * 9, "B", "C"))
+        return pa.table({
+            "cls": pa.array(cls, pa.string()),
+            "rev": b["rev"],
+        })
+
+    classed = cum.map_batches(_classify, batch_format="pyarrow")
+    out = grouped_agg(classed, ["cls"],
+                      [("count", None, "n_parts"), ("sum", "rev", "class_rev")])
+
+    def _share(b: pa.Table) -> pa.Table:
+        share = b["class_rev"].to_numpy(zero_copy_only=False) / total
+        return b.append_column("share", pa.array(np.round(share, 6), pa.float64()))
+
+    return out.map_batches(_share, batch_format="pyarrow")
+
+
+_SQL_ABC_PARTS = """
+WITH rev AS (
+  SELECT l_partkey, sum(round(l_extendedprice * 100)::BIGINT) AS rev
+  FROM lineitem GROUP BY 1
+), w AS (
+  SELECT rev,
+         sum(rev) OVER (ORDER BY rev DESC, l_partkey) AS cum,
+         sum(rev) OVER () AS tot
+  FROM rev
+), c AS (
+  SELECT rev, tot,
+         CASE WHEN cum * 10 <= tot * 7 THEN 'A'
+              WHEN cum * 10 <= tot * 9 THEN 'B'
+              ELSE 'C' END AS cls
+  FROM w
+)
+SELECT cls, count(*)::BIGINT AS n_parts, sum(rev)::BIGINT AS class_rev,
+       round(sum(rev) / any_value(tot)::DOUBLE, 6) AS share
+FROM c GROUP BY cls
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: cohort_retention — weekly cohort × week-offset active users
+
+
+def q_cohort_retention(sf_dir: str):
+    """Weekly cohort retention matrix: users grouped by first-activity
+    week, counted as retained in every later week they act (distinct
+    (user, week) pairs via the combiner — the corpus never joins; the
+    cohort join runs over the deduped pair table through the native
+    hash join). Oracle: min-week + self join."""
+    from edkray.ops.aggregate import distinct, grouped_agg
+    from edkray.ops.joins import hash_join
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def _week(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "week": pc.cast(pc.floor_temporal(b["ts"], unit="week"), pa.date32()),
+        })
+
+    uw = distinct(ds.map_batches(_week, batch_format="pyarrow"),
+                  ["user_id", "week"])
+    cohort = grouped_agg(uw, ["user_id"], [("min", "week", "cohort_week")])
+    j = hash_join(uw, cohort, on=["user_id"])
+
+    def _offset(b: pa.Table) -> pa.Table:
+        off = (
+            b["week"].cast(pa.int32()).to_numpy(zero_copy_only=False).astype(np.int64)
+            - b["cohort_week"].cast(pa.int32()).to_numpy(zero_copy_only=False)
+        ) // 7
+        return pa.table({
+            "cohort_week": b["cohort_week"],
+            "week_offset": pa.array(off, pa.int64()),
+        })
+
+    offs = j.map_batches(_offset, batch_format="pyarrow")
+    return grouped_agg(offs, ["cohort_week", "week_offset"],
+                       [("count", None, "n_users")])
+
+
+_SQL_COHORT_RETENTION = """
+WITH uw AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS week FROM events
+), c AS (
+  SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1
+)
+SELECT c.cohort_week, (uw.week - c.cohort_week) // 7 AS week_offset,
+       count(*)::BIGINT AS n_users
+FROM uw JOIN c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: new_user_rate — share of each day's actives seen for the first time
+
+
+def q_new_user_rate(sf_dir: str):
+    """Per-day novelty: users whose global first active day is that
+    day, as a share of the day's distinct actives (distinct (user,
+    day) combiner pairs; first-day counts and daily actives are both
+    day-keyed narrows that merge driver-side — a report, not a
+    corpus). Oracle: min-day + conditional count."""
+    import pandas as _pd
+
+    from edkray.ops.aggregate import count_distinct, distinct, grouped_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def _day(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "day": pc.cast(pc.floor_temporal(b["ts"], unit="day"), pa.date32()),
+        })
+
+    ud = distinct(ds.map_batches(_day, batch_format="pyarrow"),
+                  ["user_id", "day"])
+    ud = ud.materialize()  # reused by the first-day and the actives pass
+    first = grouped_agg(ud, ["user_id"], [("min", "day", "day")])
+    new_per_day = grouped_agg(first, ["day"], [("count", None, "n_new")]).to_pandas()
+    actives = count_distinct(ud, ["day"], "user_id", alias="n_active").to_pandas()
+    out = _pd.merge(actives, new_per_day, on="day", how="left")
+    out["n_new"] = out["n_new"].fillna(0).astype("int64")
+    out["new_rate"] = (out["n_new"] / out["n_active"]).round(6)
+    out = out.sort_values("day")
+    return pa.table({
+        "day": pa.array(out["day"], pa.date32()),
+        "n_active": pa.array(out["n_active"].astype("int64"), pa.int64()),
+        "n_new": pa.array(out["n_new"], pa.int64()),
+        "new_rate": pa.array(out["new_rate"], pa.float64()),
+    })
+
+
+_SQL_NEW_USER_RATE = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), f AS (
+  SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1
+)
+SELECT ud.day, count(*)::BIGINT AS n_active,
+       count(*) FILTER (WHERE f.first_day = ud.day)::BIGINT AS n_new,
+       round(count(*) FILTER (WHERE f.first_day = ud.day)
+             / count(*)::DOUBLE, 6) AS new_rate
+FROM ud JOIN f USING (user_id)
+GROUP BY ud.day
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 
 
@@ -7303,6 +7484,9 @@ def queries() -> dict:
         "lang_ttr": q_lang_ttr,
         "top_tokens_per_lang": q_top_tokens_per_lang,
         "monthly_growth": q_monthly_growth,
+        "abc_parts": q_abc_parts,
+        "cohort_retention": q_cohort_retention,
+        "new_user_rate": q_new_user_rate,
     }
 
 
@@ -7406,6 +7590,9 @@ def oracle_sql() -> dict:
         "lang_ttr": _SQL_LANG_TTR,
         "top_tokens_per_lang": _SQL_TOP_TOKENS_PER_LANG,
         "monthly_growth": _SQL_MONTHLY_GROWTH,
+        "abc_parts": _SQL_ABC_PARTS,
+        "cohort_retention": _SQL_COHORT_RETENTION,
+        "new_user_rate": _SQL_NEW_USER_RATE,
         "robots_kept": _SQL_ROBOTS,
         "doc_chunks": _SQL_DOC_CHUNKS,
         "inlink_counts": _SQL_INLINK_COUNTS,
