@@ -4583,3 +4583,42 @@ class TestGroupedPercentRank:
         df = pd.DataFrame({"g": ["solo"], "v": [42.0]})
         out = grouped_percent_rank(ray.data.from_pandas(df), ["g"], "v").to_pandas()
         assert out["pr"].iloc[0] == 0.0
+
+
+class TestOrderedCumsum:
+    def test_matches_sequential_prefix_sum(self, ray_session):
+        import ray.data
+
+        from edkray.ops.rank import ordered_cumsum
+
+        rng = np.random.default_rng(89)
+        n = 25_000
+        df = pd.DataFrame({
+            "k": np.arange(n),
+            "v": rng.integers(0, 1000, n),          # order col, many ties
+            "w": rng.integers(1, 500, n),           # integer summand: exact
+        })
+        out, total = ordered_cumsum(
+            ray.data.from_pandas(df).repartition(9), "v", "w", ["k"],
+            descending=True)
+        out = out.to_pandas().sort_values("rank").reset_index(drop=True)
+        exp = df.sort_values(["v", "k"], ascending=[False, False]).reset_index(drop=True)
+        # total order is (v desc, k desc) because lexsort ascends then reverses
+        assert int(total) == df["w"].sum()
+        assert (out["k"].to_numpy() == exp["k"].to_numpy()).all()
+        assert (out["cum"].to_numpy() == exp["w"].cumsum().to_numpy()).all()
+        assert (out["rank"].to_numpy() == np.arange(1, n + 1)).all()
+
+    def test_ascending_and_float_sums(self, ray_session):
+        import ray.data
+
+        from edkray.ops.rank import ordered_cumsum
+
+        df = pd.DataFrame({"k": [1, 2, 3, 4], "v": [10, 5, 7, 1],
+                           "w": [1.5, 2.5, 3.0, 4.0]})
+        out, total = ordered_cumsum(
+            ray.data.from_pandas(df), "v", "w", ["k"])
+        out = out.to_pandas().sort_values("rank")
+        assert abs(float(total) - 11.0) < 1e-12
+        assert list(out["k"]) == [4, 2, 3, 1]
+        assert np.allclose(out["cum"], [4.0, 6.5, 9.5, 11.0])
