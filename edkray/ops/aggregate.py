@@ -1899,3 +1899,62 @@ def grouped_percent_rank(
 
     return bucketed_group_map(ds, keys, _pr, num_buckets=num_buckets,
                               batch_size=batch_size)
+
+
+def grouped_winsorized_mean(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    val_col: str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    alias: str = "wmean",
+    num_buckets: int = 16,
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Winsorized mean per key group: values clamped to the group's
+    [p_lo, p_hi] discrete quantiles before averaging — the robust mean
+    quality gates use where a plain mean chases outliers.
+
+    ONE value-histogram shuffle (the :func:`grouped_quantile_disc`
+    combiner shape): in-bucket, both thresholds read off the
+    cumulative counts (DuckDB type-1 ``quantile_disc`` rule) and the
+    clamped mean folds from the same histogram — Σ c·clamp(v)/n, no
+    second corpus pass. Output: ``keys + [n, lo, hi, alias]``."""
+    counts = grouped_agg(ds, [*keys, val_col], [("count", None, "__cnt")],
+                         batch_size=batch_size)
+    from edkray.ops.shuffle import bucketed_group_map
+
+    def _finalize(tbl: pa.Table) -> pa.Table:
+        df = pl.from_arrow(tbl).sort([*keys, val_col])
+        df = df.with_columns(
+            pl.col("__cnt").cum_sum().over(keys).alias("__cum"),
+            pl.col("__cnt").sum().over(keys).alias("__tot"),
+        )
+        picks = {}
+        for p, name in ((p_lo, "lo"), (p_hi, "hi")):
+            tgt = (pl.col("__tot") * p).ceil().clip(lower_bound=1)
+            picks[name] = (
+                df.filter(pl.col("__cum") >= tgt)
+                .group_by(keys, maintain_order=True)
+                .agg(pl.col(val_col).first().alias(name))
+            )
+        j = df.join(picks["lo"], on=keys).join(picks["hi"], on=keys)
+        v = pl.col(val_col).cast(pl.Float64)
+        clamped = (
+            pl.when(v < pl.col("lo")).then(pl.col("lo").cast(pl.Float64))
+            .when(v > pl.col("hi")).then(pl.col("hi").cast(pl.Float64))
+            .otherwise(v)
+        )
+        out = (
+            j.with_columns((clamped * pl.col("__cnt")).alias("__s"))
+            .group_by(keys, maintain_order=True)
+            .agg(
+                pl.col("__tot").first().alias("n"),
+                pl.col("lo").first(),
+                pl.col("hi").first(),
+                (pl.col("__s").sum() / pl.col("__tot").first()).alias(alias),
+            )
+        )
+        return out.to_arrow()
+
+    return bucketed_group_map(counts, keys, _finalize, num_buckets=num_buckets)

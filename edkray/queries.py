@@ -7310,6 +7310,126 @@ GROUP BY ud.day
 
 
 # --------------------------------------------------------------------------
+# Q: winsorized_price — robust mean price per line status
+
+
+def q_winsorized_price(sf_dir: str):
+    """5/95-winsorized mean extended price per line status
+    (ops/aggregate.py:grouped_winsorized_mean — one value-histogram
+    shuffle yields both clamp thresholds AND the clamped mean; no
+    second corpus pass). Oracle: quantile_disc thresholds +
+    avg(clamped), shared 4-dp rounding."""
+    from edkray.ops.aggregate import grouped_winsorized_mean
+
+    ds = _read(sf_dir, "lineitem", ["l_linestatus", "l_extendedprice"])
+    out = grouped_winsorized_mean(ds, ["l_linestatus"], "l_extendedprice")
+    return out.map_batches(
+        lambda b: _round_cols(b, ["wmean"], 4), batch_format="pyarrow"
+    )
+
+
+_SQL_WINSORIZED_PRICE = """
+WITH t AS (
+  SELECT l_linestatus,
+         quantile_disc(l_extendedprice, 0.05) AS lo,
+         quantile_disc(l_extendedprice, 0.95) AS hi,
+         count(*)::BIGINT AS n
+  FROM lineitem GROUP BY 1
+)
+SELECT l.l_linestatus, any_value(t.n) AS n,
+       any_value(t.lo) AS lo, any_value(t.hi) AS hi,
+       round(avg(least(greatest(l.l_extendedprice, t.lo), t.hi)), 4) AS wmean
+FROM lineitem l JOIN t USING (l_linestatus)
+GROUP BY l.l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: peak_hour — each user's busiest hour-of-day (argmax with tiebreak)
+
+
+def q_peak_hour(sf_dir: str):
+    """Per-user argmax: the hour-of-day with the most events, ties to
+    the earliest hour (grouped_agg combiner counts +
+    top_k_per_group's per-batch head-1 — the canonical distributed
+    argmax). Oracle: row_number over (n DESC, hour)."""
+    from edkray.ops.aggregate import grouped_agg, top_k_per_group
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def _hour(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "hour": pc.cast(pc.hour(b["ts"]), pa.int64()),
+        })
+
+    counts = grouped_agg(ds.map_batches(_hour, batch_format="pyarrow"),
+                         ["user_id", "hour"], [("count", None, "n")])
+    top = top_k_per_group(counts, ["user_id"], ["n", "hour"], 1,
+                          descending=[True, False])
+    return top.map_batches(lambda b: b.drop_columns(["rank"]),
+                           batch_format="pyarrow")
+
+
+_SQL_PEAK_HOUR = """
+WITH c AS (
+  SELECT user_id, extract(hour FROM ts)::BIGINT AS hour,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, hour, n FROM c
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY n DESC, hour) = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: embedding_quant — per-dimension int8 quantization parameters
+
+
+def q_embedding_quant(sf_dir: str):
+    """Per-dimension min/max and int8 scale over the embedding matrix
+    — the calibration table a vector-store quantizer ships (vectorized
+    per-batch per-dim extrema, 64 partial rows per batch on the wire,
+    narrow min/max fold). Oracle: 1-indexed list extraction against a
+    dim series."""
+    from edkray.ops.aggregate import grouped_agg
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+
+    def _dims(b: pa.Table) -> pa.Table:
+        m = np.stack(b["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        d = m.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+            "mn": pa.array(m.min(axis=0)),
+            "mx": pa.array(m.max(axis=0)),
+        })
+
+    parts = ds.map_batches(_dims, batch_format="pyarrow")
+    folded = grouped_agg(parts, ["dim"],
+                         [("min", "mn", "mn"), ("max", "mx", "mx")])
+
+    def _scale(b: pa.Table) -> pa.Table:
+        mn = b["mn"].to_numpy(zero_copy_only=False)
+        mx = b["mx"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "scale", pa.array(np.round((mx - mn) / 255.0, 6), pa.float64()))
+
+    return folded.map_batches(_scale, batch_format="pyarrow")
+
+
+_SQL_EMBEDDING_QUANT = """
+WITH d AS (
+  SELECT i AS dim, embedding[i]::DOUBLE AS x
+  FROM embeddings, range(1, 65) t(i)
+)
+SELECT dim, min(x) AS mn, max(x) AS mx,
+       round((max(x) - min(x)) / 255.0, 6) AS scale
+FROM d GROUP BY dim
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 
 
@@ -7487,6 +7607,9 @@ def queries() -> dict:
         "abc_parts": q_abc_parts,
         "cohort_retention": q_cohort_retention,
         "new_user_rate": q_new_user_rate,
+        "winsorized_price": q_winsorized_price,
+        "peak_hour": q_peak_hour,
+        "embedding_quant": q_embedding_quant,
     }
 
 
@@ -7593,6 +7716,9 @@ def oracle_sql() -> dict:
         "abc_parts": _SQL_ABC_PARTS,
         "cohort_retention": _SQL_COHORT_RETENTION,
         "new_user_rate": _SQL_NEW_USER_RATE,
+        "winsorized_price": _SQL_WINSORIZED_PRICE,
+        "peak_hour": _SQL_PEAK_HOUR,
+        "embedding_quant": _SQL_EMBEDDING_QUANT,
         "robots_kept": _SQL_ROBOTS,
         "doc_chunks": _SQL_DOC_CHUNKS,
         "inlink_counts": _SQL_INLINK_COUNTS,

@@ -4622,3 +4622,46 @@ class TestOrderedCumsum:
         assert abs(float(total) - 11.0) < 1e-12
         assert list(out["k"]) == [4, 2, 3, 1]
         assert np.allclose(out["cum"], [4.0, 6.5, 9.5, 11.0])
+
+
+class TestGroupedWinsorizedMean:
+    def test_matches_python_clamped_mean(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import grouped_winsorized_mean
+
+        rng = np.random.default_rng(97)
+        n = 15_000
+        df = pd.DataFrame({
+            "g": rng.integers(0, 7, n),
+            "v": rng.integers(0, 400, n).astype(float),
+        })
+
+        def q_disc(x, p):
+            x = np.sort(np.asarray(x))
+            return x[max(int(np.ceil(p * len(x))), 1) - 1]
+
+        out = (
+            grouped_winsorized_mean(
+                ray.data.from_pandas(df).repartition(6), ["g"], "v")
+            .to_pandas().set_index("g")
+        )
+        for g, m in df.groupby("g"):
+            lo, hi = q_disc(m["v"], 0.05), q_disc(m["v"], 0.95)
+            exp = np.clip(m["v"], lo, hi).mean()
+            assert out.loc[g, "lo"] == lo and out.loc[g, "hi"] == hi
+            assert abs(out.loc[g, "wmean"] - exp) < 1e-9
+            assert out.loc[g, "n"] == len(m)
+
+    def test_outlier_is_clamped(self, ray_session):
+        import ray.data
+
+        from edkray.ops.aggregate import grouped_winsorized_mean
+
+        # positions 95..99 (of 100, sorted) are 11.0 → hi = ceil(.95·100)=95th = 11
+        v = [10.0] * 94 + [11.0] * 5 + [1_000_000.0]
+        df = pd.DataFrame({"g": ["a"] * 100, "v": v})
+        out = grouped_winsorized_mean(
+            ray.data.from_pandas(df), ["g"], "v").to_pandas()
+        assert out["hi"].iloc[0] == 11.0
+        assert abs(out["wmean"].iloc[0] - (94 * 10 + 6 * 11) / 100) < 1e-12
