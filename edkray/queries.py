@@ -7430,6 +7430,107 @@ FROM d GROUP BY dim
 
 
 # --------------------------------------------------------------------------
+# Q: customer_order_counts — LEFT OUTER join keeping zero-order customers
+
+
+def q_customer_order_counts(sf_dir: str):
+    """Order count per customer INCLUDING customers with none (the
+    left-outer completeness case an inner groupby silently drops):
+    orders pre-aggregate to (custkey, n) via the combiner, then the
+    native hash-partitioned left_outer join against the customer key
+    column — both shuffle sides are narrow. Oracle: LEFT JOIN +
+    coalesce."""
+    from edkray.ops.aggregate import grouped_agg
+    from edkray.ops.joins import hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    counts = grouped_agg(orders, ["o_custkey"], [("count", None, "n_orders")])
+    j = hash_join(cust, counts, on=["c_custkey"], right_on=["o_custkey"],
+                  how="left_outer")
+
+    def _fill(b: pa.Table) -> pa.Table:
+        n = b["n_orders"].to_numpy(zero_copy_only=False)
+        n = np.nan_to_num(n.astype(np.float64), nan=0.0).astype(np.int64)
+        return pa.table({"c_custkey": b["c_custkey"],
+                         "n_orders": pa.array(n, pa.int64())})
+
+    return j.map_batches(_fill, batch_format="pyarrow")
+
+
+_SQL_CUSTOMER_ORDER_COUNTS = """
+SELECT c.c_custkey, coalesce(o.n, 0)::BIGINT AS n_orders
+FROM customer c
+LEFT JOIN (SELECT o_custkey, count(*)::BIGINT AS n
+           FROM orders GROUP BY 1) o
+  ON c.c_custkey = o.o_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Q: daily_orders_vs_events — FULL OUTER day alignment of two streams
+
+
+def q_daily_orders_vs_events(sf_dir: str):
+    """Daily order counts FULL-OUTER-aligned with daily event counts —
+    days present in either stream appear, the other side zero-filled
+    (two combiner-narrow daily aggregates, one native full_outer hash
+    join over day keys; no corpus rows move). Oracle: FULL OUTER JOIN
+    + coalesce."""
+    from edkray.ops.aggregate import grouped_agg
+    from edkray.ops.joins import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderdate"])
+    events = _read(sf_dir, "events", ["ts"])
+
+    def _day(col):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "day": pc.cast(pc.floor_temporal(b[col], unit="day"), pa.date32())
+            })
+        return f
+
+    od = grouped_agg(orders.map_batches(_day("o_orderdate"),
+                                        batch_format="pyarrow"),
+                     ["day"], [("count", None, "n_orders")])
+    ed = grouped_agg(events.map_batches(_day("ts"), batch_format="pyarrow"),
+                     ["day"], [("count", None, "n_events")])
+    ed = ed.map_batches(lambda b: b.rename_columns(["eday", "n_events"]),
+                        batch_format="pyarrow")
+    j = hash_join(od, ed, on=["day"], right_on=["eday"], how="full_outer")
+
+    def _fill(b: pa.Table) -> pa.Table:
+        import polars as pl
+        # Ray's full_outer join coalesces the right key into "day"
+        return (
+            pl.from_arrow(b)
+            .with_columns(
+                pl.col("n_orders").fill_null(0).cast(pl.Int64),
+                pl.col("n_events").fill_null(0).cast(pl.Int64),
+            )
+            .select(["day", "n_orders", "n_events"])
+            .to_arrow()
+        )
+
+    return j.map_batches(_fill, batch_format="pyarrow")
+
+
+_SQL_DAILY_ORDERS_VS_EVENTS = """
+WITH od AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, count(*)::BIGINT AS n_orders
+  FROM orders GROUP BY 1
+), ed AS (
+  SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1
+)
+SELECT coalesce(od.day, ed.day) AS day,
+       coalesce(od.n_orders, 0)::BIGINT AS n_orders,
+       coalesce(ed.n_events, 0)::BIGINT AS n_events
+FROM od FULL OUTER JOIN ed ON od.day = ed.day
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 
 
@@ -7610,6 +7711,8 @@ def queries() -> dict:
         "winsorized_price": q_winsorized_price,
         "peak_hour": q_peak_hour,
         "embedding_quant": q_embedding_quant,
+        "customer_order_counts": q_customer_order_counts,
+        "daily_orders_vs_events": q_daily_orders_vs_events,
     }
 
 
@@ -7719,6 +7822,8 @@ def oracle_sql() -> dict:
         "winsorized_price": _SQL_WINSORIZED_PRICE,
         "peak_hour": _SQL_PEAK_HOUR,
         "embedding_quant": _SQL_EMBEDDING_QUANT,
+        "customer_order_counts": _SQL_CUSTOMER_ORDER_COUNTS,
+        "daily_orders_vs_events": _SQL_DAILY_ORDERS_VS_EVENTS,
         "robots_kept": _SQL_ROBOTS,
         "doc_chunks": _SQL_DOC_CHUNKS,
         "inlink_counts": _SQL_INLINK_COUNTS,
